@@ -1,0 +1,410 @@
+"""Core relational operators from SURVEY.md §2 over the test tables.
+
+Each query is the Spark-first expression of a reference operator
+(citations are file:line into /root/reference). Aggregates follow the
+exact-decimal determinism rules in ``queries/__init__``; computed
+integer columns are cast to long to match DuckDB's BIGINT outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import davg, dsum, money, rate
+from fabric_claims_spark.sources.parquet import load_table
+
+SALT = "healthcare_secure_salt_2024"  # fixture salt, NBclaims_silver:51
+
+
+# --------------------------------------------------------------------------
+# A6/A7/A12 — grouped aggregates (TPC-H Q1 shape): the metrics-layer
+# measure catalog (SM/tables/Claims.tmdl:5-102) re-expressed as one
+# hash-aggregate pass. Map-side partial aggregation + AQE handle scale.
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(6,4)))
+               * (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - rate("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(2,0)") + rate("l_tax"))
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — dedup-by-rank, keep latest (NB_BRONZE:119-126: row_number over
+# ClaimID ordered ClaimDate desc). Deterministic tie-break on the key.
+# Scale: hash-partitioned window on the dedup key — no global sort.
+@query(
+    "dedup_latest_order_per_customer",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def dedup_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 complement — the rank>1 rows routed to the dupe quarantine
+# (NB_BRONZE:122-126 dupe_claims analog).
+@query(
+    "duplicate_orders_routed",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn > 1
+    """,
+)
+def duplicate_orders_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") > 1)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — left-anti equi-join (NB_BRONZE:182: subtract DQ-failed rows).
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 + A12 — star join with broadcast dims (SM/relationships.tmdl:1-12;
+# WH_TABLES/Claims.sql:19-21). nation/region are tiny → explicit
+# broadcast keeps the fact-side scan shuffle-free for the dim joins.
+@query(
+    "star_revenue_by_region_year",
+    oracle="""
+    SELECT r.r_name AS region, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(2,0)) - CAST(l.l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+      COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    -- (revenue product stays within DECIMAL(38) — no double fallback)
+    """,
+)
+def star_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = money("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — filtered aggregates (CALCULATE analogs, SM/tables/Claims.tmdl:
+# 36-100): one pass of conditional sums instead of N filtered scans.
+@query(
+    "conditional_status_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+      COUNT(*) AS total_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+           AS DOUBLE) AS fulfilled_amount
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_status_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("fulfilled_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("open_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("pending_orders"),
+        dsum(F.when(F.col("o_orderstatus") == "F", money("o_totalprice")).otherwise(zero)).alias(
+            "fulfilled_amount"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — single-column DISTINCT domain views (WH_VIEWS/DistinctClaimStatus
+# .sql:4-6 and 6 siblings).
+@query(
+    "distinct_order_status",
+    oracle="SELECT DISTINCT o_orderstatus FROM orders",
+)
+def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# A2 — full-row DISTINCT over a projection (WH_VIEWS/StagingClaims.sql:2-15).
+@query(
+    "distinct_customer_profile",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# A8 — DISTINCTCOUNT measures (SM/tables/Claims.tmdl:27,256).
+@query(
+    "unique_customers_per_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS unique_customers,
+           COUNT(*) AS total_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def unique_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.count(F.lit(1)).alias("total_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10/F14 — DIVIDE null-on-zero semantics (SM/tables/Claims.tmdl:115,
+# 178,234,245): try_divide, with a genuinely-zero denominator branch.
+@query(
+    "priority_fulfillment_rates",
+    oracle="""
+    SELECT o_orderpriority,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        / CAST(NULLIF(COUNT(*), 0) AS DOUBLE) AS fulfilled_rate,
+      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        / CAST(NULLIF(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        AS rate_vs_missing_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_fulfillment_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fulfilled = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    missing = F.sum(F.when(F.col("o_orderstatus") == "X", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.try_divide(fulfilled, F.count(F.lit(1)).cast("double")).alias("fulfilled_rate"),
+        F.try_divide(fulfilled, missing.cast("double")).alias("rate_vs_missing_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A12 ext — rollup for the Dates Year→Month hierarchy drilldown
+# (SM/tables/Dates.tmdl:109-124); built-in df.rollup, partial aggs.
+@query(
+    "rollup_revenue_year_priority",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS g_year,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+    FROM orders
+    GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderpriority)
+    """,
+)
+def rollup_revenue_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return o.rollup("order_year", "o_orderpriority").agg(
+        F.grouping("order_year").cast("long").alias("g_year"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("order_count"),
+        dsum(money("o_totalprice")).alias("total_amount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O-family — deterministic top-k per group (report "top N" pattern;
+# rank window + filter, no global sort).
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — global surrogate key over a bounded dimension (NB_SILVER:143-146
+# DateID). Single-partition window is acceptable ONLY for bounded dims
+# (a date spine); facts must never use a partitionless window.
+@query(
+    "surrogate_date_key",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS date_id, d AS order_date
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+)
+def surrogate_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dates = o.select(F.to_date("o_orderdate").alias("order_date")).distinct()
+    w = Window.orderBy("order_date")
+    return dates.select(
+        F.row_number().over(w).cast("long").alias("date_id"), "order_date"
+    )
+
+
+# --------------------------------------------------------------------------
+# P10 — null-safe change detection gating updates (SP_UPSERT:19-20,
+# 43-46,83-91: ISNULL(t.c,'') <> ISNULL(s.c,'')). Simulated staging =
+# customer with deterministic drift; detector = NOT (a <=> b).
+@query(
+    "change_detection_nullsafe",
+    oracle="""
+    WITH staging AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS new_acctbal
+      FROM customer)
+    SELECT c.c_nationkey, COUNT(*) AS changed_rows
+    FROM customer c JOIN staging s ON c.c_custkey = s.c_custkey
+    WHERE c.c_acctbal IS DISTINCT FROM s.new_acctbal
+    GROUP BY c.c_nationkey
+    """,
+)
+def change_detection_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    staging = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("double"))
+        .when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_acctbal"),
+    )
+    joined = c.join(staging, "c_custkey")
+    return (
+        joined.where(~F.col("c_acctbal").eqNullSafe(F.col("new_acctbal")))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("changed_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — salted SHA-256 pseudonymization (NB_SILVER:163-168, salt :51).
+@query(
+    "pseudonymize_customers",
+    oracle=f"""
+    SELECT c_custkey, sha256(c_name || '{SALT}') AS name_hash
+    FROM customer
+    """,
+)
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat(F.col("c_name"), F.lit(SALT)), 256).alias("name_hash"),
+    )
