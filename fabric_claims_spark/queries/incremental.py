@@ -1,1 +1,140 @@
-"""Placeholder — filled in incrementally."""
+"""Incremental / streaming-equivalent operators (SURVEY.md §2.9, S6).
+
+The reference's incrementality is a watermark protocol: scalar
+max-timestamp lookups gating layer runs (PL_GOLD:54-96), and
+late/duplicate re-deliveries resolved latest-by-key via MERGE
+(NB_BRONZE:119-126 + SP_UPSERT). These queries express the dataflow
+half of that protocol over the ``events`` table; the control-plane
+half (state docs, skip logic) lives in ``pipeline/watermark.py``.
+
+events.ts is nanosecond-precision parquet; Spark truncates to µs on
+read while DuckDB keeps ns — every surfaced timestamp is explicitly
+truncated to the second so both engines agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import dsum, money
+from fabric_claims_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# S6/A11 — audit-log watermark lookup: COALESCE(MAX(ts), epoch) with a
+# status filter (PL_GOLD:74). The second column exercises the
+# empty-set → epoch fallback.
+@query(
+    "watermark_max_lookup",
+    oracle="""
+    SELECT
+      CAST(COALESCE(date_trunc('second', MAX(CASE WHEN event_type = 'purchase' THEN ts END)),
+                    TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP) AS purchase_watermark,
+      CAST(COALESCE(date_trunc('second', MAX(CASE WHEN event_type = 'no_such_type' THEN ts END)),
+                    TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP) AS missing_watermark
+    FROM events
+    """,
+)
+def watermark_max_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+
+    def wm(etype: str):
+        return F.coalesce(
+            F.date_trunc(
+                "second", F.max(F.when(F.col("event_type") == etype, F.col("ts")))
+            ),
+            epoch,
+        )
+
+    return e.agg(
+        wm("purchase").alias("purchase_watermark"),
+        wm("no_such_type").alias("missing_watermark"),
+    )
+
+
+# --------------------------------------------------------------------------
+# I-ops streaming equivalent — tumbling-window aggregation (the batch
+# twin of readStream + window(ts, '1 hour'); the streaming runner in
+# streaming/ executes the same grouping with withWatermark).
+@query(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum(money("value")).alias("value_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# I5/S10 — late/duplicate delivery resolution: latest-by-key state
+# (MERGE "latest wins", NB_BRONZE:119-126 + SP_UPSERT upsert). The
+# whole events history collapses to one current row per user.
+@query(
+    "state_latest_per_user",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type,
+           value AS last_value,
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def state_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.date_trunc("second", F.col("ts")).alias("last_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# I2 — layer-to-layer change propagation: rows newer than a stored
+# watermark (the dataflow side of PL_SILVER:110-124's gate). Filter
+# pushes to the parquet scan (PushedFilters in explain).
+@query(
+    "incremental_slice_after_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS new_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def incremental_slice_after_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("new_events"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+    )

@@ -1,1 +1,161 @@
-"""Placeholder — filled in incrementally."""
+"""Bronze quality-gate operators (SURVEY.md §2.2 P5-P9, §2.7, F6/F7).
+
+The reference's 9-rule DQ engine (NB_BRONZE:137-171) is data-driven:
+an array of ``when(condition, reason)`` branches, a higher-order
+``exists`` filter, and a ``concat_ws(';')`` reason string. The same
+machinery is exercised here on the orders table with rules that
+actually fire, plus the 4-way split invariant from SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.sources.parquet import load_table
+
+# Data-driven rule list — (reason, condition SQL for the oracle,
+# condition Column builder for Spark) kept side by side so the two
+# engines can't drift.
+_ORDER_RULES: list[tuple[str, str]] = [
+    ("nonpositive_amount", "o_totalprice <= 0"),
+    ("pre_1996_order", "CAST(o_orderdate AS DATE) < DATE '1996-01-01'"),
+    ("low_priority", "o_orderpriority = '5-LOW'"),
+    ("invalid_status", "o_orderstatus NOT IN ('F', 'O', 'P')"),
+]
+
+
+def _rule_conditions():
+    c = F.col
+    return [
+        ("nonpositive_amount", c("o_totalprice") <= 0),
+        ("pre_1996_order", F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date")),
+        ("low_priority", c("o_orderpriority") == "5-LOW"),
+        ("invalid_status", ~c("o_orderstatus").isin("F", "O", "P")),
+    ]
+
+
+# --------------------------------------------------------------------------
+# P5-P9 + F6/F7 — the DQ reason pipeline: array of conditional reasons
+# (NB_BRONZE:152-166), exists() keep-if-any (ibid.:167), concat_ws
+# reason string (ibid.:168). All Catalyst expressions, no UDFs.
+@query(
+    "dq_reasons_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           concat_ws(';',
+             {", ".join(f"CASE WHEN {cond} THEN '{name}' END" for name, cond in _ORDER_RULES)}
+           ) AS dq_reasons
+    FROM orders
+    WHERE {" OR ".join(f"({cond})" for _, cond in _ORDER_RULES)}
+    """,
+)
+def dq_reasons_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    reasons = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in _rule_conditions()]
+    )
+    return (
+        o.withColumn("_reasons", reasons)
+        .where(F.exists(F.col("_reasons"), lambda x: x.isNotNull()))
+        .select("o_orderkey", F.concat_ws(";", F.col("_reasons")).alias("dq_reasons"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — the 4-way disjoint split invariant (NB_BRONZE:96-182:
+# |raw| = |malformed| + |dupes| + |bad| + |clean|). One pass with a
+# precedence-tagged bucket column instead of 4 scans; the reference's
+# successive filters become a single case expression (same semantics,
+# one shuffle).
+@query(
+    "quality_split_buckets",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE
+        WHEN o_totalprice <= 0 THEN 'malformed'
+        WHEN ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) > 1 THEN 'duplicate'
+        WHEN o_orderpriority = '5-LOW' THEN 'bad_quality'
+        ELSE 'clean' END AS bucket
+      FROM orders)
+    SELECT bucket, COUNT(*) AS n FROM tagged GROUP BY bucket
+    """,
+)
+def quality_split_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= 0, "malformed")
+        .when(F.row_number().over(w) > 1, "duplicate")
+        .when(F.col("o_orderpriority") == "5-LOW", "bad_quality")
+        .otherwise("clean")
+    )
+    return o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# P5/P6/P7 — predicate families: set membership, regex, range
+# (NB_BRONZE:137-161) as one counted pass.
+@query(
+    "predicate_rule_counts",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        AS valid_status,
+      CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS priority_format_ok,
+      CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS high_value,
+      CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+               THEN 1 ELSE 0 END) AS BIGINT) AS pre_1996,
+      COUNT(*) AS total
+    FROM orders
+    """,
+)
+def predicate_rule_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bsum = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return o.agg(
+        bsum(F.col("o_orderstatus").isin("F", "O", "P")).alias("valid_status"),
+        bsum(F.col("o_orderpriority").rlike(r"^[1-5]-[A-Z ]+$")).alias("priority_format_ok"),
+        bsum(F.col("o_totalprice") > 400000).alias("high_value"),
+        bsum(F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date")).alias("pre_1996"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 — unionByName reassembly check: disjoint status splits union
+# back to the original row count (the reference's split-complement
+# invariant as a query).
+@query(
+    "split_union_reassembly",
+    oracle="""
+    SELECT COUNT(*) AS reassembled_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys
+    FROM (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus NOT IN ('F', 'O'))
+    """,
+)
+def split_union_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    part_f = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    part_o = o.where(F.col("o_orderstatus") == "O").select("o_orderkey")
+    rest = o.where(~F.col("o_orderstatus").isin("F", "O")).select("o_orderkey")
+    return (
+        part_f.unionByName(part_o)
+        .unionByName(rest)
+        .agg(
+            F.count(F.lit(1)).alias("reassembled_rows"),
+            F.countDistinct("o_orderkey").alias("distinct_keys"),
+        )
+    )

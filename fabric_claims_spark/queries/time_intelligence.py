@@ -1,1 +1,219 @@
-"""Placeholder — filled in incrementally."""
+"""Time-intelligence operators (SURVEY.md §2.5 W3/W4, §2.8 F8-F10).
+
+The reference's DAX measures (TOTALYTD / SAMEPERIODLASTYEAR /
+DATESINPERIOD, SM/tables/Claims.tmdl:126-181 and the Time Calculation
+calc group, SM/tables/Time Calculation.tmdl:6-24) re-expressed as the
+two Spark idioms SURVEY.md §2.5 prescribes:
+
+* running frames — window ``rowsBetween``/``rangeBetween`` over a
+  pre-aggregated month grain (partial aggregation first → the window
+  runs on a tiny, already-shuffled frame, never on fact rows);
+* period-shift self-joins — aggregate by period, join period minus
+  one year.
+
+Decimal sums stay decimal *through* the window and only round+cast to
+double at the very end (cross-engine determinism; see queries/_util).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.sources.parquet import load_table
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-amount totals at (year, month) grain — exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("_rev_dec"))
+    )
+
+
+_MONTHLY_SQL = """
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS _rev_dec
+  FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# W3a — TOTALYTD as a running window over the month grain
+# (SM/tables/Claims.tmdl:126-134; calc group YTD item).
+@query(
+    "ytd_running_revenue",
+    oracle=f"""
+    SELECT order_year, order_month,
+           CAST(ROUND(_rev_dec, 4) AS DOUBLE) AS month_revenue,
+           CAST(ROUND(SUM(_rev_dec) OVER (
+             PARTITION BY order_year ORDER BY order_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS ytd_revenue
+    FROM ({_MONTHLY_SQL})
+    """,
+)
+def ytd_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    w = (
+        Window.partitionBy("order_year")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "order_year",
+        "order_month",
+        F.round(F.col("_rev_dec"), 4).cast("double").alias("month_revenue"),
+        F.round(F.sum("_rev_dec").over(w), 4).cast("double").alias("ytd_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3b — SAMEPERIODLASTYEAR / YoY Δ / YoY % via period-shift self-join
+# (SM/tables/Claims.tmdl:137-181). LY-missing months keep NULL (DAX
+# DIVIDE semantics — never coalesce to 0).
+@query(
+    "yoy_monthly_revenue",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SQL})
+    SELECT cur.order_year, cur.order_month,
+           CAST(ROUND(cur._rev_dec, 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(prev._rev_dec, 4) AS DOUBLE) AS revenue_ly,
+           CAST(ROUND(cur._rev_dec - prev._rev_dec, 4) AS DOUBLE) AS yoy_delta,
+           CAST(ROUND(cur._rev_dec - prev._rev_dec, 4) AS DOUBLE)
+             / CAST(ROUND(NULLIF(prev._rev_dec, 0), 4) AS DOUBLE) AS yoy_pct
+    FROM m cur LEFT JOIN m prev
+      ON prev.order_year = cur.order_year - 1
+     AND prev.order_month = cur.order_month
+    """,
+)
+def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir)
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    cur_rev = F.col("cur._rev_dec")
+    prev_rev = F.col("prev._rev_dec")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.order_year") == F.col("cur.order_year") - 1)
+            & (F.col("prev.order_month") == F.col("cur.order_month")),
+            "left",
+        )
+        .select(
+            F.col("cur.order_year").alias("order_year"),
+            F.col("cur.order_month").alias("order_month"),
+            F.round(cur_rev, 4).cast("double").alias("revenue"),
+            F.round(prev_rev, 4).cast("double").alias("revenue_ly"),
+            F.round(cur_rev - prev_rev, 4).cast("double").alias("yoy_delta"),
+            # try_divide already yields NULL on zero/null denominator,
+            # matching the oracle's / NULLIF(...).
+            F.try_divide(
+                F.round(cur_rev - prev_rev, 4).cast("double"),
+                F.round(prev_rev, 4).cast("double"),
+            ).alias("yoy_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W3c — DATESINPERIOD(-12, MONTH) rolling window on an epoch-month key
+# (SM/tables/Claims.tmdl:265-280 "Last 12M"). rangeBetween keeps gap
+# months correct (a missing month still ages out by value, not rank).
+@query(
+    "rolling_12m_revenue",
+    oracle=f"""
+    SELECT order_year, order_month,
+           CAST(ROUND(SUM(_rev_dec) OVER (
+             ORDER BY order_year * 12 + order_month
+             RANGE BETWEEN 11 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS rolling_12m_revenue
+    FROM ({_MONTHLY_SQL})
+    """,
+)
+def rolling_12m_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_revenue(spark, sf_dir).withColumn(
+        "_epoch_month", F.col("order_year") * 12 + F.col("order_month")
+    )
+    # Partitionless window is safe ONLY because the month grain is
+    # bounded (~dozens of rows after pre-aggregation), never on facts.
+    w = Window.orderBy("_epoch_month").rangeBetween(-11, 0)
+    return monthly.select(
+        "order_year",
+        "order_month",
+        F.round(F.sum("_rev_dec").over(w), 4).cast("double").alias("rolling_12m_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — date spine via sequence+explode (NB_SILVER:134-141) left-joined
+# to daily activity; zero-activity days survive with count 0.
+@query(
+    "date_spine_daily_orders",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT spine.d AS order_date,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS order_count
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def date_spine_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("order_date")
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "order_date", "left").select(
+        "order_date", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("order_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# F9/F10 — calendar attribute derivation incl. en-US month/day names
+# (NB_SILVER:145-150; dim_dates shape).
+@query(
+    "calendar_attributes",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS cal_date,
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS cal_year,
+      CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS cal_month,
+      CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS cal_day,
+      CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS cal_quarter,
+      monthname(o_orderdate) AS month_name,
+      dayname(o_orderdate) AS day_name
+    FROM orders
+    """,
+)
+def calendar_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        d.alias("cal_date"),
+        F.year(d).cast("long").alias("cal_year"),
+        F.month(d).cast("long").alias("cal_month"),
+        F.dayofmonth(d).cast("long").alias("cal_day"),
+        F.quarter(d).cast("long").alias("cal_quarter"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "EEEE").alias("day_name"),
+    ).distinct()

@@ -11,14 +11,25 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fabric_claims_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table (parity with Delta scan-by-path, S2:
-    NBclaims_silver.Notebook/notebook-content.py:64-75)."""
+    NBclaims_silver.Notebook/notebook-content.py:64-75).
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as long via the
+    legacy conf and convert ns→µs with exact integer division. DuckDB
+    keeps ns, so queries surface timestamps truncated ≥ second grain.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(path)
 
 
