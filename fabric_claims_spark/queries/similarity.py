@@ -1,1 +1,165 @@
-"""Placeholder — filled in incrementally."""
+"""Similarity-search operators over the embeddings table (north-star
+extension: approximate-nearest-neighbor building blocks).
+
+Cosine scores are computed with built-in higher-order functions
+(zip_with dot product + aggregate fold) entirely JVM-side. The oracle
+mirrors the exact same operation order (dot / (sqrt(na) * sqrt(nb)))
+via list_dot_product so both engines walk the vector sequentially —
+bit-identical doubles, then rounded to 6dp for belt-and-braces.
+
+Scale path: brute-force is the correctness baseline (fine when one
+side broadcasts); the IVF assignment below is the bucketed variant —
+centroids broadcast, each vector scored against K centroids instead
+of N vectors. extensions/similarity.py packages both for reuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.sources.parquet import load_table
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over double arrays (JVM-side HOF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _as_double(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k for one query vector: the ANN correctness
+# baseline. Spark plan: broadcast 1-row query side → projection +
+# TakeOrderedAndProject (no global shuffle/sort materialization).
+@query(
+    "embeddings_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    e = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", "label", _as_double("embedding").alias("ev")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row merge on the driver, not a global sort.
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# --------------------------------------------------------------------------
+# IVF assignment: nearest of K fixed centroids per vector (the coarse
+# quantizer of an IVF index; centroids broadcast so the fact side
+# never shuffles). Deterministic ties broken by centroid_id.
+@query(
+    "embeddings_ivf_assign",
+    oracle="""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+      FROM embeddings e, centroids c)
+    SELECT vec_id, centroid_id AS assigned_centroid, sim AS centroid_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+    """,
+)
+def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _as_double("embedding").alias("cv")
+    )
+    e = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    scored = e.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("assigned_centroid"),
+            F.col("sim").alias("centroid_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-blocked pairwise similarity: all pairs within a label bucket
+# above a threshold (embedding-cosine near-dup detection; blocking by
+# label keeps the pair space linear-ish, the LSH variant in
+# extensions/dedup.py removes the need for labels).
+@query(
+    "embeddings_neardup_pairs",
+    oracle="""
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+               AS cosine_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine_sim >= 0.3
+    """,
+)
+def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("ev")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(_cosine(F.col("a.ev"), F.col("b.ev")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.3)
+    )

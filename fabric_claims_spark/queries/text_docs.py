@@ -1,1 +1,301 @@
-"""Placeholder — filled in incrementally."""
+"""Text-analysis operators over the documents table (north-star
+extension: SURVEY.md §7.8 / BASELINE.json north_star).
+
+All hot-path logic is built-in Catalyst expressions (split, regexp,
+md5, higher-order functions) — no Python in the row path except the
+explicitly-marked mapInPandas multimodal stub, which demonstrates the
+Arrow-batched plumbing for binary columns.
+
+Scale notes: every query is a single scan + hash aggregate; token
+explodes are bounded by document length; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.sources.parquet import load_table
+
+# Token pattern shared by both engines (text is space-separated).
+_WS = r"\s+"
+
+
+def _token_count() -> F.Column:
+    t = F.trim(F.col("text"))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, _WS))
+    ).cast("long")
+
+
+_TOKEN_COUNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content (extension op; exact variant of
+# the reference's key-dedup A4, NB_SILVER:204-207).
+@query(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token counting (whitespace tokenizer) aggregated per language.
+@query(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS docs,
+           CAST(SUM({_TOKEN_COUNT_SQL}) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM({_TOKEN_COUNT_SQL}) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(_token_count()).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum(_token_count()).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length / alpha-ratio / whitespace-ratio / stopword
+# presence, per document (heuristic quality filter for training data).
+@query(
+    "docs_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS char_len,
+      CAST({_TOKEN_COUNT_SQL} AS BIGINT) AS token_count,
+      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / length(text) AS alpha_ratio,
+      CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+        / length(text) AS space_ratio,
+      CAST(len(regexp_extract_all(text, '\\bthe\\b')) AS BIGINT) AS stopword_hits,
+      CASE WHEN length(text) >= 100
+            AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / length(text) > 0.5
+           THEN 'keep' ELSE 'filter' END AS quality_flag
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    space_ratio = (
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("double")
+        / F.length("text")
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("char_len"),
+        _token_count().alias("token_count"),
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).cast("long").alias("stopword_hits"),
+        F.when((F.length("text") >= 100) & (alpha_ratio > 0.5), "keep")
+        .otherwise("filter")
+        .alias("quality_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: stopword-marker counts per language with a
+# fixed-precedence argmax (n-gram/stopword heuristic; the synthetic
+# corpus is English-vocabulary so 'en' dominates — the machinery, not
+# the labels, is under test).
+_MARKERS = {
+    "en": r"\b(the|a|and|of)\b",
+    "de": r"\b(der|die|das|und)\b",
+    "es": r"\b(el|la|los|que)\b",
+}
+
+
+@query(
+    "docs_langid_stopwords",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["en"]}')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["de"]}')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["es"]}')) AS BIGINT) AS score_es
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es,
+      CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+           WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+           WHEN score_es > 0 THEN 'es'
+           ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def docs_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        k: F.regexp_count("text", F.lit(p)).cast("long") for k, p in _MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+    )
+    en, de, es = F.col("score_en"), F.col("score_de"), F.col("score_es")
+    return scored.withColumn(
+        "predicted_lang",
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: content hash over normalized text (rolling
+# -hash winnowing's cheap cousin; stable under whitespace/punct noise).
+@query(
+    "docs_fingerprint",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+                AS BIGINT) AS distinct_fingerprints,
+           COUNT(*) AS docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+    return d.groupBy("source").agg(
+        F.countDistinct(fp).alias("distinct_fingerprints"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: token-set overlap within (lang, source)
+# blocks. Blocking bounds the pair space (the 100 TB version blocks by
+# MinHash-LSH band instead — see extensions/dedup.py); the join is a
+# shuffle on token, never a cross join.
+@query(
+    "docs_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, source,
+             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+    """,
+)
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), _WS)).alias("token"),
+    ).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: treat text bytes as an opaque binary payload and
+# run an Arrow-batched mapInPandas "decode" (the real image/audio
+# decode is environment-gated — extensions/multimodal.py; here the
+# deterministic byte-length metadata keeps the oracle checkable).
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           'stub-decoder-v1' AS decoder
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                    "decoder": "stub-decoder-v1",
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches, schema="doc_id long, payload_bytes long, decoder string"
+    )
