@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion (count() action — results are
+aggregates or bounded sets, so the action cost is the query cost, not
+a driver transfer). A warmup query amortizes JVM/codegen startup out
+of the measured numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fabric_claims_spark.queries import load_all_queries  # noqa: E402
+from fabric_claims_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "star_revenue_by_region_year",
+    "dedup_latest_order_per_customer",
+    "top3_orders_per_customer",
+    "ytd_running_revenue",
+    "yoy_monthly_revenue",
+    "quality_split_buckets",
+    "dq_reasons_orders",
+    "events_hourly_tumbling",
+    "state_latest_per_user",
+    "docs_exact_dedup",
+    "docs_jaccard_pairs",
+    "embeddings_knn_bruteforce",
+    "embeddings_ivf_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_all_queries()
+    spark = get_spark("fabric-claims-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: run the flagship once to JIT/codegen-warm the session.
+    registry["pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
