@@ -1,0 +1,116 @@
+"""Bronze quality-gate dataflow (NBclaims_bronze.Notebook/
+notebook-content.py — the reference's richest single dataflow,
+SURVEY.md §3.2).
+
+One permissive scan fans out into four disjoint outputs:
+
+  raw ─┬─ malformed (CorruptRecord captured, 90-day retention)
+       ├─ duplicates (rank>1 by ClaimID latest-ClaimDate, 180-day)
+       ├─ bad_quality (any of 9 DQ rules, ';' reasons, 365-day)
+       └─ claims_clean (MERGE-or-create keyed on ClaimID)
+
+Split invariant: |raw| = |malformed| + |dupes| + |bad| + |clean|.
+
+Scale notes: the scan is cached once and feeds all four branches
+(reference caches the same way, NB_BRONZE:193-196); the only shuffle
+is the dedup window's hash partition on ClaimID; reject writes are
+appends; the clean write is a keyed MERGE so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.operators.dedup import dedup_latest
+from fabric_claims_spark.operators.quality import claims_rules, split_by_rules
+from fabric_claims_spark.schemas import CORRUPT_COL
+from fabric_claims_spark.sources.csv import read_claims_csv
+from fabric_claims_spark.sources.merge import TableStore
+
+MALFORMED_TABLE = "malformed_claims"
+DUPES_TABLE = "dupe_claims"
+BAD_TABLE = "data_quality_claims"
+CLEAN_TABLE = "claims_clean"
+
+# Quarantine retention windows in days (NB_BRONZE:97,126,171).
+RETENTION = {"malformed": 90, "dupes": 180, "bad": 365}
+
+
+def _lineage(df: DataFrame, run_ts: datetime | None, batch_id: str) -> DataFrame:
+    """System columns (NB_BRONZE:83-85): ingest timestamp, source file,
+    batch id. run_ts injectable for deterministic tests (F15)."""
+    ingested = F.lit(run_ts).cast("timestamp") if run_ts else F.current_timestamp()
+    return (
+        df.withColumn("IngestedAt", ingested)
+        .withColumn("SourceFile", F.input_file_name())
+        .withColumn("ProcessBatchID", F.lit(batch_id))
+    )
+
+
+def run_bronze(
+    spark: SparkSession,
+    store: TableStore,
+    csv_path: str,
+    run_ts: datetime | None = None,
+    batch_id: str | None = None,
+) -> dict[str, Any]:
+    """Execute the quality gate; returns the exit-metrics payload
+    (NB_BRONZE:260-287 parity)."""
+    batch_id = batch_id or str(uuid.uuid4())
+
+    raw = _lineage(read_claims_csv(spark, csv_path), run_ts, batch_id)
+    # PERMISSIVE corrupt-column filters require materialization first
+    # (Spark restriction); the reference caches here too for the
+    # multi-branch fan-out (NB_BRONZE:193-196).
+    raw = raw.cache()
+    total_rows = raw.count()
+
+    retention = lambda days: F.date_add(F.current_date(), days)  # noqa: E731
+
+    malformed = raw.where(F.col(CORRUPT_COL).isNotNull()).withColumn(
+        "RetentionDate", retention(RETENTION["malformed"])
+    )
+    clean_shape = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+    survivors, dupes = dedup_latest(
+        clean_shape,
+        keys=["ClaimID"],
+        # ClaimDate desc, deterministic tie-breakers (risk-register fix
+        # for the reference's date-only ordering).
+        order_by=[
+            F.col("ClaimDate").desc_nulls_last(),
+            F.col("IngestedAt").desc_nulls_last(),
+            F.col("PatientID").asc_nulls_last(),
+        ],
+    )
+    dupes = dupes.withColumn("RetentionDate", retention(RETENTION["dupes"]))
+
+    good, bad = split_by_rules(survivors, claims_rules())
+    bad = bad.withColumn("RetentionDate", retention(RETENTION["bad"]))
+
+    counts = {
+        "malformed": malformed.count(),
+        "duplicates": dupes.count(),
+        "bad_quality": bad.count(),
+        "valid": good.count(),
+    }
+
+    store.append(MALFORMED_TABLE, malformed)
+    store.append(DUPES_TABLE, dupes)
+    store.append(BAD_TABLE, bad)
+    merge_stats = store.merge(CLEAN_TABLE, good, keys=["ClaimID"])
+
+    raw.unpersist()
+    return {
+        "status": "Succeeded",
+        "run_id": batch_id,
+        "rows_processed": total_rows,
+        "quality_metrics": counts,
+        "clean_inserted": merge_stats.inserted,
+        "clean_updated": merge_stats.updated,
+    }

@@ -1,0 +1,126 @@
+"""Silver star-schema conformance dataflow (NBclaims_silver.Notebook/
+notebook-content.py, SURVEY.md §3.1 silver stage).
+
+claims_clean → dim_patients, dim_providers, dim_dates, fact_claims:
+
+* dims: projection → full-row DISTINCT → key-dedup → salted SHA-256
+  pseudonymization of the natural key (PII never reaches silver).
+* dim_dates: bounded 2015→2030 spine with surrogate DateID.
+* fact: hashed FKs + audit columns, MERGE-keyed on ClaimID.
+
+Scale notes: dims are overwrite (small, fully derivable); the fact is
+an idempotent keyed MERGE. The input scan is cached across the four
+derivations (NB_SILVER:70-75 does the same).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.functions.dates import date_spine
+from fabric_claims_spark.functions.hashing import pseudonymize
+from fabric_claims_spark.pipeline.bronze import CLEAN_TABLE
+from fabric_claims_spark.sources.merge import TableStore
+
+DEFAULT_SALT = "healthcare_secure_salt_2024"  # NB_SILVER:51
+
+DIM_PATIENTS = "dim_patients"
+DIM_PROVIDERS = "dim_providers"
+DIM_DATES = "dim_dates"
+FACT_CLAIMS = "fact_claims"
+
+
+def _audit_cols(df: DataFrame, run_ts: datetime, batch_id: str) -> DataFrame:
+    """CreatedDate/ModifiedDate/ProcessBatchID stamps
+    (NB_SILVER:179-193)."""
+    ts = F.lit(run_ts).cast("timestamp")
+    return (
+        df.withColumn("CreatedDate", ts)
+        .withColumn("ModifiedDate", ts)
+        .withColumn("ProcessBatchID", F.lit(batch_id))
+    )
+
+
+def run_silver(
+    spark: SparkSession,
+    bronze_store: TableStore,
+    silver_store: TableStore,
+    salt: str = DEFAULT_SALT,
+    run_ts: datetime | None = None,
+    batch_id: str | None = None,
+) -> dict[str, Any]:
+    if not bronze_store.exists(CLEAN_TABLE):
+        # Fail-fast existence check (NB_SILVER:67-68).
+        raise FileNotFoundError(f"bronze table {CLEAN_TABLE} not found")
+
+    run_ts = run_ts or datetime.now(timezone.utc)
+    batch_id = batch_id or str(uuid.uuid4())
+    claims = bronze_store.read(CLEAN_TABLE).cache()
+
+    dim_patients = _audit_cols(
+        claims.select(
+            "PatientID",
+            "PatientAge",
+            "PatientGender",
+            "PatientMaritalStatus",
+            "PatientEmploymentStatus",
+        )
+        .distinct()
+        .dropDuplicates(["PatientID"])
+        .withColumn("PatientID", pseudonymize("PatientID", salt)),
+        run_ts,
+        batch_id,
+    )
+
+    dim_providers = _audit_cols(
+        claims.select("ProviderID", "ProviderSpecialty", "ProviderLocation")
+        .distinct()
+        .dropDuplicates(["ProviderID"])
+        .withColumn("ProviderID", pseudonymize("ProviderID", salt)),
+        run_ts,
+        batch_id,
+    )
+
+    dim_dates = _audit_cols(date_spine(spark), run_ts, batch_id)
+
+    fact_claims = _audit_cols(
+        claims.select(
+            "ClaimID",
+            pseudonymize("PatientID", salt).alias("PatientID"),
+            pseudonymize("ProviderID", salt).alias("ProviderID"),
+            "ClaimDate",
+            "ClaimAmount",
+            "DiagnosisCode",
+            "ProcedureCode",
+            "ClaimStatus",
+            "ClaimType",
+            "ClaimSubmissionMethod",
+        ),
+        run_ts,
+        batch_id,
+    )
+
+    silver_store.overwrite(DIM_PATIENTS, dim_patients)
+    silver_store.overwrite(DIM_PROVIDERS, dim_providers)
+    silver_store.overwrite(DIM_DATES, dim_dates)
+    fact_stats = silver_store.merge(FACT_CLAIMS, fact_claims, keys=["ClaimID"])
+
+    metrics = {
+        "dim_patients": silver_store.read(DIM_PATIENTS).count(),
+        "dim_providers": silver_store.read(DIM_PROVIDERS).count(),
+        "dim_dates": silver_store.read(DIM_DATES).count(),
+        "fact_claims": silver_store.read(FACT_CLAIMS).count(),
+    }
+    claims.unpersist()
+    return {
+        "status": "Succeeded",
+        "run_id": batch_id,
+        "rows_processed": metrics,
+        "fact_inserted": fact_stats.inserted,
+        "fact_updated": fact_stats.updated,
+    }

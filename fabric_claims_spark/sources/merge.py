@@ -1,0 +1,210 @@
+"""Merge-capable table storage: Delta when importable, otherwise a
+versioned-parquet fallback with the same MERGE semantics.
+
+The reference upserts through two engines — Delta MERGE in notebooks
+(NBclaims_bronze.Notebook/notebook-content.py:234-240) and a T-SQL
+stored procedure with null-safe change detection
+(sp_upsert_claims.sql:12-103). This module gives both behaviors one
+interface:
+
+* ``merge`` = whenMatchedUpdateAll (optionally only when a non-key
+  column actually differs, null-safely — the SP's
+  ``ISNULL(t.c,'') <> ISNULL(s.c,'')`` gate) + whenNotMatchedInsertAll.
+* Writes are atomic: a new version directory is written first, then a
+  one-line ``_CURRENT`` pointer file is swapped with ``os.replace``.
+  Readers of the old version are never disturbed (same contract as
+  Delta's log-pointer commit).
+
+At 100 TB this class is constructed with ``prefer_delta=True`` on a
+cluster with delta-spark installed and every call maps 1:1 onto Delta
+APIs; the parquet fallback exists so the engine is runnable anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - exercised only where delta-spark is installed
+    from delta.tables import DeltaTable  # type: ignore
+
+    _HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    _HAS_DELTA = False
+
+_CURRENT = "_CURRENT"
+_KEEP_VERSIONS = 3
+
+
+@dataclass
+class MergeStats:
+    """Parity with the SP's @@ROWCOUNT accounting (sp_upsert_claims.sql:105-113)."""
+
+    inserted: int
+    updated: int
+
+    @property
+    def written(self) -> int:
+        return self.inserted + self.updated
+
+
+class TableStore:
+    """A warehouse root holding named tables with atomic overwrite,
+    append, and MERGE."""
+
+    def __init__(self, spark: SparkSession, root: str, prefer_delta: bool = False):
+        self.spark = spark
+        self.root = root
+        self.use_delta = prefer_delta and _HAS_DELTA
+        os.makedirs(root, exist_ok=True)
+
+    # -- path helpers -----------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self._dir(name), _CURRENT)
+
+    def _current_version(self, name: str) -> str | None:
+        try:
+            with open(self._pointer(name)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    # -- public API -------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        """Guarded-create check (spark.catalog.tableExists analog,
+        NB_BRONZE:234)."""
+        if self.use_delta:
+            return DeltaTable.isDeltaTable(self.spark, self._dir(name))
+        return self._current_version(name) is not None
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_delta:
+            return self.spark.read.format("delta").load(self._dir(name))
+        version = self._current_version(name)
+        if version is None:
+            raise FileNotFoundError(f"table {name} does not exist under {self.root}")
+        return self.spark.read.parquet(os.path.join(self._dir(name), version))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """S9 — overwrite sink incl. schema change (NB_BRONZE:243-248)."""
+        if self.use_delta:
+            (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+                .save(self._dir(name))
+            )
+            return
+        self._commit_version(name, df)
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """S8 — append sink (NB_BRONZE:221-223). Fallback appends are
+        read+union+commit (atomic, but O(table)); Delta appends are
+        O(batch) — use Delta for high-churn tables at scale."""
+        if self.use_delta:
+            df.write.format("delta").mode("append").save(self._dir(name))
+            return
+        if self.exists(name):
+            df = self.read(name).unionByName(df, allowMissingColumns=True)
+        self._commit_version(name, df)
+
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        update_only_changed: bool = True,
+    ) -> MergeStats:
+        """S10/J2/J3/P10 — MERGE upsert keyed on ``keys``.
+
+        ``update_only_changed`` reproduces the SP's no-op-update
+        elimination: a matched row is rewritten only when some non-key
+        column differs null-safely (sp_upsert_claims.sql:19-20).
+        """
+        if not self.exists(name):
+            self._write_new(name, source)
+            n = source.count()
+            return MergeStats(inserted=n, updated=0)
+
+        target = self.read(name)
+        non_keys = [c for c in source.columns if c not in keys]
+
+        if self.use_delta:
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            dt = DeltaTable.forPath(self.spark, self._dir(name))
+            builder = dt.alias("t").merge(source.alias("s"), cond)
+            if update_only_changed and non_keys:
+                changed = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in non_keys)
+                builder = builder.whenMatchedUpdateAll(condition=changed)
+            else:
+                builder = builder.whenMatchedUpdateAll()
+            builder.whenNotMatchedInsertAll().execute()
+            # Delta returns operation metrics via history(); fallback
+            # computes them directly — keep one accounting path:
+            hist = dt.history(1).select("operationMetrics").first()[0]
+            return MergeStats(
+                inserted=int(hist.get("numTargetRowsInserted", 0)),
+                updated=int(hist.get("numTargetRowsUpdated", 0)),
+            )
+
+        # --- parquet fallback: merged = target⟕source resolution ---------
+        t = target.alias("t")
+        s = source.alias("s")
+        key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+
+        inserted = source.join(target.select(keys), keys, "left_anti").count()
+        if update_only_changed and non_keys:
+            diff = None
+            for c in non_keys:
+                d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+                diff = d if diff is None else (diff | d)
+            updated = (
+                t.join(s, key_cond, "inner").where(diff).count()
+            )
+        else:
+            updated = source.count() - inserted
+
+        # Source wins for every matched key (idempotent; unchanged rows
+        # produce identical bytes), target-only rows survive.
+        merged = target.join(source.select(keys), keys, "left_anti").unionByName(
+            source
+        )
+        self._commit_version(name, merged)
+        return MergeStats(inserted=inserted, updated=updated)
+
+    # -- internals ----------------------------------------------------------
+    def _write_new(self, name: str, df: DataFrame) -> None:
+        self._commit_version(name, df)
+
+    def _commit_version(self, name: str, df: DataFrame) -> None:
+        table_dir = self._dir(name)
+        os.makedirs(table_dir, exist_ok=True)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        tmp_ptr = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}"
+                               )
+        with open(tmp_ptr, "w") as f:
+            f.write(version)
+        os.replace(tmp_ptr, self._pointer(name))  # atomic commit
+        self._vacuum(name, keep=version)
+
+    def _vacuum(self, name: str, keep: str) -> None:
+        """Prune old version dirs, keeping the newest few for readers
+        mid-scan (Delta vacuum analog, drastically simplified)."""
+        table_dir = self._dir(name)
+        versions = sorted(
+            d
+            for d in os.listdir(table_dir)
+            if d.startswith("v_") and d != keep
+        )
+        for stale in versions[:-_KEEP_VERSIONS]:
+            shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)

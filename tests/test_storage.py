@@ -1,0 +1,83 @@
+"""TableStore (versioned-parquet MERGE fallback) and WatermarkStore
+unit tests (SURVEY.md §5 items 1 & 4)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from fabric_claims_spark.sources.merge import TableStore
+from fabric_claims_spark.sources.state import EPOCH, WatermarkStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string, amt double")
+
+
+def test_overwrite_read_roundtrip(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a", 1.0)]))
+    assert store.exists("t")
+    assert store.read("t").count() == 1
+    store.overwrite("t", _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    assert store.read("t").count() == 2
+
+
+def test_append_accumulates(spark, store):
+    store.append("t", _df(spark, [(1, "a", 1.0)]))
+    store.append("t", _df(spark, [(2, "b", 2.0)]))
+    assert store.read("t").count() == 2
+
+
+def test_merge_insert_update_counts(spark, store):
+    s1 = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    stats = store.merge("t", s1, keys=["id"])
+    assert (stats.inserted, stats.updated) == (2, 0)
+
+    # re-deliver: one unchanged, one changed, one new
+    s2 = _df(spark, [(1, "a", 1.0), (2, "b", 99.0), (3, "c", 3.0)])
+    stats = store.merge("t", s2, keys=["id"])
+    assert (stats.inserted, stats.updated) == (1, 1)
+
+    got = {r["id"]: r["amt"] for r in store.read("t").collect()}
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0}
+
+
+def test_merge_null_safe_change_detection(spark, store):
+    """P10: null→value and value→null both count as changes;
+    null→null does not (SP_UPSERT ISNULL gates)."""
+    s1 = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "id int, val string")
+    store.merge("t", s1, keys=["id"])
+    s2 = spark.createDataFrame([(1, "now"), (2, None), (3, None)], "id int, val string")
+    stats = store.merge("t", s2, keys=["id"])
+    assert (stats.inserted, stats.updated) == (0, 2)
+
+
+def test_merge_idempotent(spark, store):
+    s = _df(spark, [(1, "a", 1.0)])
+    store.merge("t", s, keys=["id"])
+    stats = store.merge("t", s, keys=["id"])
+    assert (stats.inserted, stats.updated) == (0, 0)
+    assert store.read("t").count() == 1
+
+
+def test_merge_preserves_target_only_rows(spark, store):
+    store.merge("t", _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), keys=["id"])
+    store.merge("t", _df(spark, [(2, "b", 5.0)]), keys=["id"])
+    got = {r["id"]: r["amt"] for r in store.read("t").collect()}
+    assert got == {1: 1.0, 2: 5.0}
+
+
+def test_watermark_store(tmp_path):
+    clock = lambda: datetime(2024, 5, 1, tzinfo=timezone.utc)  # noqa: E731
+    wm = WatermarkStore(str(tmp_path / "wm"), clock=clock)
+    assert wm.read("bronze") == EPOCH
+    wm.write("bronze", "2024-04-01T00:00:00Z")
+    assert wm.read("bronze") == "2024-04-01T00:00:00Z"
+    assert WatermarkStore.is_newer("2024-04-02T00:00:00Z", wm.read("bronze"))
+    assert not WatermarkStore.is_newer("2024-04-01T00:00:00Z", wm.read("bronze"))
+    # datetime input formats to UTC ISO-8601 seconds
+    assert wm.write("silver") == "2024-05-01T00:00:00Z"
