@@ -1,0 +1,168 @@
+"""Document deduplication: exact, MinHash-LSH, SimHash, token Jaccard.
+
+All stages are built-in Catalyst expressions (xxhash64, higher-order
+functions, hash aggregates) — no Python in the row path, so the whole
+pipeline stays in whole-stage codegen and scales with partitions.
+
+Scale shape (the reason this is LSH and not all-pairs): signatures
+are one narrow shuffle keyed by doc; candidate generation self-joins
+on (band_idx, band_hash) — only docs sharing a band bucket ever meet,
+so the join output is ~linear in true near-dup mass instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- exact ------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one canonical (min id) row per
+    distinct content hash, with the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+# -- MinHash ----------------------------------------------------------------
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Overlapping character k-grams via transform over an index
+    sequence (JVM-side; no explode until the caller wants one)."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]): element i is
+    min(xxhash64(shingle, i)) over the doc's shingle set — the classic
+    permutation-free MinHash family."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature and self-join on band buckets → candidate
+    (doc_a, doc_b) pairs. bands must divide num_hashes; more bands =
+    higher recall, lower precision."""
+    rows = num_hashes // bands
+    banded = signatures.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows + 1, rows).cast("string"),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def estimated_jaccard(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """MinHash Jaccard estimate for candidate pairs: fraction of equal
+    signature slots."""
+    sa = signatures.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+                / F.size("sig_a")
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → band →
+    bucket-join → estimate → threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return estimated_jaccard(sigs, pairs).where(F.col("est_jaccard") >= threshold)
+
+
+# -- SimHash ------------------------------------------------------------------
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes, reassembled into one long (near-dups differ in few
+    bits → Hamming distance)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(
+            F.col(f"b{i}") > 0,
+            F.lit(2**i if i < 63 else -(2**63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return votes.select("doc", acc.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (built-in on longs)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -59,11 +59,25 @@ def run_bronze(
     run_ts: datetime | None = None,
     batch_id: str | None = None,
 ) -> dict[str, Any]:
-    """Execute the quality gate; returns the exit-metrics payload
-    (NB_BRONZE:260-287 parity)."""
+    """Execute the quality gate on a CSV landing path; returns the
+    exit-metrics payload (NB_BRONZE:260-287 parity)."""
+    return run_bronze_on_df(
+        spark, store, read_claims_csv(spark, csv_path), run_ts, batch_id
+    )
+
+
+def run_bronze_on_df(
+    spark: SparkSession,
+    store: TableStore,
+    raw_df: DataFrame,
+    run_ts: datetime | None = None,
+    batch_id: str | None = None,
+) -> dict[str, Any]:
+    """The quality gate itself — shared by the batch runner and the
+    streaming foreachBatch twin (streaming/bronze_stream.py)."""
     batch_id = batch_id or str(uuid.uuid4())
 
-    raw = _lineage(read_claims_csv(spark, csv_path), run_ts, batch_id)
+    raw = _lineage(raw_df, run_ts, batch_id)
     # PERMISSIVE corrupt-column filters require materialization first
     # (Spark restriction); the reference caches here too for the
     # multi-branch fan-out (NB_BRONZE:193-196).

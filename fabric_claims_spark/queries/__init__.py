@@ -56,6 +56,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         incremental,
         text_docs,
         similarity,
+        lsh,
     )
 
     return REGISTRY

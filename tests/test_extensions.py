@@ -1,0 +1,157 @@
+"""Extension operator tests: MinHash-LSH, SimHash, similarity search,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.extensions.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_near_dups,
+    minhash_signatures,
+    simhash64,
+)
+from fabric_claims_spark.extensions.multimodal import (
+    decode_image_metadata,
+    frame_sample_plan,
+    wrap_as_media,
+)
+from fabric_claims_spark.extensions.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_search,
+)
+
+BASE = (
+    "spark shuffles data between stages using hash partitioning and "
+    "adaptive query execution tunes partition counts at runtime for "
+    "joins aggregations and window functions across the cluster"
+)
+NEAR = BASE.replace("cluster", "whole cluster")  # tiny edit → near-dup
+OTHER1 = (
+    "completely different content about medieval castles moats "
+    "drawbridges and the agrarian economy of feudal europe in the "
+    "twelfth century with knights and monasteries"
+)
+OTHER2 = (
+    "quantum error correction stabilizer codes and surface code "
+    "thresholds under realistic noise models for superconducting "
+    "qubit architectures"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER1), (3, OTHER2), (4, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_finds_identical(docs):
+    res = exact_dedup(docs, "doc_id", "text").collect()
+    copies = {r["canonical_id"]: r["copies"] for r in res}
+    assert copies[0] == 2  # doc 4 is an exact copy of doc 0
+    assert len(res) == 4
+
+
+def test_minhash_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # near-dup pair found
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # exact dup → 1.0
+    assert (0, 2) not in pairs and (2, 3) not in pairs  # unrelated
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=32).collect()
+    assert all(len(r["sig"]) == 32 for r in sig)
+
+
+def test_simhash_hamming(docs, spark):
+    sh = simhash64(docs, "doc_id", "text")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    dist = (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("da"),
+            F.col("b.doc").alias("db"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("ham"),
+        )
+        .collect()
+    )
+    d = {(r["da"], r["db"]): r["ham"] for r in dist}
+    assert d[(0, 4)] == 0  # identical docs → identical simhash
+    assert d[(0, 1)] < d[(0, 2)]  # near-dup closer than unrelated
+    assert d[(0, 1)] <= 8
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 well-separated clusters around axis directions
+    rows = []
+    for cid, base in [(0, (10.0, 0.0, 0.0)), (1, (0.0, 10.0, 0.0)), (2, (0.0, 0.0, 10.0))]:
+        for j in range(5):
+            vec = [base[0] + 0.1 * j, base[1] + 0.05 * j, base[2] + 0.02 * j]
+            rows.append((cid * 5 + j, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assign_recovers_clusters(vectors, spark):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "centroid_id long, cv array<float>",
+    )
+    got = {
+        r["vec_id"]: r["assigned_centroid"]
+        for r in ivf_assign(vectors, centroids, centroid_vec_col="cv").collect()
+    }
+    assert all(got[v] == v // 5 for v in got)
+
+
+def test_ivf_search_matches_bruteforce_in_bucket(vectors, spark):
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "centroid_id long, cv array<float>",
+    )
+    query = spark.createDataFrame([([10.0, 0.5, 0.0],)], "qv array<double>")
+    bf = brute_force_topk(vectors, query, k=3).collect()
+    ivf = ivf_search(vectors, centroids, query, k=3).collect()
+    assert [r["vec_id"] for r in bf] == [r["vec_id"] for r in ivf]
+    assert all(r["vec_id"] < 5 for r in bf)  # all from cluster 0
+
+
+def test_multimodal_decode_stub_deterministic(docs):
+    media = wrap_as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    meta1 = {r["media_id"]: r for r in decode_image_metadata(media).collect()}
+    meta2 = {r["media_id"]: r for r in decode_image_metadata(media).collect()}
+    assert meta1.keys() == meta2.keys()
+    for k in meta1:
+        assert (meta1[k]["width"], meta1[k]["height"]) == (
+            meta2[k]["width"],
+            meta2[k]["height"],
+        )
+        assert meta1[k]["n_bytes"] > 0
+        assert len(meta1[k]["sha256"]) == 64
+    # identical payloads → identical metadata (docs 0 and 4)
+    assert meta1[0]["sha256"] == meta1[4]["sha256"]
+
+
+def test_frame_sample_plan(docs):
+    media = wrap_as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "video",
+    )
+    frames = frame_sample_plan(media, every_n=30)
+    assert frames.count() >= media.count()  # ≥1 frame per asset
+    assert frames.where(F.col("frame_idx") % 30 != 0).count() == 0
