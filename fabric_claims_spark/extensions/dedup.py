@@ -47,10 +47,12 @@ def minhash_signatures(
     """(id, sig array<long>[num_hashes]): element i is
     min(xxhash64(shingle, i)) over the doc's shingle set — the classic
     permutation-free MinHash family."""
+    # No distinct: min() is idempotent under duplicate shingles, so the
+    # dedup shuffle would be pure overhead.
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
+    )
     mins = sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
@@ -128,7 +130,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → band →
     bucket-join → estimate → threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # Signatures feed both candidate generation and estimation — cache
+    # so the shingle scan + 64-way agg runs once (scan amortization,
+    # same pattern as the bronze fan-out).
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
     pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
     return estimated_jaccard(sigs, pairs).where(F.col("est_jaccard") >= threshold)
 

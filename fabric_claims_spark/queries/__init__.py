@@ -57,6 +57,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         text_docs,
         similarity,
         lsh,
+        kpi,
     )
 
     return REGISTRY

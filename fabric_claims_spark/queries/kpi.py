@@ -1,0 +1,123 @@
+"""Report-layer KPI queries (SURVEY.md §2.5 W4, §2.8 F4).
+
+W4 is the reference's KPI visual shape — a rate measure trended by
+month (RPT "Patients Demographics" kpi visuals); F4 is the retention
+stamping applied to every quarantine table (NB_BRONZE:97,126,171).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# W4 — KPI trend series: a DIVIDE-rate measure grouped by month
+# (Indicator = rate, TrendLine = Dates.Month).
+@query(
+    "kpi_monthly_fulfillment_trend",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS total_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS fulfilled_orders,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             / CAST(NULLIF(COUNT(*), 0) AS DOUBLE) AS fulfillment_rate
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def kpi_monthly_fulfillment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fulfilled = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        fulfilled.alias("fulfilled_orders"),
+        F.try_divide(fulfilled, F.count(F.lit(1)).cast("double")).alias(
+            "fulfillment_rate"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 — retention stamping: date_add from a fixed anchor per quarantine
+# class (the pipeline stamps current_date; the query pins the anchor
+# so the oracle is stable).
+@query(
+    "retention_stamps",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS retain_90,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 180 DAY AS DATE) AS retain_180,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 365 DAY AS DATE) AS retain_365
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def retention_stamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("retain_90"),
+        F.date_add(d, 180).alias("retain_180"),
+        F.date_add(d, 365).alias("retain_365"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap-based sessions over the event stream (lag +
+# cumulative session ids; the stateful-streaming twin would use
+# applyInPandasWithState, this is the batch/backfill form).
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+             CASE WHEN date_diff('second',
+                    LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(date_trunc('second', ts) AS TIMESTAMP)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM gaps)
+    SELECT user_id, session_id, COUNT(*) AS events_in_session
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts_s").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts_s").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    w_cum = Window.partitionBy("user_id").orderBy("ts_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(w_cum).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )

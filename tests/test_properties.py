@@ -1,0 +1,107 @@
+"""Property-based tests (SURVEY.md §5 item 4, hypothesis): split
+invariant, MERGE idempotency, merge-commutes-with-dedup."""
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.operators.dedup import dedup_latest
+from fabric_claims_spark.operators.quality import Rule, split_by_rules
+from fabric_claims_spark.sources.merge import TableStore
+
+# keyed rows: (key ∈ small space → collisions guaranteed, version, value)
+row_st = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=100),
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+)
+rows_st = st.lists(row_st, min_size=1, max_size=25)
+
+# few examples: each example runs real Spark jobs (seconds apiece);
+# the strategies are small enough that 5 examples still hit key
+# collisions, nulls, and multi-version keys
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, x) for k, v, x in rows], "k int, ver int, val string"
+    )
+
+
+@given(rows=rows_st)
+@settings(**_SETTINGS)
+def test_dedup_split_partition_invariant(spark, rows):
+    """survivors + duplicates == input, and survivors have the max
+    (ver, k)-order row per key."""
+    df = _df(spark, rows)
+    survivors, dupes = dedup_latest(
+        df, ["k"], [F.col("ver").desc(), F.col("val").asc_nulls_last()]
+    )
+    n, s, d = df.count(), survivors.count(), dupes.count()
+    assert n == s + d
+    assert s == df.select("k").distinct().count()
+    # every key's surviving version is its max version
+    max_ver = {r["k"]: r["mv"] for r in df.groupBy("k").agg(F.max("ver").alias("mv")).collect()}
+    for r in survivors.collect():
+        assert r["ver"] == max_ver[r["k"]]
+
+
+@given(rows=rows_st)
+@settings(**_SETTINGS)
+def test_rule_split_is_partition(spark, rows):
+    """DQ split: good ∪ bad == input, disjoint by construction."""
+    df = _df(spark, rows)
+    rules = [
+        Rule("high_ver", F.col("ver") > 50),
+        Rule("null_val", F.col("val").isNull()),
+    ]
+    good, bad = split_by_rules(df, rules)
+    assert good.count() + bad.count() == df.count()
+    assert good.where((F.col("ver") > 50) | F.col("val").isNull()).count() == 0
+
+
+@given(rows=rows_st)
+@settings(**_SETTINGS)
+def test_merge_idempotent_property(spark, tmp_path_factory, rows):
+    """merge(b); merge(b) ≡ merge(b) — second pass reports 0/0."""
+    store = TableStore(spark, str(tmp_path_factory.mktemp("wh")))
+    batch, _ = dedup_latest(
+        _df(spark, rows), ["k"], [F.col("ver").desc(), F.col("val").asc_nulls_last()]
+    )
+    store.merge("t", batch, keys=["k"])
+    after_first = sorted((r["k"], r["ver"]) for r in store.read("t").collect())
+    stats = store.merge("t", batch, keys=["k"])
+    assert (stats.inserted, stats.updated) == (0, 0)
+    assert sorted((r["k"], r["ver"]) for r in store.read("t").collect()) == after_first
+
+
+@given(rows=rows_st)
+@settings(**_SETTINGS)
+def test_upsert_commutes_with_dedup(spark, tmp_path_factory, rows):
+    """Merging latest-per-key once ≡ merging each version in ver order
+    (final state, for keyed rows)."""
+    df = _df(spark, rows)
+    latest, _ = dedup_latest(
+        df, ["k"], [F.col("ver").desc(), F.col("val").asc_nulls_last()]
+    )
+    s1 = TableStore(spark, str(tmp_path_factory.mktemp("wh1")))
+    s1.merge("t", latest, keys=["k"])
+    want = sorted(map(tuple, s1.read("t").collect()))
+
+    s2 = TableStore(spark, str(tmp_path_factory.mktemp("wh2")))
+    versions = sorted({v for _, v, _ in rows})
+    for v in versions:
+        batch, _ = dedup_latest(
+            df.where(F.col("ver") == v),
+            ["k"],
+            [F.col("ver").desc(), F.col("val").asc_nulls_last()],
+        )
+        s2.merge("t", batch, keys=["k"])
+    got = sorted(map(tuple, s2.read("t").collect()))
+    assert got == want
