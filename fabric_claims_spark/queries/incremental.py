@@ -129,9 +129,21 @@ def state_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def incremental_slice_after_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    import datetime as _dt
+    import os
+
+    # Filter in the SOURCE domain: events.ts is raw int64 nanoseconds
+    # on disk (see load_table), and a predicate on the converted
+    # timestamp cannot push past the conversion expression. Comparing
+    # the raw long pushes to the parquet scan (row-group pruning at
+    # scale); the µs conversion happens after the filter.
+    wm_ns = int(
+        _dt.datetime(2024, 1, 25, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000_000
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
-        e.where(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        raw.where(F.col("ts") > F.lit(wm_ns))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("new_events"),

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties we rely on
+must survive refactors — broadcasts stay broadcasts, filters stay
+pushed, scans stay pruned (SURVEY.md §4)."""
+
+import pytest
+
+from fabric_claims_spark.operators.joins import (
+    salted_groupby_count,
+    salted_join_skewed_left,
+)
+from fabric_claims_spark.queries import load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all_queries()
+
+
+def _plan(spark, df, mode="simple"):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    plan = _plan(spark, registry["star_revenue_by_region_year"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, registry):
+    plan = _plan(spark, registry["pricing_summary"].fn(spark, SF), "formatted")
+    # the to_date(ts) <= date predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: l_orderkey etc. must NOT be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_knn_is_take_ordered_not_global_sort(spark, registry):
+    plan = _plan(spark, registry["embeddings_knn_bruteforce"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_slice_pushes_timestamp_filter(spark, registry):
+    plan = _plan(
+        spark, registry["incremental_slice_after_watermark"].fn(spark, SF), "formatted"
+    )
+    assert "PushedFilters" in plan and "GreaterThan(ts" in plan
+
+
+def test_salted_groupby_matches_plain(spark):
+    df = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 100 < 90 THEN 'hot' ELSE concat('k', id % 7) END AS k"
+    )
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {r["k"]: r["count"] for r in salted_groupby_count(df, ["k"]).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k", "id AS v"
+    )
+    right = spark.range(0, 50).selectExpr("id AS k", "id * 10 AS w")
+    plain = left.join(right, "k").count()
+    salted = salted_join_skewed_left(left, right, "k").count()
+    assert salted == plain
