@@ -52,7 +52,11 @@ class ClaimsRunner:
         )
         if not gate.should_run:
             return {"status": "Skipped", "reason": "no new source data", **vars(gate)}
-        result = run_bronze(self.spark, self.bronze, csv_path, run_ts=self._clock())
+        run_ts = self._clock()
+        result = run_bronze(self.spark, self.bronze, csv_path, run_ts=run_ts)
+        # Ingest-lineage watermark: the IngestedAt stamp this bronze run
+        # used — silver's incremental slice filters on it.
+        self.watermarks.write("bronze_ingest", ts=run_ts)
         # Commit AFTER success (I3). The watermark records the upstream
         # version processed (source mtime), NOT wall clock — the
         # reference stamps now() (NB_BRONZE_WM:39-40), which silently
@@ -60,16 +64,34 @@ class ClaimsRunner:
         self.watermarks.write(wmgate.BRONZE, ts=gate.upstream_ts)
         return result
 
-    def run_silver(self) -> dict[str, Any]:
+    def run_silver(self, incremental: bool = False) -> dict[str, Any]:
         gate = wmgate.evaluate_gate(
             self.watermarks, wmgate.SILVER, self.watermarks.read(wmgate.BRONZE)
         )
         if not gate.should_run:
             return {"status": "Skipped", "reason": "bronze not newer", **vars(gate)}
+        since = None
+        if incremental:
+            # Conform only rows bronze ingested after the last silver
+            # pass (epoch on first run → full build).
+            from datetime import datetime as _dt
+
+            stored = self.watermarks.read("silver_ingest")
+            since = _dt.strptime(stored, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=timezone.utc
+            )
         result = run_silver(
-            self.spark, self.bronze, self.silver, run_ts=self._clock()
+            self.spark,
+            self.bronze,
+            self.silver,
+            run_ts=self._clock(),
+            incremental_since=since,
         )
         self.watermarks.write(wmgate.SILVER, ts=gate.upstream_ts)
+        if incremental:
+            self.watermarks.write(
+                "silver_ingest", ts=self.watermarks.read("bronze_ingest")
+            )
         return result
 
     def run_gold(self) -> dict[str, Any]:
@@ -105,11 +127,11 @@ class ClaimsRunner:
         return result
 
     # -- master -------------------------------------------------------------
-    def run_all(self, csv_path: str) -> dict[str, Any]:
+    def run_all(self, csv_path: str, incremental_silver: bool = False) -> dict[str, Any]:
         """PL_MASTER:4-101 — three sequential invokes, each waiting on
         the previous."""
         return {
             "bronze": self.run_bronze(csv_path),
-            "silver": self.run_silver(),
+            "silver": self.run_silver(incremental=incremental_silver),
             "gold": self.run_gold(),
         }

@@ -53,14 +53,26 @@ def run_silver(
     salt: str = DEFAULT_SALT,
     run_ts: datetime | None = None,
     batch_id: str | None = None,
+    incremental_since: datetime | None = None,
 ) -> dict[str, Any]:
+    """Full rebuild (reference behavior: dims overwritten,
+    NB_SILVER:218-228) or, with ``incremental_since``, a delta pass:
+    only bronze rows with ``IngestedAt > since`` are conformed, and
+    dims MERGE instead of overwrite. At 100 TB the incremental path is
+    the only viable one — the full path rescans the entire clean table
+    every run. The filter on IngestedAt pushes to the scan."""
     if not bronze_store.exists(CLEAN_TABLE):
         # Fail-fast existence check (NB_SILVER:67-68).
         raise FileNotFoundError(f"bronze table {CLEAN_TABLE} not found")
 
     run_ts = run_ts or datetime.now(timezone.utc)
     batch_id = batch_id or str(uuid.uuid4())
-    claims = bronze_store.read(CLEAN_TABLE).cache()
+    claims = bronze_store.read(CLEAN_TABLE)
+    if incremental_since is not None:
+        claims = claims.where(
+            F.col("IngestedAt") > F.lit(incremental_since).cast("timestamp")
+        )
+    claims = claims.cache()
 
     dim_patients = _audit_cols(
         claims.select(
@@ -105,10 +117,49 @@ def run_silver(
         batch_id,
     )
 
-    silver_store.overwrite(DIM_PATIENTS, dim_patients)
-    silver_store.overwrite(DIM_PROVIDERS, dim_providers)
-    silver_store.overwrite(DIM_DATES, dim_dates)
-    fact_stats = silver_store.merge(FACT_CLAIMS, fact_claims, keys=["ClaimID"])
+    if incremental_since is not None:
+        # Delta pass: dims merge-by-key — change detection restricted
+        # to business attributes so audit stamps don't rewrite
+        # unchanged members; the bounded date spine is static.
+        silver_store.merge(
+            DIM_PATIENTS,
+            dim_patients,
+            keys=["PatientID"],
+            compare_cols=[
+                "PatientAge",
+                "PatientGender",
+                "PatientMaritalStatus",
+                "PatientEmploymentStatus",
+            ],
+        )
+        silver_store.merge(
+            DIM_PROVIDERS,
+            dim_providers,
+            keys=["ProviderID"],
+            compare_cols=["ProviderSpecialty", "ProviderLocation"],
+        )
+        if not silver_store.exists(DIM_DATES):
+            silver_store.overwrite(DIM_DATES, dim_dates)
+    else:
+        silver_store.overwrite(DIM_PATIENTS, dim_patients)
+        silver_store.overwrite(DIM_PROVIDERS, dim_providers)
+        silver_store.overwrite(DIM_DATES, dim_dates)
+    fact_stats = silver_store.merge(
+        FACT_CLAIMS,
+        fact_claims,
+        keys=["ClaimID"],
+        compare_cols=[
+            "PatientID",
+            "ProviderID",
+            "ClaimDate",
+            "ClaimAmount",
+            "DiagnosisCode",
+            "ProcedureCode",
+            "ClaimStatus",
+            "ClaimType",
+            "ClaimSubmissionMethod",
+        ],
+    )
 
     metrics = {
         "dim_patients": silver_store.read(DIM_PATIENTS).count(),

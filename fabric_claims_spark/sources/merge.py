@@ -123,12 +123,16 @@ class TableStore:
         source: DataFrame,
         keys: list[str],
         update_only_changed: bool = True,
+        compare_cols: list[str] | None = None,
     ) -> MergeStats:
         """S10/J2/J3/P10 — MERGE upsert keyed on ``keys``.
 
         ``update_only_changed`` reproduces the SP's no-op-update
         elimination: a matched row is rewritten only when some non-key
         column differs null-safely (sp_upsert_claims.sql:19-20).
+        ``compare_cols`` restricts that diff to business columns so
+        run-metadata stamps (ModifiedDate, ProcessBatchID) don't force
+        rewrites of semantically-unchanged rows.
         """
         if not self.exists(name):
             self._write_new(name, source)
@@ -136,7 +140,11 @@ class TableStore:
             return MergeStats(inserted=n, updated=0)
 
         target = self.read(name)
-        non_keys = [c for c in source.columns if c not in keys]
+        non_keys = [
+            c
+            for c in (compare_cols if compare_cols is not None else source.columns)
+            if c not in keys
+        ]
 
         if self.use_delta:
             cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
@@ -173,11 +181,27 @@ class TableStore:
         else:
             updated = source.count() - inserted
 
-        # Source wins for every matched key (idempotent; unchanged rows
-        # produce identical bytes), target-only rows survive.
-        merged = target.join(source.select(keys), keys, "left_anti").unionByName(
-            source
-        )
+        if update_only_changed and compare_cols is not None and non_keys:
+            # Keep the target version of matched-but-unchanged rows
+            # (preserves CreatedDate-style stamps); source wins only
+            # for rows whose business columns drifted.
+            changed_keys = (
+                t.join(s, key_cond, "inner").where(diff).select([f"t.{k}" for k in keys])
+            )
+            winners = source.join(
+                target.select(keys).exceptAll(changed_keys.toDF(*keys)),
+                keys,
+                "left_anti",
+            )
+            merged = target.join(
+                winners.select(keys), keys, "left_anti"
+            ).unionByName(winners)
+        else:
+            # Source wins for every matched key (idempotent; unchanged
+            # rows produce identical bytes), target-only rows survive.
+            merged = target.join(source.select(keys), keys, "left_anti").unionByName(
+                source
+            )
         self._commit_version(name, merged)
         return MergeStats(inserted=inserted, updated=updated)
 
