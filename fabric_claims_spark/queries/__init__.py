@@ -58,6 +58,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         similarity,
         lsh,
         kpi,
+        stats,
     )
 
     return REGISTRY

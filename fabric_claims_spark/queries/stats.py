@@ -1,0 +1,110 @@
+"""Statistical / reshaping operators: pivot, exact percentiles,
+moment-based variance.
+
+Variance/stddev deliberately avoid the engines' native aggregates
+(Welford accumulation is partition-order-dependent in floating
+point); instead the moments Σx and Σx² are exact decimal sums and the
+final formula is a handful of deterministic double ops — the same
+trick the rest of the catalog uses for money sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# Pivot — long→wide reshape (report matrix visual shape). Column names
+# must match the oracle's conditional-aggregate aliases.
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(ROUND(SUM(CASE WHEN o_orderstatus='F'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS F,
+      CAST(ROUND(SUM(CASE WHEN o_orderstatus='O'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS O,
+      CAST(ROUND(SUM(CASE WHEN o_orderstatus='P'
+            THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(money("o_totalprice")), 4).cast("double"))
+    )
+    return pivoted
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles — sort-based with linear interpolation (same
+# formula in both engines: rank = (n-1)*p).
+@query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Moment-based stats: mean / population variance / stddev from exact
+# decimal Σx, Σx² (deterministic under any partitioning).
+@query(
+    "order_value_stats",
+    oracle="""
+    WITH m AS (
+      -- DECIMAL(19,4): 18-digit decimals multiply in int64 in DuckDB
+      -- and overflow; 19 digits forces int128. Σx² rounds to integer
+      -- before the double cast so the scaled value stays under 2^53
+      -- (DuckDB's decimal→double cast is not correctly rounded).
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,4))), 4) AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                      * CAST(o_totalprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS sxx
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n,
+           ROUND(sx / n, 4) AS mean_value,
+           ROUND(sxx / n - (sx / n) * (sx / n), 2) AS var_pop,
+           ROUND(sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS stddev_pop
+    FROM m
+    """,
+)
+def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    moments = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(money("o_totalprice")), 4).cast("double").alias("sx"),
+        F.round(F.sum(money("o_totalprice") * money("o_totalprice")), 0)
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    return moments.select(
+        "o_orderstatus",
+        "n",
+        F.round(mean, 4).alias("mean_value"),
+        F.round(var, 2).alias("var_pop"),
+        F.round(F.sqrt(var), 4).alias("stddev_pop"),
+    )
