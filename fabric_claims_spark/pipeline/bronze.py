@@ -23,11 +23,14 @@ import uuid
 from datetime import datetime
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fabric_claims_spark.operators.dedup import dedup_latest
-from fabric_claims_spark.operators.quality import claims_rules, split_by_rules
+from fabric_claims_spark.operators.quality import (
+    REASON_COL,
+    claims_rules,
+    with_reasons,
+)
 from fabric_claims_spark.schemas import CORRUPT_COL
 from fabric_claims_spark.sources.csv import read_claims_csv
 from fabric_claims_spark.sources.merge import TableStore
@@ -77,7 +80,10 @@ def run_bronze_on_df(
     streaming foreachBatch twin (streaming/bronze_stream.py)."""
     batch_id = batch_id or str(uuid.uuid4())
 
-    raw = _lineage(raw_df, run_ts, batch_id)
+    # A single landing CSV parses into very few input partitions;
+    # redistribute once so the window/regex passes use every core.
+    parallelism = spark.sparkContext.defaultParallelism
+    raw = _lineage(raw_df, run_ts, batch_id).repartition(parallelism)
     # PERMISSIVE corrupt-column filters require materialization first
     # (Spark restriction); the reference caches here too for the
     # multi-branch fan-out (NB_BRONZE:193-196).
@@ -91,21 +97,35 @@ def run_bronze_on_df(
     )
     clean_shape = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
-    survivors, dupes = dedup_latest(
-        clean_shape,
-        keys=["ClaimID"],
+    # Evaluate the dedup window AND the 9-rule reason array in ONE
+    # tagged projection, then cache it: each downstream branch (dupes /
+    # bad / good) is a cheap filter of the cached rows instead of
+    # re-running the shuffle + regex per branch (the reference fans out
+    # filters from the raw cache and pays the window twice per sink).
+    w_rank = Window.partitionBy("ClaimID").orderBy(
         # ClaimDate desc, deterministic tie-breakers (risk-register fix
         # for the reference's date-only ordering).
-        order_by=[
-            F.col("ClaimDate").desc_nulls_last(),
-            F.col("IngestedAt").desc_nulls_last(),
-            F.col("PatientID").asc_nulls_last(),
-        ],
+        F.col("ClaimDate").desc_nulls_last(),
+        F.col("IngestedAt").desc_nulls_last(),
+        F.col("PatientID").asc_nulls_last(),
     )
-    dupes = dupes.withColumn("RetentionDate", retention(RETENTION["dupes"]))
+    tagged = with_reasons(
+        clean_shape.withColumn("_rn", F.row_number().over(w_rank)), claims_rules()
+    ).cache()
 
-    good, bad = split_by_rules(survivors, claims_rules())
-    bad = bad.withColumn("RetentionDate", retention(RETENTION["bad"]))
+    dupes = (
+        tagged.where(F.col("_rn") > 1)
+        .drop("_rn", REASON_COL, "_has_violation")
+        .withColumn("RetentionDate", retention(RETENTION["dupes"]))
+    )
+    bad = (
+        tagged.where((F.col("_rn") == 1) & F.col("_has_violation"))
+        .drop("_rn", "_has_violation")
+        .withColumn("RetentionDate", retention(RETENTION["bad"]))
+    )
+    good = tagged.where((F.col("_rn") == 1) & ~F.col("_has_violation")).drop(
+        "_rn", REASON_COL, "_has_violation"
+    )
 
     counts = {
         "malformed": malformed.count(),
@@ -119,6 +139,7 @@ def run_bronze_on_df(
     store.append(BAD_TABLE, bad)
     merge_stats = store.merge(CLEAN_TABLE, good, keys=["ClaimID"])
 
+    tagged.unpersist()
     raw.unpersist()
     return {
         "status": "Succeeded",

@@ -55,6 +55,12 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # local mode: driver == executors; the 1g default heap GC-
+        # thrashes on wide windows/caches. Only applies at JVM launch
+        # (ignored if a session already exists).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g")
+        )
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or int(cpus))
     if extra_conf:
