@@ -137,7 +137,18 @@ def run_bronze_on_df(
     store.append(MALFORMED_TABLE, malformed)
     store.append(DUPES_TABLE, dupes)
     store.append(BAD_TABLE, bad)
-    merge_stats = store.merge(CLEAN_TABLE, good, keys=["ClaimID"])
+    # Change detection scoped to business columns: an identical
+    # re-delivery keeps the original lineage stamps (first-seen
+    # IngestedAt survives, updated=0, and silver's incremental slice
+    # stays empty) while genuinely-changed rows still update.
+    business_cols = [
+        c
+        for c in good.columns
+        if c not in ("IngestedAt", "SourceFile", "ProcessBatchID")
+    ]
+    merge_stats = store.merge(
+        CLEAN_TABLE, good, keys=["ClaimID"], compare_cols=business_cols
+    )
 
     tagged.unpersist()
     raw.unpersist()

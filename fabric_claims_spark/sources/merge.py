@@ -164,45 +164,44 @@ class TableStore:
                 updated=int(hist.get("numTargetRowsUpdated", 0)),
             )
 
-        # --- parquet fallback: merged = target⟕source resolution ---------
-        t = target.alias("t")
-        s = source.alias("s")
+        # --- parquet fallback: ONE full-outer join resolves the merge ----
+        # (what Delta's MERGE does physically): target-only rows pass
+        # through, matched-but-unchanged keep the target version
+        # (preserves CreatedDate-style stamps), matched-and-changed and
+        # source-only rows take the source version. Counts come from
+        # the same cached join — no extra count-joins.
+        t = target.withColumn("_t", F.lit(True)).alias("t")
+        s = source.withColumn("_s", F.lit(True)).alias("s")
         key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        j = t.join(s, key_cond, "full_outer").cache()
 
-        inserted = source.join(target.select(keys), keys, "left_anti").count()
+        t_present = F.col("t._t").isNotNull()
+        s_present = F.col("s._s").isNotNull()
         if update_only_changed and non_keys:
-            diff = None
+            diff = F.lit(False)
             for c in non_keys:
-                d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
-                diff = d if diff is None else (diff | d)
-            updated = (
-                t.join(s, key_cond, "inner").where(diff).count()
-            )
+                diff = diff | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
         else:
-            updated = source.count() - inserted
+            diff = F.lit(True)
 
-        if update_only_changed and compare_cols is not None and non_keys:
-            # Keep the target version of matched-but-unchanged rows
-            # (preserves CreatedDate-style stamps); source wins only
-            # for rows whose business columns drifted.
-            changed_keys = (
-                t.join(s, key_cond, "inner").where(diff).select([f"t.{k}" for k in keys])
-            )
-            winners = source.join(
-                target.select(keys).exceptAll(changed_keys.toDF(*keys)),
-                keys,
-                "left_anti",
-            )
-            merged = target.join(
-                winners.select(keys), keys, "left_anti"
-            ).unionByName(winners)
-        else:
-            # Source wins for every matched key (idempotent; unchanged
-            # rows produce identical bytes), target-only rows survive.
-            merged = target.join(source.select(keys), keys, "left_anti").unionByName(
-                source
-            )
+        counts = j.agg(
+            F.sum((s_present & ~t_present).cast("long")).alias("ins"),
+            F.sum((s_present & t_present & diff).cast("long")).alias("upd"),
+        ).first()
+        inserted, updated = int(counts["ins"] or 0), int(counts["upd"] or 0)
+
+        take_source = s_present & (~t_present | diff)
+        out_cols = [
+            F.when(take_source, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            if c not in keys
+            else F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in source.columns
+        ]
+        merged = j.select(out_cols)
         self._commit_version(name, merged)
+        j.unpersist()
         return MergeStats(inserted=inserted, updated=updated)
 
     # -- internals ----------------------------------------------------------
