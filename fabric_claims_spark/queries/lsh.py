@@ -9,7 +9,6 @@ tests/test_extensions.py (planted near-dups found, Hamming ordering).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from fabric_claims_spark.extensions.dedup import (
     minhash_near_dups,

@@ -394,6 +394,64 @@ def change_detection_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A12 over the part dimension: min/max aggregates (exact on doubles —
+# no accumulation, order-independent).
+@query(
+    "part_brand_stats",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS part_count,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS distinct_types,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price,
+           CAST(MIN(p_size) AS BIGINT) AS min_size,
+           CAST(MAX(p_size) AS BIGINT) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("part_count"),
+        F.countDistinct("p_type").alias("distinct_types"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.min("p_size").cast("long").alias("min_size"),
+        F.max("p_size").cast("long").alias("max_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 on the supplier leg of the schema: supplier→nation→region rollup
+# with broadcast dims (exact decimal balance sums).
+@query(
+    "supplier_balance_by_region",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS suppliers,
+           CAST(ROUND(SUM(CAST(s.s_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def supplier_balance_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("suppliers"),
+            dsum(money("s_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # F5 — salted SHA-256 pseudonymization (NB_SILVER:163-168, salt :51).
 @query(
     "pseudonymize_customers",

@@ -129,6 +129,33 @@ def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label keeps the pair space linear-ish, the LSH variant in
 # extensions/dedup.py removes the need for labels).
 @query(
+    "embeddings_normalize",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm,
+           list_transform(embedding::DOUBLE[],
+             x -> ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6))
+             AS unit_vec
+    FROM embeddings
+    """,
+)
+def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization projection (the prep step that turns cosine
+    into a plain dot product, letting the IVF/topk stages skip per-row
+    norms). Pure HOF transform — no shuffle, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = _as_double("embedding")
+    norm = F.sqrt(_dot(ev, ev))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.transform(ev, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+    )
+
+
+@query(
     "embeddings_neardup_pairs",
     oracle="""
     SELECT * FROM (
