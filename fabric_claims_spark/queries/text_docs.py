@@ -206,63 +206,62 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N-gram Jaccard near-dup: token-set overlap within (lang, source)
-# blocks. Blocking bounds the pair space (the 100 TB version blocks by
-# MinHash-LSH band instead — see extensions/dedup.py); the join is a
-# shuffle on token, never a cross join.
+# N-gram Jaccard near-dup: token-SET arrays compared pairwise within
+# (lang, source) blocks — one doc-level self-join on the block key and
+# a JVM-side array_intersect per pair, instead of exploding tokens
+# into a token-keyed shuffle (~50× fewer join rows). Blocking bounds
+# the pair space; the 100 TB version blocks by MinHash-LSH band
+# instead (extensions/dedup.py).
 @query(
     "docs_jaccard_pairs",
     oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, lang, source,
-             UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
-      FROM documents WHERE length(trim(text)) > 0),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM tok a JOIN tok b
-        ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
-       AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.n_inter) >= 0.8
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT * FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.8
     """,
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim(F.col("text"))) > 0)
-    tok = d.select(
+    t = d.select(
         "doc_id",
         "lang",
         "source",
-        F.explode(F.split(F.trim(F.col("text")), _WS)).alias("token"),
-    ).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        F.array_distinct(F.split(F.trim(F.col("text")), _WS)).alias("toks"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_inter").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter")
+    t = t.withColumn("n", F.size("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / (
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    )
+    # Size prefilter: jaccard ≥ τ ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ τ
+    # (|A∩B| ≤ min, |A∪B| ≥ max), so mismatched-size pairs prune
+    # BEFORE the O(|A|+|B|) intersect. Result-identical to the oracle.
+    size_ok = (F.col("a.n") * 10 >= F.col("b.n") * 8) & (
+        F.col("b.n") * 10 >= F.col("a.n") * 8
     )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
         .where(F.col("jaccard") >= 0.8)
     )
 
