@@ -1,0 +1,167 @@
+"""Event-stream processors: watermarked tumbling windows and a custom
+stateful operator (SURVEY.md §2.9 — the built-ins the reference's
+hand-rolled protocol never needed, provided for stream-shaped data).
+
+Both run with Trigger.AvailableNow over a file source, so the same
+code serves batch backfill and continuous operation; the checkpoint
+carries watermark + operator state across restarts.
+
+events.ts is TIMESTAMP(NANOS) parquet (Spark-illegal): the stream
+reads it as long (nanosAsLong) and converts after the scan, same as
+the batch path in sources/parquet.load_table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_LONG_TS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("event_ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "hourly_counts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the streaming twin of
+    the batch ``events_hourly_tumbling`` query): 1-hour windows, late
+    events beyond 2 hours dropped by the watermark. Returns the final
+    result as a DataFrame read from the in-memory sink."""
+    stream = _read_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("event_ts", "2 hours")
+        .groupBy(F.window("event_ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(query_name)
+
+
+_STATE_SCHEMA = "last_ts timestamp, n long, total double"
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("events_seen", LongType()),
+        StructField("value_total", DoubleType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def running_user_totals_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_totals",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value total, state carried in the checkpoint
+    across micro-batches AND across restarts (the arbitrary-stateful
+    path the built-in aggregations can't express — e.g. decaying
+    counters, session machines)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n, total = state.get
+        else:
+            last_ts, n, total = None, 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["event_ts"].max()
+            last_ts = mx if last_ts is None or mx > last_ts else last_ts
+        state.update((last_ts, n, float(round(total, 4))))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [n],
+                "value_total": [float(round(total, 4))],
+                "last_seen": [last_ts],
+            }
+        )
+
+    stream = _read_events_stream(spark, events_dir).select(
+        "user_id", "event_ts", "value"
+    )
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # foreachBatch sink (the memory sink cannot recover from a
+    # checkpoint); the per-batch update rows collapse latest-per-user.
+    latest: dict[int, tuple] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (
+                r["user_id"],
+                r["events_seen"],
+                r["value_total"],
+                r["last_seen"],
+            )
+
+    (
+        result.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.createDataFrame(list(latest.values()), _OUTPUT_SCHEMA)

@@ -1,0 +1,69 @@
+"""Watermarked window aggregation + applyInPandasWithState custom
+stateful operator: results match batch, state survives restarts."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import load_all_queries
+from fabric_claims_spark.streaming.events_stream import (
+    hourly_counts_stream,
+    running_user_totals_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Stream source dir seeded with the sf0.001 events file."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "batch1.parquet")
+    return d
+
+
+def test_hourly_window_matches_batch(spark, events_dir, tmp_path):
+    got = hourly_counts_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt"), query_name="t_hourly"
+    )
+    batch = load_all_queries()["events_hourly_tumbling"].fn(spark, SF)
+    g = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+        for r in batch.collect()
+    }
+    assert g == b
+
+
+def test_stateful_user_totals_across_restarts(spark, events_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt_state")
+    got1 = running_user_totals_stream(
+        spark, str(events_dir), ckpt, query_name="t_totals1"
+    ).collect()
+    events = spark.read.parquet(str(events_dir))
+    want = {
+        r["user_id"]: (r["n"], round(r["tot"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    g1 = {r["user_id"]: (r["events_seen"], round(r["value_total"], 4)) for r in got1}
+    assert set(g1) == set(want)
+    for u in want:
+        assert g1[u][0] == want[u][0]
+        assert abs(g1[u][1] - want[u][1]) < 0.01
+
+    # restart with a second file: state resumes from the checkpoint —
+    # counts ACCUMULATE over batch1 + batch2 rather than starting over
+    shutil.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    got2 = running_user_totals_stream(
+        spark, str(events_dir), ckpt, query_name="t_totals2"
+    ).collect()
+    g2 = {r["user_id"]: r["events_seen"] for r in got2}
+    for u in g2:
+        assert g2[u] == 2 * want[u][0]
