@@ -127,18 +127,45 @@ def duplicate_orders_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # J1 — left-anti equi-join (NB_BRONZE:182: subtract DQ-failed rows).
 @query(
-    "customers_without_orders",
+    "customers_without_urgent_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-join — the EXISTS complement of J1 (not in the reference, which
+# only uses anti; included for the complete join family).
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
     )
 
 
