@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.operators.joins import asof_join_backward
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import dsum, money
 from fabric_claims_spark.sources.parquet import load_table
@@ -112,6 +113,32 @@ def state_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("second", F.col("ts")).alias("last_ts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# As-of (backward) join — the custom temporal operator Spark lacks
+# natively (operators/joins.asof_join_backward: union + carry-forward
+# window, one shuffle, no range explosion). For every view event, the
+# user's most recent purchase value at-or-before that moment.
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+    SELECT v.event_id, v.user_id, p.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        views, purchases, key="user_id", ts="ts", right_value_cols=["value"]
+    )
+    return joined.select("event_id", "user_id", F.col("asof_value"))
 
 
 # --------------------------------------------------------------------------
