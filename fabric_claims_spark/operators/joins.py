@@ -96,6 +96,39 @@ def asof_join_backward(
     )
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval join (left.val BETWEEN right.lo AND right.hi) without
+    the O(n×m) broadcast-nested-loop Spark would otherwise plan:
+    bucketize the value domain, explode each right interval over the
+    buckets it covers, equi-join on bucket, then re-check the exact
+    predicate. Shuffle cost ~ rows × intervals-per-bucket instead of
+    the full cross product. Pick ``bucket_width`` near the median
+    interval length.
+    """
+    lb = left.withColumn("_b", F.floor(F.col(left_val) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor(F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "_b")
+        .where(F.col(left_val).between(F.col(right_lo), F.col(right_hi)))
+        .drop("_b")
+    )
+
+
 def salted_join_skewed_left(
     left: DataFrame,
     right: DataFrame,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.queries import query
-from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.queries._util import dsum, money
 from fabric_claims_spark.sources.parquet import load_table
 
 
@@ -42,6 +42,77 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(money("o_totalprice")), 4).cast("double"))
     )
     return pivoted
+
+
+# --------------------------------------------------------------------------
+# Unpivot — wide→long reshape (the pivot inverse; Spark df.unpivot /
+# melt). Status-count columns fold back into (status, n) rows.
+@query(
+    "unpivot_status_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, n
+    FROM wide UNPIVOT (n FOR status IN (F, O, P))
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join — value-in-interval matching via the bucketized operator
+# (operators/joins.range_join_bucketed): order values classified into
+# price bands defined as an interval table.
+@query(
+    "orders_price_band_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low',    0.0,      100000.0),
+      ('mid',    100000.0, 300000.0),
+      ('high',   300000.0, 600000.0))
+    SELECT b.band, COUNT(*) AS orders_in_band,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS band_total
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.joins import range_join_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 600000.0)],
+        "band string, lo double, hi double",
+    )
+    # half-open intervals: shrink hi by epsilon is wrong for doubles —
+    # re-check with the exact predicate instead
+    joined = range_join_bucketed(
+        o, bands, left_val="o_totalprice", right_lo="lo", right_hi="hi",
+        bucket_width=50000.0,
+    ).where(F.col("o_totalprice") < F.col("hi"))
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("orders_in_band"),
+        dsum(money("o_totalprice")).alias("band_total"),
+    )
 
 
 # --------------------------------------------------------------------------
