@@ -337,6 +337,65 @@ def rollup_revenue_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A12 ext — cube: all grouping-set combinations (rollup's superset)
+# for cross-dim report matrices.
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS order_count
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/lead — inter-event gap analysis (complements W1's row_number:
+# the offset-window family).
+@query(
+    "customer_order_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders)
+    SELECT o_custkey,
+           COUNT(gap_days) AS gap_count,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps GROUP BY o_custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("gap_count"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.sum("gap_days").cast("long").alias("total_gap_days"),
+    )
+
+
+# --------------------------------------------------------------------------
 # O-family — deterministic top-k per group (report "top N" pattern;
 # rank window + filter, no global sort).
 @query(

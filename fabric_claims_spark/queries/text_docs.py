@@ -87,6 +87,29 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token estimate: word pieces (<=4 chars) + digit runs +
+# punctuation islands — a deterministic tokenizer-cost proxy
+# (extensions/text.bpe_ish_token_count).
+@query(
+    "docs_bpe_token_estimate",
+    oracle="""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]')) )
+                AS BIGINT) AS bpe_ish_tokens,
+           COUNT(*) AS docs
+    FROM documents GROUP BY source
+    """,
+)
+def docs_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.regexp_count("text", F.lit(r"[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]"))
+    return d.groupBy("source").agg(
+        F.sum(tok).cast("long").alias("bpe_ish_tokens"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality scoring: length / alpha-ratio / whitespace-ratio / stopword
 # presence, per document (heuristic quality filter for training data).
 @query(
