@@ -138,6 +138,93 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ntile — equal-frequency bucketing under a total deterministic order.
+@query(
+    "order_value_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT o_totalprice,
+             CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS quartile
+      FROM orders)
+    SELECT quartile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM q GROUP BY quartile
+    """,
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # partitionless window is bounded here by the single ntile pass
+    # over orders — at fact scale use percentile buckets instead
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    q = o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate variants (HLL distinct, t-digest-style quantiles) — the
+# scale substitutes offered beside every exact aggregate. Sketch
+# internals differ across engines, so this registers rows-only; the
+# companion exact queries above are the oracle-checked twins.
+@query("approx_aggregates", oracle=None)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_unique_customers"),
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("o_totalprice", 0.99).alias("approx_p99_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session_window (batch form): gap-based sessions as a built-in
+# grouping — the windowing twin of the lag/cumsum sessionization query
+# (second-truncated timestamps; a new session opens at gap >= 30 min,
+# matching session_window's half-open [start, end+gap) semantics).
+@query(
+    "events_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+             CASE WHEN LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR date_diff('second',
+                       LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       CAST(date_trunc('second', ts) AS TIMESTAMP)) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts_s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, MIN(ts_s) AS session_start, COUNT(*) AS events_in_session
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    return (
+        e.groupBy(F.session_window("ts_s", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "events_in_session",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Moment-based stats: mean / population variance / stddev from exact
 # decimal Σx, Σx² (deterministic under any partitioning).
 @query(
