@@ -37,21 +37,36 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
 
 
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Overlapping word k-grams (token windows joined with a space) —
+    coarser than char shingles; preferred when token-level edits are
+    the expected noise."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(k))),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
     k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]): element i is
     min(xxhash64(shingle, i)) over the doc's shingle set — the classic
-    permutation-free MinHash family."""
+    permutation-free MinHash family. ``shingle_unit``: 'char' | 'word'.
+    """
+    shingler = char_shingles if shingle_unit == "char" else word_shingles
     # No distinct: min() is idempotent under duplicate shingles, so the
     # dedup shuffle would be pure overhead.
     sh = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+        F.explode(shingler(F.col(text_col), k)).alias("shingle"),
     )
     mins = sh.groupBy("doc").agg(
         *[
@@ -127,13 +142,16 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → band →
     bucket-join → estimate → threshold."""
     # Signatures feed both candidate generation and estimation — cache
     # so the shingle scan + 64-way agg runs once (scan amortization,
     # same pattern as the bronze fan-out).
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, shingle_unit
+    ).cache()
     pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
     return estimated_jaccard(sigs, pairs).where(F.col("est_jaccard") >= threshold)
 

@@ -204,6 +204,20 @@ class TableStore:
         j.unpersist()
         return MergeStats(inserted=inserted, updated=updated)
 
+    def compact(self, name: str, target_partitions: int | None = None) -> int:
+        """OPTIMIZE analog: rewrite the table into few large files
+        (append-heavy tables accrete small files; scans then pay
+        per-file open cost). Returns the resulting partition count.
+        With Delta this maps to OPTIMIZE/auto-compaction."""
+        df = self.read(name)
+        if target_partitions is None:
+            # ~128 MB files: estimate from current size via the scan's
+            # input files (cheap metadata)
+            n_files = len(df.inputFiles()) or 1
+            target_partitions = max(1, n_files // 8)
+        self._commit_version(name, df.coalesce(target_partitions))
+        return target_partitions
+
     # -- internals ----------------------------------------------------------
     def _write_new(self, name: str, df: DataFrame) -> None:
         self._commit_version(name, df)

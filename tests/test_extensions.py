@@ -70,6 +70,19 @@ def test_minhash_signature_shape(docs):
     assert all(len(r["sig"]) == 32 for r in sig)
 
 
+def test_minhash_word_shingles(docs):
+    """Word-level shingling finds the same planted near-dups."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.5, shingle_unit="word", k=3
+        ).collect()
+    }
+    assert (0, 4) in pairs  # exact copy
+    assert (0, 1) in pairs  # near-dup
+    assert (0, 2) not in pairs
+
+
 def test_simhash_hamming(docs, spark):
     sh = simhash64(docs, "doc_id", "text")
     a = sh.alias("a")

@@ -71,6 +71,16 @@ def test_merge_preserves_target_only_rows(spark, store):
     assert got == {1: 1.0, 2: 5.0}
 
 
+def test_compact_preserves_data(spark, store):
+    for i in range(5):
+        store.append("t", _df(spark, [(i, "x", float(i))]))
+    before = sorted(map(tuple, store.read("t").collect()))
+    store.compact("t", target_partitions=1)
+    after_df = store.read("t")
+    assert sorted(map(tuple, after_df.collect())) == before
+    assert len(after_df.inputFiles()) == 1
+
+
 def test_watermark_store(tmp_path):
     clock = lambda: datetime(2024, 5, 1, tzinfo=timezone.utc)  # noqa: E731
     wm = WatermarkStore(str(tmp_path / "wm"), clock=clock)
