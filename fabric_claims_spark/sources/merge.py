@@ -124,6 +124,7 @@ class TableStore:
         keys: list[str],
         update_only_changed: bool = True,
         compare_cols: list[str] | None = None,
+        partition_col: str | None = None,
     ) -> MergeStats:
         """S10/J2/J3/P10 — MERGE upsert keyed on ``keys``.
 
@@ -133,11 +134,28 @@ class TableStore:
         ``compare_cols`` restricts that diff to business columns so
         run-metadata stamps (ModifiedDate, ProcessBatchID) don't force
         rewrites of semantically-unchanged rows.
+
+        ``partition_col`` enables partition-pruned merges: the table
+        is laid out hive-style on that column, the target side of the
+        join reads ONLY partitions present in the source batch, and
+        untouched partitions carry into the new version as hardlinks
+        (no data movement). This is the 100 TB path — a daily batch
+        touching 3 of 3,000 date partitions rewrites ~0.1% of the
+        table. Requires the merge key to imply the partition (a key
+        never moves partitions), which holds for date-keyed facts.
         """
         if not self.exists(name):
-            self._write_new(name, source)
+            if partition_col:
+                self._commit_version(name, source, partition_by=partition_col)
+            else:
+                self._write_new(name, source)
             n = source.count()
             return MergeStats(inserted=n, updated=0)
+
+        if partition_col and not self.use_delta:
+            return self._merge_partitioned(
+                name, source, keys, update_only_changed, compare_cols, partition_col
+            )
 
         target = self.read(name)
         non_keys = [
@@ -204,6 +222,83 @@ class TableStore:
         j.unpersist()
         return MergeStats(inserted=inserted, updated=updated)
 
+    def _merge_partitioned(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        update_only_changed: bool,
+        compare_cols: list[str] | None,
+        partition_col: str,
+    ) -> MergeStats:
+        """Partition-pruned merge: join only affected partitions,
+        hardlink the rest into the new version (see ``merge``)."""
+        affected = [
+            r[0] for r in source.select(partition_col).distinct().collect()
+        ]
+        target_slice = self.read(name).where(F.col(partition_col).isin(affected))
+
+        # same full-outer resolution as the unpartitioned path
+        t = target_slice.withColumn("_t", F.lit(True)).alias("t")
+        s = source.withColumn("_s", F.lit(True)).alias("s")
+        key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+        j = t.join(s, key_cond, "full_outer").cache()
+        t_present = F.col("t._t").isNotNull()
+        s_present = F.col("s._s").isNotNull()
+        non_keys = [
+            c
+            for c in (compare_cols if compare_cols is not None else source.columns)
+            if c not in keys
+        ]
+        if update_only_changed and non_keys:
+            diff = F.lit(False)
+            for c in non_keys:
+                diff = diff | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        else:
+            diff = F.lit(True)
+        counts = j.agg(
+            F.sum((s_present & ~t_present).cast("long")).alias("ins"),
+            F.sum((s_present & t_present & diff).cast("long")).alias("upd"),
+        ).first()
+        take_source = s_present & (~t_present | diff)
+        out_cols = [
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            if c not in keys
+            else F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in source.columns
+        ]
+        merged_slice = j.select(out_cols)
+
+        # new version: Spark writes the affected partitions; untouched
+        # partition dirs hardlink over from the current version.
+        table_dir = self._dir(name)
+        cur_version = self._current_version(name)
+        new_version = f"v_{uuid.uuid4().hex[:12]}"
+        new_dir = os.path.join(table_dir, new_version)
+        merged_slice.write.mode("overwrite").partitionBy(partition_col).parquet(new_dir)
+        affected_dirs = {f"{partition_col}={v}" for v in affected}
+        cur_dir = os.path.join(table_dir, cur_version)
+        for entry in os.listdir(cur_dir):
+            if entry.startswith(f"{partition_col}=") and entry not in affected_dirs:
+                src_part = os.path.join(cur_dir, entry)
+                dst_part = os.path.join(new_dir, entry)
+                os.makedirs(dst_part, exist_ok=True)
+                for fname in os.listdir(src_part):
+                    if not fname.startswith("_"):
+                        os.link(
+                            os.path.join(src_part, fname),
+                            os.path.join(dst_part, fname),
+                        )
+        tmp_ptr = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}")
+        with open(tmp_ptr, "w") as f:
+            f.write(new_version)
+        os.replace(tmp_ptr, self._pointer(name))
+        self._vacuum(name, keep=new_version)
+        j.unpersist()
+        return MergeStats(
+            inserted=int(counts["ins"] or 0), updated=int(counts["upd"] or 0)
+        )
+
     def compact(self, name: str, target_partitions: int | None = None) -> int:
         """OPTIMIZE analog: rewrite the table into few large files
         (append-heavy tables accrete small files; scans then pay
@@ -222,11 +317,16 @@ class TableStore:
     def _write_new(self, name: str, df: DataFrame) -> None:
         self._commit_version(name, df)
 
-    def _commit_version(self, name: str, df: DataFrame) -> None:
+    def _commit_version(
+        self, name: str, df: DataFrame, partition_by: str | None = None
+    ) -> None:
         table_dir = self._dir(name)
         os.makedirs(table_dir, exist_ok=True)
         version = f"v_{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(os.path.join(table_dir, version))
         tmp_ptr = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}"
                                )
         with open(tmp_ptr, "w") as f:

@@ -71,6 +71,53 @@ def test_merge_preserves_target_only_rows(spark, store):
     assert got == {1: 1.0, 2: 5.0}
 
 
+def test_partitioned_merge_prunes_and_hardlinks(spark, store, tmp_path):
+    """Partition-pruned merge: only partitions present in the batch
+    rewrite; untouched partitions carry over as hardlinks (same
+    inode), and results match plain merge semantics."""
+    import os
+
+    df1 = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-01", 20.0), (3, "2024-02", 30.0),
+         (4, "2024-03", 40.0)],
+        "id int, month string, amt double",
+    )
+    store.merge("t", df1, keys=["id"], partition_col="month")
+    root = store._dir("t")
+    v1 = store._current_version("t")
+
+    def part_inodes(version, part):
+        d = os.path.join(root, version, f"month={part}")
+        return {f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if not f.startswith("_")}
+
+    jan_before = part_inodes(v1, "2024-01")
+
+    # batch touches only 2024-02 (update) and 2024-04 (new partition)
+    df2 = spark.createDataFrame(
+        [(3, "2024-02", 99.0), (5, "2024-04", 50.0)],
+        "id int, month string, amt double",
+    )
+    stats = store.merge("t", df2, keys=["id"], partition_col="month")
+    assert (stats.inserted, stats.updated) == (1, 1)
+
+    v2 = store._current_version("t")
+    assert v2 != v1
+    # untouched partition: identical inodes (hardlinked, not copied)
+    assert part_inodes(v2, "2024-01") == jan_before
+
+    got = {r["id"]: (r["month"], r["amt"]) for r in store.read("t").collect()}
+    assert got == {
+        1: ("2024-01", 10.0), 2: ("2024-01", 20.0), 3: ("2024-02", 99.0),
+        4: ("2024-03", 40.0), 5: ("2024-04", 50.0),
+    }
+
+    # idempotent re-apply: no-op counts, rows unchanged
+    stats2 = store.merge("t", df2, keys=["id"], partition_col="month")
+    assert (stats2.inserted, stats2.updated) == (0, 0)
+    assert store.read("t").count() == 5
+
+
 def test_compact_preserves_data(spark, store):
     for i in range(5):
         store.append("t", _df(spark, [(i, "x", float(i))]))
