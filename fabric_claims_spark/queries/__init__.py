@@ -59,6 +59,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         lsh,
         kpi,
         stats,
+        pipeline_smoke,
     )
 
     return REGISTRY
