@@ -61,13 +61,33 @@ def minhash_signatures(
     min(xxhash64(shingle, i)) over the doc's shingle set — the classic
     permutation-free MinHash family. ``shingle_unit``: 'char' | 'word'.
     """
-    shingler = char_shingles if shingle_unit == "char" else word_shingles
+    # Shingles are produced by exploding integer positions and slicing
+    # per-row with codegen'd expressions — NOT by exploding a
+    # transform()-built array (interpreted lambda eval is ~100× slower
+    # per element; see winnow_prints for the same lesson).
     # No distinct: min() is idempotent under duplicate shingles, so the
     # dedup shuffle would be pure overhead.
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingler(F.col(text_col), k)).alias("shingle"),
-    )
+    text = F.col(text_col)
+    if shingle_unit == "char":
+        n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            text.alias("_t"),
+            F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
+        ).select("doc", F.col("_t").substr(F.col("pos"), F.lit(k)).alias("shingle"))
+    else:
+        toks = F.split(F.trim(text), r"\s+")
+        n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
+        ).select(
+            "doc",
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), F.lit(k))).alias(
+                "shingle"
+            ),
+        )
     mins = sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")

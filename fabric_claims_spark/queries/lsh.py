@@ -38,6 +38,21 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "doc_id", "text").orderBy("doc")
 
 
+@query("docs_winnow_overlap", oracle=None)
+def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (rolling k-gram hashes,
+    window minima — substring-overlap guarantee the MinHash estimate
+    lacks)."""
+    from fabric_claims_spark.extensions.text import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    # long grams + df-cutoff: this corpus's shared vocabulary makes
+    # short substrings corpus-common (hot-key join bombs)
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", k=16, window=8, min_shared=4, max_doc_freq=10
+    ).orderBy("doc_a", "doc_b")
+
+
 @query("docs_minhash_signatures", oracle=None)
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (doc → 64 min-hash slots)."""

@@ -102,6 +102,27 @@ def test_simhash_hamming(docs, spark):
     assert d[(0, 1)] <= 8
 
 
+def test_winnow_fingerprints(docs, spark):
+    from fabric_claims_spark.extensions.text import (
+        winnow_fingerprint_sets,
+        winnow_overlap_pairs,
+    )
+
+    fps = winnow_fingerprint_sets(docs, "doc_id", "text").collect()
+    by_id = {r["doc"]: set(r["fps"]) for r in fps}
+    assert by_id[0] == by_id[4]  # identical docs → identical prints
+    # near-dup shares most prints; unrelated shares few
+    j01 = len(by_id[0] & by_id[1]) / len(by_id[0] | by_id[1])
+    j02 = len(by_id[0] & by_id[2]) / len(by_id[0] | by_id[2])
+    assert j01 > 0.6 > j02
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_overlap_pairs(docs, "doc_id", "text", min_shared=8).collect()
+    }
+    assert (0, 4) in pairs and (0, 1) in pairs
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 3 well-separated clusters around axis directions
