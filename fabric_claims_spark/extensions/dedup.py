@@ -12,8 +12,34 @@ so the join output is ~linear in true near-dup mass instead of O(n²).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Cross-engine universal-hash family for the DuckDB-oracle MinHash
+# variant: one md5 per shingle (the only hash both engines share),
+# folded to a 60-bit int, then num_hashes cheap affine derivations
+# h_i(x) = (A[i]*base + B[i]) mod P with P = 2^31-1. A[i]*base tops
+# out near 2^62, inside signed-64 range — essential because DuckDB
+# *errors* on BIGINT overflow (Spark would silently wrap).
+MH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+_rng = random.Random(0x5EED)
+MH_A = [_rng.randrange(1, MH_PRIME) for _ in range(256)]
+MH_B = [_rng.randrange(0, MH_PRIME) for _ in range(256)]
+del _rng
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit int from the first 15 hex chars of md5 — the one hash
+    derivable identically in Spark and DuckDB
+    (``('0x' || substr(md5(x),1,15))::BIGINT`` on the DuckDB side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _mh_slot(base: Column, i: int) -> Column:
+    """i-th universal hash of a pre-folded base value."""
+    return (F.lit(MH_A[i]) * base + F.lit(MH_B[i])) % F.lit(MH_PRIME)
 
 
 # -- exact ------------------------------------------------------------------
@@ -56,10 +82,15 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 5,
     shingle_unit: str = "char",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]): element i is
-    min(xxhash64(shingle, i)) over the doc's shingle set — the classic
+    min(hash_i(shingle)) over the doc's shingle set — the classic
     permutation-free MinHash family. ``shingle_unit``: 'char' | 'word'.
+
+    ``hasher``: 'xxhash64' (prod default — cheapest JVM hash) or 'md5'
+    (cross-engine: one md5 per shingle + affine mod-P derivations,
+    reproducible in DuckDB SQL so the driver gate can hash-check it).
     """
     # Shingles are produced by exploding integer positions and slicing
     # per-row with codegen'd expressions — NOT by exploding a
@@ -88,37 +119,55 @@ def minhash_signatures(
                 "shingle"
             ),
         )
-    mins = sh.groupBy("doc").agg(
-        *[
+    if hasher == "md5":
+        sh = sh.select("doc", md5_long(F.col("shingle")).alias("_hb"))
+        slot_cols = [
+            F.min(_mh_slot(F.col("_hb") % F.lit(MH_PRIME), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        slot_cols = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    )
+    mins = sh.groupBy("doc").agg(*slot_cols)
     return mins.select(
         "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature and self-join on band buckets → candidate
     (doc_a, doc_b) pairs. bands must divide num_hashes; more bands =
-    higher recall, lower precision."""
+    higher recall, lower precision.
+
+    ``hasher='md5'`` keys each band by the comma-joined slot values
+    instead of an xxhash64 of them — a hash-free band key equality
+    joins identically, and DuckDB can reproduce it verbatim."""
     rows = num_hashes // bands
+    if hasher == "md5":
+        band_keys = [
+            F.array_join(
+                F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>"), ","
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                F.slice(F.col("sig"), b * rows + 1, rows).cast("string"),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
     banded = signatures.select(
         "doc",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows + 1, rows).cast("string"),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -163,6 +212,7 @@ def minhash_near_dups(
     bands: int = 16,
     k: int = 5,
     shingle_unit: str = "char",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → band →
     bucket-join → estimate → threshold."""
@@ -170,9 +220,9 @@ def minhash_near_dups(
     # so the shingle scan + 64-way agg runs once (scan amortization,
     # same pattern as the bronze fan-out).
     sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, k, shingle_unit
+        df, id_col, text_col, num_hashes, k, shingle_unit, hasher
     ).cache()
-    pairs = lsh_candidate_pairs(sigs, num_hashes, bands)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, hasher)
     return estimated_jaccard(sigs, pairs).where(F.col("est_jaccard") >= threshold)
 
 
@@ -209,3 +259,30 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (built-in on longs)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash60_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cross-engine SimHash: 60-bit md5-derived token hashes, per-bit
+    majority vote reassembled into one positive long. 60 bits (not 64)
+    because the md5 fold keeps values under 2^60 — every intermediate
+    stays positive, so DuckDB's checked BIGINT arithmetic and Spark's
+    agree with no sign games at bit 63. Prod path stays
+    :func:`simhash64` (xxhash64)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(60):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc", acc.alias("simhash"))

@@ -99,16 +99,30 @@ def with_time_calc(
     month_col: str = "Month",
 ) -> DataFrame:
     """Adds the calc-group items as columns over a month-grain frame:
-    YTD (running), LY (same period last year), YoY Δ, YoY %, L12M.
+    YTD (running), QTD (running within quarter), MTD, LY (same period
+    last year), YoY Δ, YoY %, L12M — the full Time Calculation calc
+    group (SM/tables/Time Calculation.tmdl:6-24 incl. TOTALQTD :8 and
+    TOTALMTD :12; measure twins Claims.tmdl:139,152).
+
+    At month grain TOTALMTD degenerates to the month's own value (the
+    frame holds one row per month) — emitted anyway so calc-item
+    selection is total; day-grain MTD lives in
+    queries/time_intelligence.mtd_running_revenue.
 
     Pre-aggregate to month grain FIRST (cheap frame), then window —
     never window over fact rows (SURVEY.md §7.4).
     """
     epoch_month = F.col(year_col) * 12 + F.col(month_col)
-    df = monthly.withColumn("_em", epoch_month)
+    quarter = ((F.col(month_col) - 1) / 3).cast("long") + 1
+    df = monthly.withColumn("_em", epoch_month).withColumn("_qtr", quarter)
 
     w_ytd = (
         Window.partitionBy(year_col)
+        .orderBy(month_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_qtd = (
+        Window.partitionBy(year_col, "_qtr")
         .orderBy(month_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -130,6 +144,8 @@ def with_time_calc(
     )
     out = (
         ly.withColumn(f"{value_col}_ytd", F.sum(value_col).over(w_ytd))
+        .withColumn(f"{value_col}_qtd", F.sum(value_col).over(w_qtd))
+        .withColumn(f"{value_col}_mtd", F.col(value_col))
         .withColumn(f"{value_col}_l12m", F.sum(value_col).over(w_l12))
         .withColumn(
             f"{value_col}_yoy_delta",
@@ -142,6 +158,6 @@ def with_time_calc(
                 F.col(f"{value_col}_ly"),
             ),
         )
-        .drop("_em")
+        .drop("_em", "_qtr")
     )
     return out

@@ -1,41 +1,154 @@
-"""MinHash-LSH / SimHash queries (rows-only driver checks).
+"""MinHash-LSH / SimHash queries, hash-checked against DuckDB.
 
-These operators hinge on xxhash64, which DuckDB cannot reproduce, so
-they register without an oracle — the driver records the weaker
-rows-only check; the semantic assertions live in
-tests/test_extensions.py (planted near-dups found, Hamming ordering).
+The prod hash is xxhash64 (cheapest JVM-side hash; see
+extensions/dedup.py), which DuckDB cannot reproduce — so the gate
+queries here run the ``hasher='md5'`` variant instead: one md5 per
+shingle/token folded to a 60-bit int (identical in both engines:
+Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``), then an affine
+universal-hash family mod 2^31-1 derives the per-slot hashes. All
+intermediates stay under 2^63, which matters because DuckDB *errors*
+on BIGINT overflow. The oracle SQL below is generated from the same
+MH_A/MH_B constants the Spark side uses, so the driver gets a real
+value-hash match instead of the rows-only fallback.
+
+Signature vectors cross the gate as comma-joined strings: the
+driver's canonicalizer sorts columns with pandas and cannot hash
+list cells.
+
+Only ``docs_winnow_overlap`` remains rows-only (window-minima
+fingerprint selection has no tractable SQL twin); its semantic
+checks live in tests/test_extensions.py.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fabric_claims_spark.extensions.dedup import (
+    MH_A,
+    MH_B,
+    MH_PRIME,
     minhash_near_dups,
     minhash_signatures,
-    simhash64,
+    simhash60_md5,
 )
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.parquet import load_table
 
+_NUM_HASHES = 64
+_BANDS = 16
+_K = 5
 
-@query("docs_minhash_neardup", oracle=None)
+# DuckDB twin of extensions.dedup.md5_long(shingle) % MH_PRIME.
+_SQL_BASE = "(('0x' || substr(md5(shingle),1,15))::BIGINT % 2147483647)"
+
+
+def _sql_shingles_cte() -> str:
+    """Char 5-gram generator matching extensions.dedup
+    minhash_signatures (1-indexed substr over exploded positions)."""
+    return f"""sh AS (
+      SELECT doc, substr(text, pos, {_K}) AS shingle FROM (
+        SELECT doc_id AS doc, text,
+               unnest(generate_series(1, greatest(length(text) - {_K - 1}, 1))) AS pos
+        FROM documents))"""
+
+
+def _sql_mins_cte() -> str:
+    terms = ",\n        ".join(
+        f"MIN(({MH_A[i]} * {_SQL_BASE} + {MH_B[i]}) % {MH_PRIME}) AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    return f"mins AS (\n      SELECT doc,\n        {terms}\n      FROM sh GROUP BY doc)"
+
+
+def _signatures_oracle() -> str:
+    cols = ", ".join(f"h{i}" for i in range(_NUM_HASHES))
+    return f"""
+    WITH {_sql_shingles_cte()},
+    {_sql_mins_cte()}
+    SELECT doc, concat_ws(',', {cols}) AS sig FROM mins
+    """
+
+
+def _neardup_oracle(threshold: float = 0.5) -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk FROM mins".format(
+            b=b,
+            cols=", ".join(f"h{b * rows + i}" for i in range(rows)),
+        )
+        for b in range(_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"CAST(ma.h{i} = mb.h{i} AS INT)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH {_sql_shingles_cte()},
+    {_sql_mins_cte()},
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc < b.doc),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({eq_sum} AS DOUBLE) / {_NUM_HASHES} AS est_jaccard
+      FROM cand c
+      JOIN mins ma ON ma.doc = c.doc_a
+      JOIN mins mb ON mb.doc = c.doc_b)
+    SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    acc = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(60))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents),
+    hs AS (
+      SELECT doc, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc,
+        {votes}
+      FROM hs GROUP BY doc)
+    SELECT doc, CAST({acc} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("docs_minhash_neardup", oracle=_neardup_oracle(0.5))
 def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle → minhash → band → bucket-join near-dup pairs (same-vocabulary synthetic docs
-    produce a tight band of high-overlap pairs; threshold 0.5 keeps
-    the genuinely-similar tail)."""
+    """Shingle → minhash → band → bucket-join near-dup pairs
+    (same-vocabulary synthetic docs produce a tight band of
+    high-overlap pairs; threshold 0.5 keeps the genuinely-similar
+    tail). md5 hasher so the DuckDB oracle hash-matches."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dups(
-        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
     ).orderBy("doc_a", "doc_b")
 
 
-@query("docs_simhash", oracle=None)
+@query("docs_simhash", oracle=_simhash_oracle())
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (near-dup via small Hamming
-    distance; deterministic given xxhash64)."""
+    """60-bit cross-engine SimHash per document (near-dup via small
+    Hamming distance). Prod 64-bit xxhash64 variant:
+    extensions.dedup.simhash64."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs, "doc_id", "text").orderBy("doc")
+    return simhash60_md5(docs, "doc_id", "text").orderBy("doc")
 
 
 @query("docs_winnow_overlap", oracle=None)
@@ -53,8 +166,14 @@ def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("docs_minhash_signatures", oracle=None)
+@query("docs_minhash_signatures", oracle=_signatures_oracle())
 def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (doc → 64 min-hash slots)."""
+    """MinHash signature matrix (doc → 64 min-hash slots), surfaced as
+    a comma-joined string for the gate canonicalizer."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "doc_id", "text", num_hashes=64).orderBy("doc")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, hasher="md5"
+    )
+    return sigs.select(
+        "doc", F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig")
+    ).orderBy("doc")

@@ -134,8 +134,11 @@ def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
              AS l2_norm,
-           list_transform(embedding::DOUBLE[],
-             x -> ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6))
+           array_to_string(list_transform(embedding::DOUBLE[],
+             x -> printf('%.6f',
+                    ROUND(x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[])), 6)
+                    + 0.0)), ',')
              AS unit_vec
     FROM embeddings
     """,
@@ -143,7 +146,15 @@ def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalization projection (the prep step that turns cosine
     into a plain dot product, letting the IVF/topk stages skip per-row
-    norms). Pure HOF transform — no shuffle, no UDF."""
+    norms). Pure HOF transform — no shuffle, no UDF.
+
+    The unit vector is surfaced as a comma-joined fixed-6dp string:
+    the driver's canonicalizer sorts result columns with pandas and
+    cannot hash list cells, so array outputs must cross the gate as
+    strings. ``%.6f`` renders bit-identical text in both engines for
+    the same rounded double (verified incl. the -0.0 case, which is
+    normalized via ``+ 0.0``).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     ev = _as_double("embedding")
     norm = F.sqrt(_dot(ev, ev))
@@ -151,7 +162,15 @@ def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(norm, 6).alias("l2_norm"),
-        F.transform(ev, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+        F.array_join(
+            F.transform(
+                ev,
+                lambda x: F.format_string(
+                    "%.6f", F.round(x / norm, 6) + F.lit(0.0)
+                ),
+            ),
+            ",",
+        ).alias("unit_vec"),
     )
 
 

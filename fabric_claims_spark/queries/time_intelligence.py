@@ -124,6 +124,91 @@ def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W3d — TOTALQTD as a running window within (year, quarter)
+# (Time Calculation.tmdl:8; Claims.tmdl:139 "Total Amount QTD").
+@query(
+    "qtd_running_revenue",
+    oracle="""
+    SELECT order_year, order_quarter, order_month,
+           CAST(ROUND(_rev_dec, 4) AS DOUBLE) AS month_revenue,
+           CAST(ROUND(SUM(_rev_dec) OVER (
+             PARTITION BY order_year, order_quarter ORDER BY order_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS qtd_revenue
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS _rev_dec
+      FROM orders GROUP BY 1, 2, 3)
+    """,
+)
+def qtd_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+    ).agg(F.sum(money("o_totalprice")).alias("_rev_dec"))
+    w = (
+        Window.partitionBy("order_year", "order_quarter")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "order_year",
+        "order_quarter",
+        "order_month",
+        F.round(F.col("_rev_dec"), 4).cast("double").alias("month_revenue"),
+        F.round(F.sum("_rev_dec").over(w), 4).cast("double").alias("qtd_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3e — TOTALMTD at day grain: running revenue within (year, month)
+# ordered by day (Time Calculation.tmdl:12; Claims.tmdl:152 "Total
+# Amount MTD"). Day grain because MTD is the identity at month grain;
+# pre-aggregate to (y, m, d) first so the window partitions are ≤31
+# rows regardless of fact volume.
+@query(
+    "mtd_running_revenue",
+    oracle="""
+    SELECT order_year, order_month, order_day,
+           CAST(ROUND(_rev_dec, 4) AS DOUBLE) AS day_revenue,
+           CAST(ROUND(SUM(_rev_dec) OVER (
+             PARTITION BY order_year, order_month ORDER BY order_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+             AS mtd_revenue
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+             CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS _rev_dec
+      FROM orders GROUP BY 1, 2, 3)
+    """,
+)
+def mtd_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+    ).agg(F.sum(money("o_totalprice")).alias("_rev_dec"))
+    w = (
+        Window.partitionBy("order_year", "order_month")
+        .orderBy("order_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "order_year",
+        "order_month",
+        "order_day",
+        F.round(F.col("_rev_dec"), 4).cast("double").alias("day_revenue"),
+        F.round(F.sum("_rev_dec").over(w), 4).cast("double").alias("mtd_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # W3c — DATESINPERIOD(-12, MONTH) rolling window on an epoch-month key
 # (SM/tables/Claims.tmdl:265-280 "Last 12M"). rangeBetween keeps gap
 # months correct (a missing month still ages out by value, not rank).

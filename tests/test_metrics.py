@@ -97,6 +97,13 @@ def test_time_calc_group(claims, spark):
     assert out[(2023, 1)]["amount_yoy_pct"] is None
     # L12M at Feb-2024 covers Mar-2023..Feb-2024
     assert out[(2024, 2)]["amount_l12m"] == 1500.0
+    # QTD resets at each quarter boundary: Feb accumulates Jan+Feb
+    # (same Q1), and a Q-boundary month restarts at its own value
+    assert out[(2023, 2)]["amount_qtd"] == 600.0  # Jan+Feb 2023 (Q1)
+    assert out[(2024, 1)]["amount_qtd"] == 400.0
+    assert out[(2024, 2)]["amount_qtd"] == 1500.0
+    # MTD at month grain is the month's own value
+    assert out[(2024, 2)]["amount_mtd"] == 1100.0
 
 
 def test_star_builder_no_duplicate_keys(spark, claims):
