@@ -43,6 +43,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL", "1") != "0"
     registry = load_all_queries()
     spark = get_spark("fabric-claims-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,13 +51,25 @@ def main() -> None:
     # Warmup: run the flagship once to JIT/codegen-warm the session.
     registry["pricing_summary"].fn(spark, sf_dir).count()
 
+    # HEADLINE runs first and alone defines `value` — the metric the
+    # driver baselines across rounds, so its membership never changes.
+    # The rest of the registry is timed after it (skippable via
+    # SPARK_GRAFT_BENCH_FULL=0) and reported alongside.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         registry[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-
     total = round(sum(timings.values()), 3)
+
+    if full:
+        for name, spec in registry.items():
+            if name in timings:
+                continue
+            t0 = time.time()
+            spec.fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -64,6 +77,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "full_suite_total": round(sum(timings.values()), 3),
                 "sf": sf,
             }
         )

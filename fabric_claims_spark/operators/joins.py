@@ -57,14 +57,29 @@ def asof_join_backward(
     key, O(n log n) per partition, no quadratic range explosion, and
     no Python in the row path (beats the applyInPandas/merge_asof
     fallback by staying in Tungsten).
+
+    All right value columns are carried as ONE struct: a struct row is
+    non-null whenever a right row exists, so every ``asof_*`` output
+    column comes from the SAME matched right row even when some of its
+    value columns are NULL — carrying columns independently would skip
+    a NULL cell and leak an older row's value (DuckDB ASOF JOIN /
+    pandas merge_asof take the whole matched row, NULLs included).
     """
     lcols = left.columns
+    rv_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in right_value_cols
+        )
+        + ">"
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
+        F.lit(None).cast(rv_struct_type).alias("_rv"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -73,7 +88,7 @@ def asof_join_backward(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in lcols) + ">"
         ).alias("_left"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts → '<=' semantics
@@ -85,14 +100,11 @@ def asof_join_backward(
     carried = unioned.select(
         "_side",
         "_left",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_value_cols
-        ],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     return carried.where(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in right_value_cols],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
 
 

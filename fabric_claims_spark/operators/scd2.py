@@ -58,7 +58,18 @@ def scd2_apply(
 
     hist = store.read(name)
     current = hist.where(F.col(IS_CURRENT))
-    u = updates.select(key, *attrs).alias("u")
+    # exact-duplicate rows collapse; CONFLICTING rows per key would
+    # fan out the history join (duplicated closed rows, several
+    # "current" versions per key) — a caller bug, so fail loudly
+    # rather than pick a survivor nondeterministically. The guard job
+    # is dim-sized, not fact-sized.
+    u_rows = updates.select(key, *attrs).distinct()
+    if u_rows.groupBy(key).count().where(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            f"scd2_apply: updates carry conflicting rows for the same {key!r}; "
+            "resolve to one row per key before applying"
+        )
+    u = u_rows.alias("u")
     c = current.alias("c")
 
     diff = F.lit(False)
@@ -70,7 +81,7 @@ def scd2_apply(
     changed_rows = joined.where(F.col(f"c.{key}").isNotNull() & diff).select("u.*")
     n_new, n_changed = new_rows.count(), changed_rows.count()
 
-    changed_keys = changed_rows.select(F.col(key).alias("_ck"))
+    changed_keys = changed_rows.select(F.col(key).alias("_ck")).distinct()
     close_ts = F.lit(effective_ts).cast("timestamp")
     # close the open row of changed members; everything else unchanged
     updated_hist = (

@@ -174,38 +174,66 @@ def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embeddings_neardup_pairs",
-    oracle="""
+# --------------------------------------------------------------------------
+# Embedding near-dup pairs via random-hyperplane LSH blocking
+# (extensions/similarity.py): only vectors sharing one of 4 8-bit
+# sign-signature bands ever meet, so the self-join key space is
+# (band, bucket) — it grows with the corpus, unlike the label
+# blocking this replaces (a handful of giant label blocks = quadratic
+# pair space at 100 TB). Candidates verify exact cosine. The oracle
+# reproduces the identical hyperplanes (6dp decimal constants parse
+# to the same doubles; list_dot_product matches the zip_with fold op
+# order), so the approximate candidate set itself is hash-checked.
+_EMB_DIM = 64
+_NEARDUP_THRESHOLD = 0.3
+
+
+def _hp_planes():
+    from fabric_claims_spark.extensions.similarity import hyperplanes
+
+    return hyperplanes(_EMB_DIM)
+
+
+def _neardup_oracle() -> str:
+    planes = _hp_planes()
+    band_selects = []
+    for bi, band in enumerate(planes):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(ev, [{coefs}]) >= 0 "
+            "THEN '1' ELSE '0' END)".format(
+                coefs=", ".join(f"{c:.6f}" for c in h)
+            )
+            for h in band
+        )
+        band_selects.append(
+            f"SELECT vec_id, {bi} AS band_idx, {bits} AS sig FROM e"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    b AS (
+      {bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2
+        ON a.band_idx = b2.band_idx AND a.sig = b2.sig
+       AND a.vec_id < b2.vec_id)
     SELECT * FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-             ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
-               AS cosine_sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
-    WHERE cosine_sim >= 0.3
-    """,
-)
+      SELECT c.vec_a, c.vec_b,
+             ROUND(list_dot_product(ea.ev, eb.ev)
+                   / (sqrt(list_dot_product(ea.ev, ea.ev))
+                      * sqrt(list_dot_product(eb.ev, eb.ev))), 6) AS cosine_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b)
+    WHERE cosine_sim >= {_NEARDUP_THRESHOLD}
+    """
+
+
+@query("embeddings_neardup_pairs", oracle=_neardup_oracle())
 def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("ev")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = F.round(_cosine(F.col("a.ev"), F.col("b.ev")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            sim.alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= 0.3)
-    )
+    from fabric_claims_spark.extensions.similarity import hyperplane_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_neardup_pairs(emb, _NEARDUP_THRESHOLD, _hp_planes())

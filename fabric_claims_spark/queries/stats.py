@@ -139,6 +139,11 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # ntile — equal-frequency bucketing under a total deterministic order.
+# No partitionless window: the global rank comes from the distributed
+# selection operator (range repartition → per-bucket rank → broadcast
+# offsets; operators/ranking.py), and NTILE(4) of a known total is
+# pure cut-point arithmetic — every stage partition-parallel, same
+# result hash as the window formulation.
 @query(
     "order_value_quartiles",
     oracle="""
@@ -153,13 +158,15 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from fabric_claims_spark.operators.ranking import ntile_by_rank, with_global_rank
 
     o = load_table(spark, sf_dir, "orders")
-    # partitionless window is bounded here by the single ntile pass
-    # over orders — at fact scale use percentile buckets instead
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    q = o.select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+    ranked, n = with_global_rank(
+        o.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"]
+    )
+    q = ranked.select(
+        "o_totalprice", ntile_by_rank("_rank", n, 4).alias("quartile")
+    )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("lo"),

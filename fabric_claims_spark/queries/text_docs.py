@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.queries import query
@@ -229,12 +229,17 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N-gram Jaccard near-dup: token-SET arrays compared pairwise within
-# (lang, source) blocks — one doc-level self-join on the block key and
-# a JVM-side array_intersect per pair, instead of exploding tokens
-# into a token-keyed shuffle (~50× fewer join rows). Blocking bounds
-# the pair space; the 100 TB version blocks by MinHash-LSH band
-# instead (extensions/dedup.py).
+# Token-set Jaccard near-dup within (lang, source) corpus slices, via
+# PPJoin-style prefix filtering: each doc contributes only its
+# (|T| - ⌈τ|T|⌉ + 1) globally-RAREST tokens as candidate keys; any
+# pair with J ≥ τ provably shares a prefix token (Xiao et al., prefix
+# filter). The candidate join is keyed on (lang, source, rare-token)
+# — cardinality grows with the corpus instead of being pinned at
+# ~|langs|×|sources|, which is what makes this shape survive 100 TB
+# where a plain (lang, source) block self-join goes quadratic inside
+# giant blocks. Candidates then verify exact Jaccard (size-ratio
+# pruned). Lossless: the result — every same-slice pair with J ≥ 0.8
+# — is unchanged, so the oracle stays the straightforward blocked SQL.
 @query(
     "docs_jaccard_pairs",
     oracle="""
@@ -253,38 +258,72 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim(F.col("text"))) > 0)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
     t = d.select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(F.split(F.trim(F.col("text")), _WS)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    t = t.cache()  # feeds prefix generation AND pair verification
+
+    # global token rarity (one map-side-combined shuffle on token)
+    tok = t.select("doc_id", "lang", "source", "n", F.explode("toks").alias("tok"))
+    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    # rank each doc's tokens rarest-first; keep the prefix. Prefix
+    # length uses integer arithmetic: ⌈0.8n⌉ = (4n+4) div 5 — a float
+    # ceil(0.8*n) rounds UP on exact multiples (0.8*5 → 4.0000…02),
+    # shortening the prefix and silently dropping true pairs.
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        tok.join(df_counts, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("n") - ((F.col("n") * 4 + 4) / 5).cast("long") + 1)
+        .select("doc_id", "lang", "source", "tok")
     )
-    t = t.withColumn("n", F.size("toks"))
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    jac = inter.cast("double") / (
-        F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
-    )
-    # Size prefilter: jaccard ≥ τ ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ τ
-    # (|A∩B| ≤ min, |A∪B| ≥ max), so mismatched-size pairs prune
-    # BEFORE the O(|A|+|B|) intersect. Result-identical to the oracle.
-    size_ok = (F.col("a.n") * 10 >= F.col("b.n") * 8) & (
-        F.col("b.n") * 10 >= F.col("a.n") * 8
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
+
+    # candidates: prefix-to-prefix join on (slice, rare token)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.source") == F.col("pb.source"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    ta = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    tb = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    # Size prefilter: J ≥ τ ⇒ min(n)/max(n) ≥ τ — prunes before the
+    # O(|A|+|B|) intersect; result-identical.
+    size_ok = (F.col("na") * 10 >= F.col("nb") * 8) & (
+        F.col("nb") * 10 >= F.col("na") * 8
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(size_ok)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
     )
 

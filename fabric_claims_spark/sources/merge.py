@@ -236,7 +236,15 @@ class TableStore:
         affected = [
             r[0] for r in source.select(partition_col).distinct().collect()
         ]
-        target_slice = self.read(name).where(F.col(partition_col).isin(affected))
+        # isin() is null-unsafe: a null partition value in the source
+        # would slice out NO target rows (null never matches isin) yet
+        # Spark writes its data under __HIVE_DEFAULT_PARTITION__ — the
+        # old null partition must be read-merged, not hardlinked.
+        non_null = [v for v in affected if v is not None]
+        slice_cond = F.col(partition_col).isin(non_null)
+        if len(non_null) < len(affected):
+            slice_cond = slice_cond | F.col(partition_col).isNull()
+        target_slice = self.read(name).where(slice_cond)
 
         # same full-outer resolution as the unpartitioned path
         t = target_slice.withColumn("_t", F.lit(True)).alias("t")
@@ -276,10 +284,20 @@ class TableStore:
         new_version = f"v_{uuid.uuid4().hex[:12]}"
         new_dir = os.path.join(table_dir, new_version)
         merged_slice.write.mode("overwrite").partitionBy(partition_col).parquet(new_dir)
-        affected_dirs = {f"{partition_col}={v}" for v in affected}
+        # Untouched = not rewritten by Spark just now. Deriving the
+        # affected dir names from the values would have to reproduce
+        # Spark's hive escaping (%XX special chars, nulls →
+        # __HIVE_DEFAULT_PARTITION__); instead, whatever Spark DID
+        # write is by definition the affected set — hardlink only
+        # partition dirs absent from the new version.
+        written_dirs = {
+            entry
+            for entry in os.listdir(new_dir)
+            if entry.startswith(f"{partition_col}=")
+        }
         cur_dir = os.path.join(table_dir, cur_version)
         for entry in os.listdir(cur_dir):
-            if entry.startswith(f"{partition_col}=") and entry not in affected_dirs:
+            if entry.startswith(f"{partition_col}=") and entry not in written_dirs:
                 src_part = os.path.join(cur_dir, entry)
                 dst_part = os.path.join(new_dir, entry)
                 os.makedirs(dst_part, exist_ok=True)
@@ -336,12 +354,25 @@ class TableStore:
 
     def _vacuum(self, name: str, keep: str) -> None:
         """Prune old version dirs, keeping the newest few for readers
-        mid-scan (Delta vacuum analog, drastically simplified)."""
+        mid-scan (Delta vacuum analog, drastically simplified).
+        "Newest" by directory mtime — version names are random hex, so
+        a lexicographic sort would retain arbitrary versions and could
+        delete the one a reader just opened."""
         table_dir = self._dir(name)
+
+        def _mtime(d: str) -> float:
+            try:
+                return os.stat(os.path.join(table_dir, d)).st_mtime
+            except OSError:
+                return 0.0
+
         versions = sorted(
-            d
-            for d in os.listdir(table_dir)
-            if d.startswith("v_") and d != keep
+            (
+                d
+                for d in os.listdir(table_dir)
+                if d.startswith("v_") and d != keep
+            ),
+            key=_mtime,
         )
         for stale in versions[:-_KEEP_VERSIONS]:
             shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)

@@ -52,11 +52,27 @@ def hourly_counts_stream(
     events_dir: str,
     checkpoint_dir: str,
     query_name: str = "hourly_counts",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (the streaming twin of
-    the batch ``events_hourly_tumbling`` query): 1-hour windows, late
-    events beyond 2 hours dropped by the watermark. Returns the final
-    result as a DataFrame read from the in-memory sink."""
+    the batch ``events_hourly_tumbling`` query): 1-hour windows with a
+    2-hour watermark. Returns the final result as a DataFrame read
+    from the in-memory sink.
+
+    Output-mode semantics matter here and differ:
+
+    * ``complete`` (default — matches the batch twin on a finite
+      replay): every window is retained and re-emitted; the watermark
+      does NOT evict state or drop late rows in complete mode, so
+      across checkpointed AvailableNow runs late events still
+      aggregate and state grows with distinct windows. Fine for
+      bounded backfills; not a continuous-operation mode.
+    * ``append``: only windows the watermark has finalized emit, late
+      events beyond 2 hours are genuinely dropped, and state is
+      evicted — the continuous-production mode. On a finite replay the
+      trailing (still-open) windows are withheld, which is exactly the
+      watermark contract.
+    """
     stream = _read_events_stream(spark, events_dir)
     agg = (
         stream.withWatermark("event_ts", "2 hours")
@@ -77,7 +93,7 @@ def hourly_counts_stream(
     (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -144,17 +160,19 @@ def running_user_totals_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     # foreachBatch sink (the memory sink cannot recover from a
-    # checkpoint); the per-batch update rows collapse latest-per-user.
-    latest: dict[int, tuple] = {}
+    # checkpoint): each micro-batch's update rows MERGE into a
+    # TableStore keyed on user_id — latest-per-user lands distributed,
+    # idempotent under batch re-delivery, and nothing accumulates on
+    # the driver (a collect()-into-dict sink would be a scale-killer).
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    table_name = query_name
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        for r in batch_df.collect():
-            latest[r["user_id"]] = (
-                r["user_id"],
-                r["events_seen"],
-                r["value_total"],
-                r["last_seen"],
-            )
+        store.merge(
+            table_name, batch_df, keys=["user_id"], update_only_changed=False
+        )
 
     (
         result.writeStream.foreachBatch(sink)
@@ -164,4 +182,6 @@ def running_user_totals_stream(
         .start()
         .awaitTermination()
     )
-    return spark.createDataFrame(list(latest.values()), _OUTPUT_SCHEMA)
+    if not store.exists(table_name):  # zero-batch stream
+        return spark.createDataFrame([], _OUTPUT_SCHEMA)
+    return store.read(table_name)

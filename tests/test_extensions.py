@@ -158,6 +158,58 @@ def test_ivf_search_matches_bruteforce_in_bucket(vectors, spark):
     assert all(r["vec_id"] < 5 for r in bf)  # all from cluster 0
 
 
+def test_ivf_search_nprobe_recovers_cross_bucket_neighbors(vectors, spark):
+    """A query between two clusters: nprobe=1 sees only its own
+    bucket; nprobe=2 must recover the true top-k (recall vs brute
+    force) by probing the runner-up centroid too."""
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "centroid_id long, cv array<float>",
+    )
+    # leans to cluster 0; with k=8 > bucket size the true top-k must
+    # take the 3 best of cluster 1 as well
+    query = spark.createDataFrame([([10.0, 9.0, 0.0],)], "qv array<double>")
+    bf = {r["vec_id"] for r in brute_force_topk(vectors, query, k=8).collect()}
+    one = {
+        r["vec_id"]
+        for r in ivf_search(vectors, centroids, query, k=8, nprobe=1).collect()
+    }
+    two = {
+        r["vec_id"]
+        for r in ivf_search(vectors, centroids, query, k=8, nprobe=2).collect()
+    }
+    assert bf & {5, 6, 7, 8, 9}  # brute force really spans two clusters
+    assert len(one & bf) < len(bf)  # single probe misses the other bucket
+    assert len(two & bf) / len(bf) >= 0.99  # recall@8 with nprobe=2
+
+
+def test_hyperplane_neardup_finds_planted_pair(spark):
+    from fabric_claims_spark.extensions.similarity import (
+        hyperplane_neardup_pairs,
+        hyperplanes,
+    )
+
+    rng_rows = []
+    # two near-identical vectors + unrelated noise vectors
+    base = [1.0, 2.0, -1.0, 0.5] * 16
+    near = [x * 1.01 for x in base]
+    rng_rows.append((0, [float(x) for x in base]))
+    rng_rows.append((1, [float(x) for x in near]))
+    for i in range(2, 12):
+        rng_rows.append(
+            (i, [float(((i * 37 + j * 17) % 19) - 9) for j in range(64)])
+        )
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in hyperplane_neardup_pairs(df, 0.9, hyperplanes(64)).collect()
+    }
+    # a scaled copy has cosine 1.0 and identical hyperplane signs —
+    # LSH blocking cannot separate it
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= 0.999
+
+
 def test_multimodal_decode_stub_deterministic(docs):
     media = wrap_as_media(
         docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),

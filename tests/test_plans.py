@@ -5,6 +5,7 @@ pushed, scans stay pruned (SURVEY.md §4)."""
 import pytest
 
 from fabric_claims_spark.operators.joins import (
+    asof_join_backward,
     salted_groupby_count,
     salted_join_skewed_left,
 )
@@ -52,6 +53,35 @@ def test_incremental_slice_pushes_timestamp_filter(spark, registry):
     assert "PushedFilters" in plan and "GreaterThan(ts" in plan
 
 
+def test_jaccard_candidates_are_equi_joined(spark, registry):
+    """Prefix filtering must compile to hash/sort-merge equi-joins on
+    the rare-token key — a nested-loop or cartesian anywhere means the
+    pair space degenerated to all-pairs."""
+    plan = _plan(spark, registry["docs_jaccard_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_banded_join_is_equi(spark, registry):
+    plan = _plan(spark, registry["embeddings_neardup_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quartiles_avoid_global_data_window(spark, registry):
+    """NTILE must come from the distributed-selection operator (range
+    repartition + cut-point arithmetic), never a partitionless window
+    over the fact rows."""
+    plan = _plan(spark, registry["order_value_quartiles"].fn(spark, SF))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_ivf_assign_broadcasts_centroids(spark, registry):
+    plan = _plan(spark, registry["embeddings_ivf_assign"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_salted_groupby_matches_plain(spark):
     df = spark.range(0, 10000).selectExpr(
         "CASE WHEN id % 100 < 90 THEN 'hot' ELSE concat('k', id % 7) END AS k"
@@ -69,3 +99,26 @@ def test_salted_join_matches_plain(spark):
     plain = left.join(right, "k").count()
     salted = salted_join_skewed_left(left, right, "k").count()
     assert salted == plain
+
+
+def test_asof_null_value_columns_come_from_matched_row(spark):
+    """The matched right row's NULLs must surface as NULLs — carrying
+    value columns independently would skip the NULL cell and leak an
+    older row's value; and every asof_* column must come from the SAME
+    matched row (merge_asof / ASOF JOIN semantics)."""
+    left = spark.createDataFrame(
+        [(1, 10, "q1"), (1, 20, "q2")], "k int, ts int, probe string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a5", 50.0), (1, 15, None, None)],
+        "k int, ts int, name string, score double",
+    )
+    got = {
+        r["probe"]: (r["asof_name"], r["asof_score"])
+        for r in asof_join_backward(
+            left, right, key="k", ts="ts", right_value_cols=["name", "score"]
+        ).collect()
+    }
+    assert got["q1"] == ("a5", 50.0)  # only the ts=5 row qualifies
+    # ts=15 is the match for q2: its NULLs must NOT fall back to ts=5
+    assert got["q2"] == (None, None)

@@ -118,6 +118,66 @@ def test_partitioned_merge_prunes_and_hardlinks(spark, store, tmp_path):
     assert store.read("t").count() == 5
 
 
+def test_partitioned_merge_null_and_escaped_partition_values(spark, store):
+    """Null partition values land in __HIVE_DEFAULT_PARTITION__ and
+    special characters hive-escape on disk; neither may be BOTH
+    hardlinked from the old version AND rewritten from source
+    (duplicated rows), nor silently dropped."""
+    schema = "id int, month string, v string"
+    base = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, None, "n0"), (3, "a b:c", "e0"), (4, "2024-02", "b")],
+        schema,
+    )
+    store.merge("t", base, keys=["id"], partition_col="month")
+
+    # batch updates the null partition and the escaped partition
+    batch = spark.createDataFrame(
+        [(2, None, "n1"), (3, "a b:c", "e1"), (5, None, "n2")], schema
+    )
+    stats = store.merge("t", batch, keys=["id"], partition_col="month")
+    assert (stats.inserted, stats.updated) == (1, 2)
+
+    got = {r["id"]: (r["month"], r["v"]) for r in store.read("t").collect()}
+    assert got == {
+        1: ("2024-01", "a"),
+        2: (None, "n1"),
+        3: ("a b:c", "e1"),
+        4: ("2024-02", "b"),
+        5: (None, "n2"),
+    }
+    # no duplicated ids (the old hardlink+rewrite bug doubled rows)
+    assert store.read("t").count() == 5
+
+
+def test_vacuum_keeps_newest_versions_by_mtime(spark, store):
+    """Version names are random hex; retention must follow mtime, not
+    lexicographic name order — a recent-but-lexicographically-small
+    version must survive while an ancient lexicographically-large one
+    is pruned."""
+    import os
+
+    store.overwrite("t", _df(spark, [(1, "a", 1.0)]))
+    cur = store._current_version("t")
+    table_dir = os.path.join(store.root, "t")
+    # ancient version whose name sorts LAST, plus four recent ones
+    # whose names sort first
+    old_lexi_last = os.path.join(table_dir, "v_zzzzzzzzzzzz")
+    os.makedirs(old_lexi_last)
+    os.utime(old_lexi_last, (1_000_000, 1_000_000))
+    recent = [os.path.join(table_dir, f"v_aaaaaaaaaaa{i}") for i in range(4)]
+    for i, d in enumerate(recent):
+        os.makedirs(d)
+        os.utime(d, (2_000_000 + i, 2_000_000 + i))
+
+    store._vacuum("t", keep=cur)
+    left = {d for d in os.listdir(table_dir) if d.startswith("v_")}
+    assert cur in left
+    assert "v_zzzzzzzzzzzz" not in left  # oldest pruned despite name
+    # the three mtime-newest fakes survive (_KEEP_VERSIONS = 3)
+    assert {os.path.basename(d) for d in recent[1:]} <= left
+    assert os.path.basename(recent[0]) not in left
+
+
 def test_compact_preserves_data(spark, store):
     for i in range(5):
         store.append("t", _df(spark, [(i, "x", float(i))]))
