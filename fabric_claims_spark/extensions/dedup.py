@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Cross-engine universal-hash family for the DuckDB-oracle MinHash
@@ -92,33 +92,50 @@ def minhash_signatures(
     (cross-engine: one md5 per shingle + affine mod-P derivations,
     reproducible in DuckDB SQL so the driver gate can hash-check it).
     """
-    # Shingles are produced by exploding integer positions and slicing
-    # per-row with codegen'd expressions — NOT by exploding a
-    # transform()-built array (interpreted lambda eval is ~100× slower
-    # per element; see winnow_prints for the same lesson).
-    # No distinct: min() is idempotent under duplicate shingles, so the
-    # dedup shuffle would be pure overhead.
+    sh = _shingle_frame(df, id_col, text_col, k, shingle_unit)
+    mins = _minhash_mins(sh, num_hashes, hasher)
+    return mins.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int, shingle_unit: str
+) -> DataFrame:
+    """(doc, shingle) rows. Shingles are produced by exploding integer
+    positions and slicing per-row with codegen'd expressions — NOT by
+    exploding a transform()-built array (interpreted lambda eval is
+    ~100× slower per element; see winnow_prints for the same lesson).
+    No distinct: min() is idempotent under duplicate shingles, so the
+    dedup shuffle would be pure overhead."""
     text = F.col(text_col)
     if shingle_unit == "char":
         n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
-        sh = df.select(
+        return df.select(
             F.col(id_col).alias("doc"),
             text.alias("_t"),
             F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
         ).select("doc", F.col("_t").substr(F.col("pos"), F.lit(k)).alias("shingle"))
-    else:
-        toks = F.split(F.trim(text), r"\s+")
-        n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-        sh = df.select(
-            F.col(id_col).alias("doc"),
-            toks.alias("_toks"),
-            F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
-        ).select(
-            "doc",
-            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), F.lit(k))).alias(
-                "shingle"
-            ),
-        )
+    toks = F.split(F.trim(text), r"\s+")
+    n_sh = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(1), n_sh)).alias("pos"),
+    ).select(
+        "doc",
+        F.concat_ws(" ", F.slice(F.col("_toks"), F.col("pos"), F.lit(k))).alias(
+            "shingle"
+        ),
+    )
+
+
+def _minhash_mins(sh: DataFrame, num_hashes: int, hasher: str) -> DataFrame:
+    """Wide form of the signature matrix: (doc, h0..h{n-1}) — one row,
+    one column per slot. The wide layout keeps every downstream
+    compare/band expression in whole-stage codegen; the array form
+    exists only at the API edge (HOF lambdas over arrays evaluate
+    interpreted, ~100× slower per element)."""
     if hasher == "md5":
         sh = sh.select("doc", md5_long(F.col("shingle")).alias("_hb"))
         slot_cols = [
@@ -130,10 +147,7 @@ def minhash_signatures(
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    mins = sh.groupBy("doc").agg(*slot_cols)
-    return mins.select(
-        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    return sh.groupBy("doc").agg(*slot_cols)
 
 
 def lsh_candidate_pairs(
@@ -213,17 +227,85 @@ def minhash_near_dups(
     k: int = 5,
     shingle_unit: str = "char",
     hasher: str = "xxhash64",
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → band →
-    bucket-join → estimate → threshold."""
-    # Signatures feed both candidate generation and estimation — cache
-    # so the shingle scan + 64-way agg runs once (scan amortization,
+    bucket-join → estimate → threshold.
+
+    Runs on the WIDE signature layout throughout (h0..h63 columns):
+    band keys and the slot-equality sum are flat codegen expressions.
+    The array-based helpers above remain the public building blocks;
+    this composition avoids their per-pair interpreted HOF compare
+    (64 lambda evals × every candidate pair — measured 3× the whole
+    query's runtime at sf0.1).
+
+    ``bucket_cap`` drops band buckets holding more docs than the cap
+    before the self-join — the hot-bucket bomb guard. A bucket shared
+    by thousands of docs contributes C(n,2) candidate pairs yet almost
+    no discriminative signal (on this corpus one bucket held 1,562
+    docs = 1.2M of 1.6M candidates, none surviving the estimate);
+    every measured true pair also collides in a small bucket. None
+    disables the cap for exhaustive-recall runs."""
+    rows = num_hashes // bands
+    # mins feed both candidate generation and estimation — cache so
+    # the shingle scan + 64-way agg runs once (scan amortization,
     # same pattern as the bronze fan-out).
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, k, shingle_unit, hasher
+    mins = _minhash_mins(
+        _shingle_frame(df, id_col, text_col, k, shingle_unit), num_hashes, hasher
     ).cache()
-    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, hasher)
-    return estimated_jaccard(sigs, pairs).where(F.col("est_jaccard") >= threshold)
+    if hasher == "md5":
+        band_keys = [
+            F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    banded = mins.select(
+        "doc", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash")
+    )
+    if bucket_cap is not None:
+        w_bucket = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bs", F.count(F.lit(1)).over(w_bucket))
+            .where(F.col("_bs") <= bucket_cap)
+            .drop("_bs")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ma = mins.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)]
+    )
+    mb = mins.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)]
+    )
+    eq_sum = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq_sum.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
 
 
 # -- SimHash ------------------------------------------------------------------

@@ -88,6 +88,7 @@ def winnow_prints(
     text_col: str,
     k: int = 8,
     window: int = 4,
+    hasher: str = "xxhash64",
 ):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03) as (doc, fp) rows: rolling k-gram hashes, one minimum
@@ -109,6 +110,17 @@ def winnow_prints(
     # codegen'd expression. (Building the hash array inside a
     # transform() lambda looks natural but evaluates interpreted,
     # ~0.4 ms/element — 100× slower than whole-stage codegen.)
+    if hasher == "md5":
+        from fabric_claims_spark.extensions.dedup import md5_long
+
+        def _h(gram: Column) -> Column:
+            # cross-engine: DuckDB oracle reproduces this exactly
+            return md5_long(gram)
+    else:
+
+        def _h(gram: Column) -> Column:
+            return F.xxhash64(gram)
+
     pos_h = df.select(
         F.col(id_col).alias("doc"),
         n_sh.alias("_n"),
@@ -118,7 +130,7 @@ def winnow_prints(
         "doc",
         "_n",
         "pos",
-        F.xxhash64(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("h"),
+        _h(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("h"),
     )
     w = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
     return (
@@ -152,6 +164,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 8,
     max_doc_freq: int | None = 20,
+    hasher: str = "xxhash64",
 ):
     """Near-dup candidates from shared winnowing fingerprints: self-
     join the (small) fingerprint sets on fingerprint, count shared
@@ -163,7 +176,7 @@ def winnow_overlap_pairs(
     for near-dup evidence and quadratic join bombs (the classic hot-
     key skew) — this is the textual idf-cutoff analog of salting.
     """
-    prints = winnow_prints(df, id_col, text_col, k, window)
+    prints = winnow_prints(df, id_col, text_col, k, window, hasher)
     if max_doc_freq is not None:
         rare = (
             prints.groupBy("fp")

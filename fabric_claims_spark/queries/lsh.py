@@ -16,9 +16,11 @@ Signature vectors cross the gate as comma-joined strings: the
 driver's canonicalizer sorts columns with pandas and cannot hash
 list cells.
 
-Only ``docs_winnow_overlap`` remains rows-only (window-minima
-fingerprint selection has no tractable SQL twin); its semantic
-checks live in tests/test_extensions.py.
+Every query here is hash-checked — including the winnowing overlap
+pairs (k-gram hash → window MIN over positions → df-cutoff →
+pair-count, all expressible in SQL with the same md5 fold). The only
+rows-only query left in the whole registry is ``approx_aggregates``,
+whose sketch internals legitimately differ across engines.
 """
 
 from __future__ import annotations
@@ -72,7 +74,7 @@ def _signatures_oracle() -> str:
     """
 
 
-def _neardup_oracle(threshold: float = 0.5) -> str:
+def _neardup_oracle(threshold: float = 0.5, bucket_cap: int = 64) -> str:
     rows = _NUM_HASHES // _BANDS
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk FROM mins".format(
@@ -89,9 +91,15 @@ def _neardup_oracle(threshold: float = 0.5) -> str:
     {_sql_mins_cte()},
     bands AS (
       {band_selects}),
+    bands_capped AS (
+      SELECT doc, band_idx, bk FROM (
+        SELECT doc, band_idx, bk,
+               COUNT(*) OVER (PARTITION BY band_idx, bk) AS bs
+        FROM bands)
+      WHERE bs <= {bucket_cap}),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands_capped a JOIN bands_capped b
         ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc < b.doc),
     est AS (
       SELECT c.doc_a, c.doc_b,
@@ -151,18 +159,63 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash60_md5(docs, "doc_id", "text").orderBy("doc")
 
 
-@query("docs_winnow_overlap", oracle=None)
+def _winnow_oracle(
+    k: int = 16, window: int = 8, min_shared: int = 4, max_doc_freq: int = 10
+) -> str:
+    """DuckDB twin of extensions.text.winnow_overlap_pairs with
+    hasher='md5': same k-gram hash, same window minima (full windows
+    only + degenerate-doc branch), same distinct/df-cutoff/pair-count
+    pipeline."""
+    return f"""
+    WITH ph AS (
+      SELECT doc, n, pos,
+             ('0x' || substr(md5(substr(text, pos, {k})),1,15))::BIGINT AS h
+      FROM (
+        SELECT doc_id AS doc, text,
+               greatest(length(text) - {k - 1}, 1) AS n,
+               unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS pos
+        FROM documents)),
+    fps AS (
+      SELECT DISTINCT doc, fp FROM (
+        SELECT doc, pos, n,
+               MIN(h) OVER (PARTITION BY doc ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+        FROM ph)
+      WHERE pos <= n - {window} + 1
+      UNION
+      SELECT doc, MIN(h) AS fp FROM ph WHERE n <= {window} GROUP BY doc),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_doc_freq}),
+    pr AS (
+      SELECT f.doc, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           COUNT(*) AS shared_fingerprints
+    FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@query("docs_winnow_overlap", oracle=_winnow_oracle())
 def docs_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint overlap pairs (rolling k-gram hashes,
-    window minima — substring-overlap guarantee the MinHash estimate
-    lacks)."""
+    """Winnowing-fingerprint overlap pairs (k-gram hashes, window
+    minima — substring-overlap guarantee the MinHash estimate lacks).
+    md5 hasher so the DuckDB oracle hash-matches; prod default stays
+    xxhash64."""
     from fabric_claims_spark.extensions.text import winnow_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     # long grams + df-cutoff: this corpus's shared vocabulary makes
     # short substrings corpus-common (hot-key join bombs)
     return winnow_overlap_pairs(
-        docs, "doc_id", "text", k=16, window=8, min_shared=4, max_doc_freq=10
+        docs,
+        "doc_id",
+        "text",
+        k=16,
+        window=8,
+        min_shared=4,
+        max_doc_freq=10,
+        hasher="md5",
     ).orderBy("doc_a", "doc_b")
 
 
