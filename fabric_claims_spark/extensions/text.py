@@ -121,7 +121,9 @@ def winnow_prints(
         def _h(gram: Column) -> Column:
             return F.xxhash64(gram)
 
-    pos_h = df.select(
+    from fabric_claims_spark.operators.partitioning import spread
+
+    pos_h = spread(df).select(
         F.col(id_col).alias("doc"),
         n_sh.alias("_n"),
         text.alias("_t"),

@@ -88,7 +88,14 @@ def run_bronze_on_df(
     # (Spark restriction); the reference caches here too for the
     # multi-branch fan-out (NB_BRONZE:193-196).
     raw = raw.cache()
-    total_rows = raw.count()
+    # One aggregate pass materializes the cache AND yields both counts
+    # (total + malformed) — separate .count() actions would each cost a
+    # full pass whenever the cache is evicted or doesn't fit.
+    head = raw.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col(CORRUPT_COL).isNotNull().cast("long")).alias("malformed"),
+    ).first()
+    total_rows = int(head["total"])
 
     retention = lambda days: F.date_add(F.current_date(), days)  # noqa: E731
 
@@ -127,11 +134,24 @@ def run_bronze_on_df(
         "_rn", REASON_COL, "_has_violation"
     )
 
+    # Branch counts in ONE aggregate over the tagged cache (the three
+    # branch predicates are disjoint filters of the same rows); with
+    # the malformed count from the head aggregate this replaces four
+    # per-branch .count() jobs — at scale, four potential rescans.
+    tails = tagged.agg(
+        F.sum((F.col("_rn") > 1).cast("long")).alias("duplicates"),
+        F.sum(((F.col("_rn") == 1) & F.col("_has_violation")).cast("long")).alias(
+            "bad_quality"
+        ),
+        F.sum(((F.col("_rn") == 1) & ~F.col("_has_violation")).cast("long")).alias(
+            "valid"
+        ),
+    ).first()
     counts = {
-        "malformed": malformed.count(),
-        "duplicates": dupes.count(),
-        "bad_quality": bad.count(),
-        "valid": good.count(),
+        "malformed": int(head["malformed"] or 0),
+        "duplicates": int(tails["duplicates"] or 0),
+        "bad_quality": int(tails["bad_quality"] or 0),
+        "valid": int(tails["valid"] or 0),
     }
 
     store.append(MALFORMED_TABLE, malformed)

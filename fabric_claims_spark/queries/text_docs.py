@@ -258,8 +258,12 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    from fabric_claims_spark.operators.partitioning import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     t = d.select(
         "doc_id",
