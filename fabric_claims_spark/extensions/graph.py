@@ -1,0 +1,74 @@
+"""Distributed connected components over an edge list — the cluster
+step of a dedup pipeline (near-dup PAIRS are only evidence; acting on
+them needs components: every doc in a duplicate group mapped to one
+cluster id, one canonical survivor per cluster).
+
+Algorithm: iterative min-label propagation. Each round every node
+adopts the smallest label among itself and its neighbors; a round is
+one shuffle join + one aggregate, and the loop stops when no label
+changed. Rounds needed = component diameter — for dedup graphs
+components are near-cliques of copies of the same content (diameter
+1-3), so the loop converges in 2-4 rounds. For adversarial
+long-chain graphs the upgrade path is the alternating large-star /
+small-star contraction of Kiveris et al. (Connected Components in
+MapReduce, SoCC'14), which converges in O(log n) rounds with the
+same join primitive; propagation is kept here because dedup graphs
+never exhibit those chains and the constant factor per round is
+lower.
+
+Scale notes: the labels frame is localCheckpoint'd every round —
+without truncation the lineage doubles per iteration and the plan
+itself becomes the bottleneck (classic iterative-Spark pitfall). The
+convergence probe reads the already-materialized checkpoint, so it
+costs one cheap aggregate, not a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster) for every node appearing in ``edges``; cluster
+    is the minimum node id reachable from the node (deterministic
+    canonical label). Edges are treated as undirected."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round — never re-derive
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy("v")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
+            .select(
+                "node",
+                F.col("cluster").alias("_old"),
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", "cluster")
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("cluster") < F.col("_old")).limit(1).count()
+        labels = stepped.drop("_old")
+        if changed == 0:
+            break
+    return labels

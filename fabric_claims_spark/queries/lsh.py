@@ -74,7 +74,10 @@ def _signatures_oracle() -> str:
     """
 
 
-def _neardup_oracle(threshold: float = 0.5, bucket_cap: int = 64) -> str:
+def _neardup_ctes(bucket_cap: int = 64) -> str:
+    """CTE chain producing ``est(doc_a, doc_b, est_jaccard)`` — shared
+    by the pair query and the cluster query so both gates check the
+    exact same candidate pipeline."""
     rows = _NUM_HASHES // _BANDS
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk FROM mins".format(
@@ -86,8 +89,7 @@ def _neardup_oracle(threshold: float = 0.5, bucket_cap: int = 64) -> str:
     eq_sum = " + ".join(
         f"CAST(ma.h{i} = mb.h{i} AS INT)" for i in range(_NUM_HASHES)
     )
-    return f"""
-    WITH {_sql_shingles_cte()},
+    return f"""{_sql_shingles_cte()},
     {_sql_mins_cte()},
     bands AS (
       {band_selects}),
@@ -106,8 +108,39 @@ def _neardup_oracle(threshold: float = 0.5, bucket_cap: int = 64) -> str:
              CAST({eq_sum} AS DOUBLE) / {_NUM_HASHES} AS est_jaccard
       FROM cand c
       JOIN mins ma ON ma.doc = c.doc_a
-      JOIN mins mb ON mb.doc = c.doc_b)
+      JOIN mins mb ON mb.doc = c.doc_b)"""
+
+
+def _neardup_oracle(threshold: float = 0.5, bucket_cap: int = 64) -> str:
+    return f"""
+    WITH {_neardup_ctes(bucket_cap)}
     SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _dup_clusters_oracle(threshold: float = 0.5) -> str:
+    """Near-dup pairs → connected components via a recursive CTE
+    (min reachable label), the SQL twin of
+    extensions.graph.connected_components over the same edge set."""
+    return f"""
+    WITH RECURSIVE {_neardup_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {threshold}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (
+      SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+    SELECT node AS doc, cluster,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+             AS cluster_size,
+           CAST(node = cluster AS BIGINT) AS is_canonical
+    FROM comp
     """
 
 
@@ -148,6 +181,40 @@ def docs_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         hasher="md5",
     ).orderBy("doc_a", "doc_b")
+
+
+@query("docs_dup_clusters", oracle=_dup_clusters_oracle(0.5))
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: LSH near-dup pairs → connected
+    components → (doc, cluster, cluster_size, is_canonical). The
+    canonical doc (minimum id in its component) is the survivor a
+    keep-one-per-group dedup would retain; everything else is
+    droppable. Components via iterative min-label propagation
+    (extensions/graph.py — one shuffle join per round, rounds =
+    component diameter)."""
+    from fabric_claims_spark.extensions.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("cluster")
+    return (
+        comp.select(F.col("node").alias("doc"), "cluster")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "is_canonical", (F.col("doc") == F.col("cluster")).cast("long")
+        )
+        .orderBy("doc")
+    )
 
 
 @query("docs_simhash", oracle=_simhash_oracle())

@@ -364,3 +364,136 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches, schema="doc_id long, payload_bytes long, decoder string"
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson-Sparck Jones Okapi weighting) for a
+# fixed query over the corpus — the retrieval op of an LLM data
+# pipeline (sampling the most query-relevant documents at scale).
+# Shape: ONE aggregate pass computes corpus stats (N, avgdl, per-term
+# document frequencies), then a single projection scores every doc and
+# TakeOrderedAndProject keeps the top k — no shuffle beyond the stats
+# agg, no per-term joins (terms are pivoted into fixed columns).
+#
+# Cross-engine determinism: idf uses ln(), which differs by 1 ulp
+# between the JVM and libm (measured: ln(3.0)) — idf is snapped to
+# 6 dp in both engines, same as the cosine queries. Every other score
+# op is IEEE arithmetic written in the identical order on both sides;
+# sums of token counts are exact-integer doubles, so the stats are
+# order-independent. Score ties at the k boundary break on doc_id.
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 20
+
+
+def _bm25_oracle() -> str:
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    dfs = ",\n             ".join(
+        f"SUM(CAST(len(regexp_extract_all(t, '\\b{term}\\b')) > 0 AS BIGINT))"
+        f" AS df_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    idfs = ",\n             ".join(
+        f"ROUND(ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0), 6) AS idf_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    tfs = ",\n             ".join(
+        f"CAST(len(regexp_extract_all(d.t, '\\b{term}\\b')) AS DOUBLE) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"idf_{i} * (tf_{i} * {k1 + 1.0!r} / (tf_{i} + {k1!r} * "
+        f"({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_out = ", ".join(
+        f"CAST(tf_{i} AS BIGINT) AS tf_{term}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t,
+             CAST({_TOKEN_COUNT_SQL} AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {dfs}
+      FROM d),
+    idf AS (
+      SELECT avgdl,
+             {idfs}
+      FROM stats),
+    scored AS (
+      SELECT d.doc_id, d.dl, idf.*,
+             {tfs}
+      FROM d CROSS JOIN idf)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {tf_out},
+           {score} AS bm25_score
+    FROM scored
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("docs_bm25_topk", oracle=_bm25_oracle())
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    k1, b = _BM25_K1, _BM25_B
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
+        _token_count().cast("double").alias("dl"),
+    )
+    # one pass for corpus stats; scalars broadcast as literals
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum(
+                (F.regexp_count("t", F.lit(rf"\b{term}\b")) > 0).cast("long")
+            ).alias(f"df_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).first()
+    n = stats["n"]
+    avgdl = stats["sdl"] / stats["n"]  # same IEEE division as the oracle
+
+    tf_cols = [
+        F.regexp_count("t", F.lit(rf"\b{term}\b")).cast("double").alias(f"tf_{i}")
+        for i, term in enumerate(_BM25_TERMS)
+    ]
+    scored = d.select("doc_id", "dl", *tf_cols)
+
+    norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    score = None
+    for i, term in enumerate(_BM25_TERMS):
+        df_i = stats[f"df_{i}"]
+        idf_i = F.round(
+            F.log(F.lit((n - df_i + 0.5) / (df_i + 0.5) + 1.0)), 6
+        )
+        tfn = (F.col(f"tf_{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"tf_{i}") + F.lit(k1) * norm
+        )
+        term_score = idf_i * tfn
+        score = term_score if score is None else score + term_score
+
+    return (
+        scored.select(
+            "doc_id",
+            *[
+                F.col(f"tf_{i}").cast("long").alias(f"tf_{term}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
+            score.alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+    # reference note: retrieval is an extension beyond lkv971/
+    # fabric-claims (which has no text ops); it rounds out the LLM
+    # data-pipeline suite next to dedup and quality scoring.

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.queries import query
-from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.queries._util import dsum, money
 from fabric_claims_spark.sources.parquet import load_table
 
 
@@ -302,3 +302,50 @@ def calendar_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "MMMM").alias("month_name"),
         F.date_format(d, "EEEE").alias("day_name"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Dates drill hierarchy (SM/tables/Dates.tmdl:109-124: the report's
+# Year -> Month -> Day drill path) as an explicit three-level rollup:
+# every drill stop a report user can land on is one row, with
+# grouping flags identifying the level. Pre-aggregation happens at
+# day grain first, so the rollup's three grouping sets combine
+# day-level partials instead of rescanning fact rows per level.
+@query(
+    "dates_drill_hierarchy",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS drill_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS drill_month,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS drill_day,
+           CAST(GROUPING(EXTRACT(month FROM o_orderdate)) AS BIGINT) AS g_month,
+           CAST(GROUPING(EXTRACT(day FROM o_orderdate)) AS BIGINT) AS g_day,
+           COUNT(*) AS order_count,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS total_amount
+    FROM orders
+    GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate),
+                     EXTRACT(month FROM o_orderdate),
+                     EXTRACT(day FROM o_orderdate))
+    HAVING GROUPING(EXTRACT(year FROM o_orderdate)) = 0
+    """,
+)
+def dates_drill_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("drill_year"),
+        F.month("o_orderdate").cast("long").alias("drill_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("drill_day"),
+        money("o_totalprice").alias("_amt"),
+    )
+    return (
+        o.rollup("drill_year", "drill_month", "drill_day")
+        .agg(
+            F.grouping("drill_year").cast("long").alias("_g_year"),
+            F.grouping("drill_month").cast("long").alias("g_month"),
+            F.grouping("drill_day").cast("long").alias("g_day"),
+            F.count(F.lit(1)).alias("order_count"),
+            dsum(F.col("_amt")).alias("total_amount"),
+        )
+        # drop the grand-total row: the drill path starts at Year
+        .where(F.col("_g_year") == 0)
+        .drop("_g_year")
+    )

@@ -241,3 +241,40 @@ def test_frame_sample_plan(docs):
     frames = frame_sample_plan(media, every_n=30)
     assert frames.count() >= media.count()  # ≥1 frame per asset
     assert frames.where(F.col("frame_idx") % 30 != 0).count() == 0
+
+
+def test_connected_components_chain_triangle_isolated(spark):
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    # chain a-b-c-d (diameter 3: exercises multi-round propagation),
+    # triangle x-y-z, isolated pair p-q
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("b", "c"), ("c", "d"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("q", "p"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p",
+    }
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)],
+        "src string, dst string",
+    )
+    rows = connected_components(edges, "src", "dst").collect()
+    assert len(rows) == n + 1
+    assert {r["cluster"] for r in rows} == {"n00"}
