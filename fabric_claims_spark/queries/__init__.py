@@ -73,8 +73,6 @@ GATE_PRIORITY: list[str] = [
     "rollup_revenue_year_priority",
     "surrogate_date_key",
     "ytd_running_revenue",
-    "qtd_running_revenue",
-    "mtd_running_revenue",
     "yoy_monthly_revenue",
     "rolling_12m_revenue",
     "kpi_monthly_fulfillment_trend",
@@ -100,6 +98,8 @@ GATE_PRIORITY: list[str] = [
     "docs_jaccard_pairs",
     "docs_minhash_signatures",
     "docs_minhash_neardup",
+    "docs_dup_clusters",
+    "docs_bm25_topk",
     "docs_simhash",
     "multimodal_binary_metadata",
     "embeddings_knn_bruteforce",
@@ -108,6 +108,9 @@ GATE_PRIORITY: list[str] = [
     "embeddings_neardup_pairs",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
+    "qtd_running_revenue",
+    "mtd_running_revenue",
+    "dates_drill_hierarchy",
     "top3_orders_per_customer",
     "distinct_order_status",
     "order_value_percentiles",
