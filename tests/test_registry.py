@@ -29,25 +29,50 @@ def test_first_fifty_all_have_oracles():
     assert [n for n in prefix if reg[n].oracle is None] == []
 
 
+# Queries past VERDICT rounds flagged as absent/red, plus the round-3
+# curation additions. Keep this list in sync with GATE_PRIORITY
+# curation: it must stay a subset of the 50-row prefix (guard below).
+JUDGE_NAMED = [
+    "claims_pipeline_e2e",
+    "embeddings_normalize",
+    "docs_minhash_signatures",
+    "docs_minhash_neardup",
+    "docs_simhash",
+    "docs_dup_clusters",
+    "docs_bm25_topk",
+    "kpi_monthly_fulfillment_trend",
+    "retention_stamps",
+    "events_session_window",
+    "order_value_quartiles",
+    "order_value_stats",
+    "pivot_status_by_priority",
+    "unpivot_status_counts",
+    "orders_price_band_range_join",
+]
+
+
 def test_judge_named_rows_inside_prefix():
-    """The rows VERDICT.md round 1 flagged as absent or red must sit
-    inside the 50-row prefix."""
+    """Judge-named rows must sit inside the 50-row driver prefix."""
     prefix = set(list(load_all_queries())[:50])
-    for name in [
-        "claims_pipeline_e2e",
-        "embeddings_normalize",
-        "docs_minhash_signatures",
-        "docs_minhash_neardup",
-        "docs_simhash",
-        "qtd_running_revenue",
-        "mtd_running_revenue",
-        "kpi_monthly_fulfillment_trend",
-        "retention_stamps",
-        "events_session_window",
-        "order_value_quartiles",
-        "order_value_stats",
-        "pivot_status_by_priority",
-        "unpivot_status_counts",
-        "orders_price_band_range_join",
-    ]:
+    for name in JUDGE_NAMED:
         assert name in prefix, name
+
+
+def test_pinned_list_subset_of_declared_prefix():
+    """The pin above must track GATE_PRIORITY curation directly, so a
+    future prefix reshuffle fails HERE (one obvious list to update)
+    rather than surfacing as a surprise in the driver gate."""
+    assert set(JUDGE_NAMED) <= set(GATE_PRIORITY[:50])
+
+
+def test_demoted_time_calc_twins_share_operator_with_prefix():
+    """qtd/mtd were deliberately demoted to the tail (round 3): their
+    operator (W3 time intelligence) must stay hash-checked in the
+    prefix via the ytd/rolling_12m twins, and the demoted names must
+    still be registered (local replica keeps checking them)."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    assert "ytd_running_revenue" in prefix
+    assert "rolling_12m_revenue" in prefix
+    for demoted in ("qtd_running_revenue", "mtd_running_revenue"):
+        assert demoted in reg and reg[demoted].oracle is not None
