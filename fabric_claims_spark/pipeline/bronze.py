@@ -26,6 +26,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.operators.partitioning import spread
 from fabric_claims_spark.operators.quality import (
     REASON_COL,
     claims_rules,
@@ -81,9 +82,10 @@ def run_bronze_on_df(
     batch_id = batch_id or str(uuid.uuid4())
 
     # A single landing CSV parses into very few input partitions;
-    # redistribute once so the window/regex passes use every core.
-    parallelism = spark.sparkContext.defaultParallelism
-    raw = _lineage(raw_df, run_ts, batch_id).repartition(parallelism)
+    # spread() redistributes ONLY in that case — a many-split scan (the
+    # 100 TB landing) keeps its native partitioning instead of paying a
+    # full shuffle and being capped down to defaultParallelism.
+    raw = spread(_lineage(raw_df, run_ts, batch_id))
     # PERMISSIVE corrupt-column filters require materialization first
     # (Spark restriction); the reference caches here too for the
     # multi-branch fan-out (NB_BRONZE:193-196).

@@ -122,3 +122,30 @@ def test_asof_null_value_columns_come_from_matched_row(spark):
     assert got["q1"] == ("a5", 50.0)  # only the ts=5 row qualifies
     # ts=15 is the match for q2: its NULLs must NOT fall back to ts=5
     assert got["q2"] == (None, None)
+
+
+def test_spread_is_noop_on_already_parallel_scan(spark, tmp_path):
+    """The bronze landing path (and every generate-heavy operator)
+    guards parallelism with spread(); on a many-split scan — the
+    100 TB case — it must NOT inject a shuffle, and on a single-file
+    scan it must."""
+    from fabric_claims_spark.operators.partitioning import spread
+
+    many = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(4).write.parquet(many)
+    df = spark.read.parquet(many)
+    assert spread(df, min_partitions=4) is df  # no-op, not even a new plan
+    plan = _plan(spark, spread(df, min_partitions=64))
+    assert "Exchange RoundRobinPartitioning(64" in plan.replace("rebalance", "")
+
+
+def test_bronze_has_no_unconditional_repartition():
+    """Regression guard for bronze.py: the raw frame must go through
+    spread(), not a bare .repartition(defaultParallelism)."""
+    import inspect
+
+    from fabric_claims_spark.pipeline import bronze
+
+    src = inspect.getsource(bronze)
+    assert ".repartition(" not in src
+    assert "spread(" in src
