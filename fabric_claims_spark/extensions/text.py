@@ -180,13 +180,20 @@ def winnow_overlap_pairs(
     """
     prints = winnow_prints(df, id_col, text_col, k, window, hasher)
     if max_doc_freq is not None:
-        rare = (
+        # Broadcast the FREQUENT set, not the rare one: rare
+        # fingerprints are ~the whole corpus (unbounded — broadcasting
+        # them OOMs at scale), while fingerprints shared by more than
+        # max_doc_freq docs are by definition few (the hot keys, each
+        # covering > cutoff docs, so |frequent| ≤ total_prints/cutoff).
+        # A left_anti against the bounded hot set keeps exactly the
+        # rare prints without ever shuffling them.
+        frequent = (
             prints.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
+            .where(F.col("_df") > max_doc_freq)
             .select("fp")
         )
-        prints = prints.join(F.broadcast(rare), "fp")
+        prints = prints.join(F.broadcast(frequent), "fp", "left_anti")
     a, b = prints.alias("a"), prints.alias("b")
     return (
         a.join(
