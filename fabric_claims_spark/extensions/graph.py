@@ -25,8 +25,16 @@ costs one cheap aggregate, not a recompute.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation exhausts max_iter with labels
+    still changing — returning the partial labels would silently
+    split >max_iter-diameter components into multiple clusters."""
 
 
 def connected_components(
@@ -34,41 +42,74 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """(node, cluster) for every node appearing in ``edges``; cluster
     is the minimum node id reachable from the node (deterministic
-    canonical label). Edges are treated as undirected."""
+    canonical label). Edges are treated as undirected.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (survives executor
+    loss — the cluster-production mode) instead of ``localCheckpoint``
+    (executor-memory blocks; an executor loss mid-loop kills the job,
+    acceptable only single-node or for interactive runs).
+
+    ``on_exhaustion``: ``"raise"`` (default) raises ConvergenceError
+    if labels are still changing after ``max_iter`` rounds; ``"warn"``
+    emits a RuntimeWarning and returns the partial labels. Dedup
+    graphs (near-clique components, diameter 1-3) converge in 2-4
+    rounds, so exhaustion signals an adversarial graph that needs the
+    O(log n) large-star/small-star contraction instead — never a
+    condition to paper over."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round — never re-derive
+    sym = _ckpt(  # reused every round — never re-derive
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["u"] == labels["node"])
             .groupBy("v")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["v"], "left")
-            .select(
+        stepped = _ckpt(
+            labels.join(nbr_min, labels["node"] == nbr_min["v"], "left").select(
                 "node",
                 F.col("cluster").alias("_old"),
                 F.least(
                     F.col("cluster"), F.coalesce("nbr_cluster", "cluster")
                 ).alias("cluster"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = stepped.where(F.col("cluster") < F.col("_old")).limit(1).count()
         labels = stepped.drop("_old")
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter — raise max_iter or use "
+            "star-contraction for long-chain graphs"
+        )
+        if on_exhaustion == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise ConvergenceError(msg)
     return labels

@@ -278,3 +278,52 @@ def test_connected_components_converges_on_long_chain(spark):
     rows = connected_components(edges, "src", "dst").collect()
     assert len(rows) == n + 1
     assert {r["cluster"] for r in rows} == {"n00"}
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    from fabric_claims_spark.extensions.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    # diameter-10 chain cannot converge in 2 rounds of min-label
+    # propagation — partial labels must never be returned silently
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)],
+        "src string, dst string",
+    )
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iter=2)
+
+
+def test_connected_components_warn_mode_returns_partial(spark):
+    import warnings
+
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)],
+        "src string, dst string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = connected_components(
+            edges, "src", "dst", max_iter=2, on_exhaustion="warn"
+        ).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len(rows) == 11  # partial labels still cover every node
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            edges, "src", "dst", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
