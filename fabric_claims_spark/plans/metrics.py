@@ -91,12 +91,55 @@ def report_query(
     return df.groupBy(*dims).agg(*measures(measure_names))
 
 
+# -- Claim Status calculation group -----------------------------------------
+STATUS_ITEMS = ["Approved", "Denied", "Pending"]  # Claim Status.tmdl:9-13
+ALL_ITEM = "All"  # Claim Status.tmdl:7
+
+
+def with_status_calc(
+    fact: DataFrame,
+    status_col: str = "ClaimStatus",
+    items: list[str] | None = None,
+    item_col: str = "claim_status",
+) -> DataFrame:
+    """The Claim Status calculation group (SM_Claims.SemanticModel/
+    definition/tables/Claim Status.tmdl:5-13): ``All`` =
+    SELECTEDMEASURE(); Approved/Denied/Pending = CALCULATE(
+    SELECTEDMEASURE(), KEEPFILTERS(Claims[Status] = item)) — the items
+    apply to ANY selected measure, unlike the per-status measure twins
+    (A9) which hard-wire one measure each.
+
+    Spark-first realization: rather than re-aggregating the fact once
+    per calc item (N full passes), expand each fact row into the items
+    it feeds — ``All`` plus its own status when that status is an item
+    — then aggregate ONCE with ``item_col`` added to the grouping.
+    This is Catalyst's Expand (grouping-sets) strategy by hand: one
+    shuffle, map-side partial aggregation, ≤2× pre-shuffle rows, and
+    it stays correct for non-additive measures (DISTINCTCOUNT) since
+    each group aggregates its own constituent rows. KEEPFILTERS
+    semantics hold because the expansion composes with, not replaces,
+    whatever slicer filters are already on ``fact``.
+
+    Compose: ``report_query(with_status_calc(star), dims + ["claim_
+    status"], ms)`` for visuals; ``with_time_calc(..., extra_keys=
+    ["claim_status"])`` to stack both calc groups (precedence 1 then
+    0, as in the model)."""
+    items = STATUS_ITEMS if items is None else items
+    own = F.col(status_col)
+    expanded = fact.withColumn(
+        item_col,
+        F.explode(F.array(F.lit(ALL_ITEM), F.when(own.isin(items), own))),
+    )
+    return expanded.where(F.col(item_col).isNotNull())
+
+
 # -- Time Calculation calc group (W3) ---------------------------------------
 def with_time_calc(
     monthly: DataFrame,
     value_col: str,
     year_col: str = "Year",
     month_col: str = "Month",
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Adds the calc-group items as columns over a month-grain frame:
     YTD (running), QTD (running within quarter), MTD, LY (same period
@@ -111,32 +154,40 @@ def with_time_calc(
 
     Pre-aggregate to month grain FIRST (cheap frame), then window —
     never window over fact rows (SURVEY.md §7.4).
+
+    ``extra_keys``: slice columns (e.g. the ``claim_status`` calc-item
+    column from ``with_status_calc``) — every window partitions by
+    them and the LY self-join matches within them, so each slice gets
+    its own independent time series. This is how the model's two calc
+    groups stack (status precedence 1 applies inside each time item).
     """
+    extra = list(extra_keys or [])
     epoch_month = F.col(year_col) * 12 + F.col(month_col)
     quarter = ((F.col(month_col) - 1) / 3).cast("long") + 1
     df = monthly.withColumn("_em", epoch_month).withColumn("_qtr", quarter)
 
     w_ytd = (
-        Window.partitionBy(year_col)
+        Window.partitionBy(*extra, year_col)
         .orderBy(month_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_qtd = (
-        Window.partitionBy(year_col, "_qtr")
+        Window.partitionBy(*extra, year_col, "_qtr")
         .orderBy(month_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_l12 = Window.orderBy("_em").rangeBetween(-11, 0)
+    w_l12 = Window.partitionBy(*extra).orderBy("_em").rangeBetween(-11, 0)
 
     cur = df.alias("cur")
     prev = df.alias("prev")
+    ly_cond = (
+        (F.col(f"prev.{year_col}") == F.col(f"cur.{year_col}") - 1)
+        & (F.col(f"prev.{month_col}") == F.col(f"cur.{month_col}"))
+    )
+    for k in extra:
+        ly_cond = ly_cond & F.col(f"prev.{k}").eqNullSafe(F.col(f"cur.{k}"))
     ly = (
-        cur.join(
-            prev,
-            (F.col(f"prev.{year_col}") == F.col(f"cur.{year_col}") - 1)
-            & (F.col(f"prev.{month_col}") == F.col(f"cur.{month_col}")),
-            "left",
-        )
+        cur.join(prev, ly_cond, "left")
         .select(
             *[F.col(f"cur.{c}").alias(c) for c in df.columns],
             F.col(f"prev.{value_col}").alias(f"{value_col}_ly"),

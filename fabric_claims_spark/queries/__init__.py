@@ -73,8 +73,8 @@ GATE_PRIORITY: list[str] = [
     "rollup_revenue_year_priority",
     "surrogate_date_key",
     "ytd_running_revenue",
-    "yoy_monthly_revenue",
     "rolling_12m_revenue",
+    "status_calc_order_amounts",
     "kpi_monthly_fulfillment_trend",
     "calendar_attributes",
     "retention_stamps",
@@ -108,12 +108,13 @@ GATE_PRIORITY: list[str] = [
     "embeddings_neardup_pairs",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
-    # qtd/mtd demoted (round 3) to make prefix room for the dedup
-    # flagships: their driver hash rows are traded for local-replica
-    # coverage, and W3 stays driver-checked via ytd/rolling_12m
-    # (guarded by tests/test_registry.py).
+    # qtd/mtd demoted (round 3) and yoy (round 4, for the Claim Status
+    # calc group row): their driver hash rows are traded for
+    # local-replica coverage, and W3 stays driver-checked via
+    # ytd/rolling_12m (guarded by tests/test_registry.py).
     "qtd_running_revenue",
     "mtd_running_revenue",
+    "yoy_monthly_revenue",
     "dates_drill_hierarchy",
     "top3_orders_per_customer",
     "distinct_order_status",

@@ -245,6 +245,58 @@ def conditional_status_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# Claim Status calculation group (SM_Claims.SemanticModel/definition/
+# tables/Claim Status.tmdl:5-13): All/Approved/Denied/Pending items
+# applied to a *selection* of measures — realized as one Expand-style
+# pass via plans.metrics.with_status_calc (order statuses F/O/P play
+# the claim statuses). Single shuffle, any measure, incl. non-additive
+# DISTINCTCOUNT.
+@query(
+    "status_calc_order_amounts",
+    oracle="""
+    WITH expanded AS (
+      SELECT o_orderpriority, o_custkey, o_totalprice, 'All' AS calc_item
+      FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_custkey, o_totalprice,
+             CASE o_orderstatus WHEN 'F' THEN 'Fulfilled'
+                                WHEN 'O' THEN 'Open'
+                                WHEN 'P' THEN 'Pending' END
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P'))
+    SELECT o_orderpriority, calc_item,
+      COUNT(*) AS total_orders,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_amount,
+      COUNT(DISTINCT o_custkey) AS unique_customers
+    FROM expanded
+    GROUP BY o_orderpriority, calc_item
+    """,
+)
+def status_calc_order_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.plans.metrics import with_status_calc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_custkey",
+        money("o_totalprice").alias("_amt"),
+        F.when(F.col("o_orderstatus") == "F", "Fulfilled")
+        .when(F.col("o_orderstatus") == "O", "Open")
+        .when(F.col("o_orderstatus") == "P", "Pending")
+        .alias("_status"),
+    )
+    expanded = with_status_calc(
+        o,
+        status_col="_status",
+        items=["Fulfilled", "Open", "Pending"],
+        item_col="calc_item",
+    )
+    return expanded.groupBy("o_orderpriority", "calc_item").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        dsum(F.col("_amt")).alias("total_amount"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A3 — single-column DISTINCT domain views (WH_VIEWS/DistinctClaimStatus
 # .sql:4-6 and 6 siblings).
 @query(

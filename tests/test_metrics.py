@@ -126,3 +126,80 @@ def test_star_builder_no_duplicate_keys(spark, claims):
     assert joined.columns.count("PatientID") == 1
     assert joined.count() == 6
     assert joined.where(F.col("PatientGender").isNull()).count() == 0
+
+
+def test_status_calc_group_all_and_items(claims):
+    """Claim Status calc group (Claim Status.tmdl:5-13): All recomputes
+    the selected measures unfiltered; each item under KEEPFILTERS —
+    including a non-additive DISTINCTCOUNT — and non-item statuses
+    ('Partial') feed only All."""
+    from fabric_claims_spark.plans.metrics import with_status_calc
+
+    out = {
+        r["claim_status"]: r
+        for r in report_query(
+            with_status_calc(claims),
+            dims=["claim_status"],
+            measure_names=["total_claims", "total_amount", "unique_patients"],
+        ).collect()
+    }
+    assert set(out) == {"All", "Approved", "Denied", "Pending"}
+    assert out["All"]["total_claims"] == 6
+    assert out["All"]["total_amount"] == 2100.0
+    assert out["All"]["unique_patients"] == 4
+    assert out["Approved"]["total_claims"] == 3
+    assert out["Approved"]["total_amount"] == 900.0
+    assert out["Approved"]["unique_patients"] == 3  # p1,p2,p3 — not 3 rows' worth
+    assert out["Pending"]["total_claims"] == 1
+    assert out["Denied"]["total_amount"] == 200.0
+
+
+def test_status_calc_keepfilters_composes_with_slicers(claims):
+    """KEEPFILTERS = intersect with existing filter context: slicer
+    Type=Routine ∧ item Approved must yield only c1."""
+    from fabric_claims_spark.plans.metrics import with_status_calc
+
+    out = {
+        r["claim_status"]: r
+        for r in report_query(
+            with_status_calc(claims),
+            dims=["claim_status"],
+            measure_names=["total_claims", "total_amount"],
+            slicers=F.col("ClaimType") == "Routine",
+        ).collect()
+    }
+    assert out["All"]["total_claims"] == 2  # c1, c4
+    assert out["Approved"]["total_amount"] == 100.0  # just c1
+    assert "Denied" not in out  # no Routine+Denied rows anywhere
+
+
+def test_status_calc_stacks_with_time_calc(claims):
+    """Both calc groups together: each status slice gets its own
+    independent YTD/LY series (extra_keys partitioning)."""
+    from fabric_claims_spark.plans.metrics import with_status_calc
+
+    monthly = (
+        with_status_calc(claims)
+        .groupBy(
+            "claim_status",
+            F.year("ClaimDate").alias("Year"),
+            F.month("ClaimDate").alias("Month"),
+        )
+        .agg(F.sum("ClaimAmount").alias("amount"))
+    )
+    out = {
+        (r["claim_status"], r["Year"], r["Month"]): r
+        for r in with_time_calc(
+            monthly, "amount", extra_keys=["claim_status"]
+        ).collect()
+    }
+    # Approved: 2023 = 100 (Jan) + 300 (Feb); 2024 = 500 (Feb)
+    assert out[("Approved", 2023, 2)]["amount_ytd"] == 400.0
+    assert out[("Approved", 2024, 2)]["amount_ly"] == 300.0
+    # All slice reproduces the unsliced series
+    assert out[("All", 2023, 2)]["amount_ytd"] == 600.0
+    assert out[("All", 2024, 2)]["amount_ly"] == 500.0
+    # Pending exists only in 2024 → its LY is NULL, not another slice's
+    assert out[("Pending", 2024, 1)]["amount_ly"] is None
+    # L12M stays within the slice: Mar-2023..Feb-2024 Approved = just 500
+    assert out[("Approved", 2024, 2)]["amount_l12m"] == 500.0

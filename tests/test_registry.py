@@ -66,13 +66,19 @@ def test_pinned_list_subset_of_declared_prefix():
 
 
 def test_demoted_time_calc_twins_share_operator_with_prefix():
-    """qtd/mtd were deliberately demoted to the tail (round 3): their
-    operator (W3 time intelligence) must stay hash-checked in the
-    prefix via the ytd/rolling_12m twins, and the demoted names must
-    still be registered (local replica keeps checking them)."""
+    """qtd/mtd (round 3) and yoy (round 4) were deliberately demoted
+    to the tail: their operator (W3 time intelligence) must stay
+    hash-checked in the prefix via the ytd/rolling_12m twins, and the
+    demoted names must still be registered with oracles (the local
+    replica keeps checking them)."""
     reg = load_all_queries()
     prefix = set(list(reg)[:50])
     assert "ytd_running_revenue" in prefix
     assert "rolling_12m_revenue" in prefix
-    for demoted in ("qtd_running_revenue", "mtd_running_revenue"):
+    assert "status_calc_order_amounts" in prefix  # what yoy made room for
+    for demoted in (
+        "qtd_running_revenue",
+        "mtd_running_revenue",
+        "yoy_monthly_revenue",
+    ):
         assert demoted in reg and reg[demoted].oracle is not None
