@@ -273,9 +273,15 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n", F.size("toks"))
     t = t.cache()  # feeds prefix generation AND pair verification
 
-    # global token rarity (one map-side-combined shuffle on token)
+    # global token rarity, computed as a count-over-partition window on
+    # the SAME exploded frame that feeds the rank below — one shuffle
+    # on tok, straight into the doc_id rank shuffle. (The agg+join
+    # form pays an extra full pass: groupBy shuffle, then the exploded
+    # frame shuffles AGAIN on tok for the join. Skew parity: a hot
+    # token loads one window partition exactly as it loads one join
+    # partition; the df-rank prefix then discards it either way.)
     tok = t.select("doc_id", "lang", "source", "n", F.explode("toks").alias("tok"))
-    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_df = Window.partitionBy("tok")
 
     # rank each doc's tokens rarest-first; keep the prefix. Prefix
     # length uses integer arithmetic: ⌈0.8n⌉ = (4n+4) div 5 — a float
@@ -283,7 +289,7 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortening the prefix and silently dropping true pairs.
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     prefix = (
-        tok.join(df_counts, "tok")
+        tok.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("n") - ((F.col("n") * 4 + 4) / 5).cast("long") + 1)
         .select("doc_id", "lang", "source", "tok")
