@@ -73,7 +73,6 @@ GATE_PRIORITY: list[str] = [
     "rollup_revenue_year_priority",
     "surrogate_date_key",
     "ytd_running_revenue",
-    "rolling_12m_revenue",
     "status_calc_order_amounts",
     "kpi_monthly_fulfillment_trend",
     "calendar_attributes",
@@ -101,6 +100,7 @@ GATE_PRIORITY: list[str] = [
     "docs_dup_clusters",
     "docs_bm25_topk",
     "docs_simhash",
+    "docs_simhash_neardup",
     "multimodal_binary_metadata",
     "embeddings_knn_bruteforce",
     "embeddings_ivf_assign",
@@ -108,13 +108,22 @@ GATE_PRIORITY: list[str] = [
     "embeddings_neardup_pairs",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
-    # qtd/mtd demoted (round 3) and yoy (round 4, for the Claim Status
-    # calc group row): their driver hash rows are traded for
-    # local-replica coverage, and W3 stays driver-checked via
-    # ytd/rolling_12m (guarded by tests/test_registry.py).
+    # qtd/mtd demoted (round 3), yoy (round 4, for the Claim Status
+    # calc group row) and rolling_12m (round 4, for the SimHash pair
+    # generator): their driver hash rows are traded for local-replica
+    # coverage, and W3 stays driver-checked via ytd (guarded by
+    # tests/test_registry.py).
     "qtd_running_revenue",
     "mtd_running_revenue",
     "yoy_monthly_revenue",
+    "rolling_12m_revenue",
+    # round-4 additions past the 50-row cap — every one has an oracle
+    # and is verified by tools/check_correctness.py + the judge's
+    # local replay (same hash gate, no driver row).
+    "docs_chunk_split",
+    "docs_pack_sequences",
+    "scd2_customer_history",
+    "embeddings_ivf_search",
     "dates_drill_hierarchy",
     "top3_orders_per_customer",
     "distinct_order_status",

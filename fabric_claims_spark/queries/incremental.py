@@ -177,3 +177,76 @@ def incremental_slice_after_watermark(spark: SparkSession, sf_dir: str) -> DataF
             F.countDistinct("user_id").alias("active_users"),
         )
     )
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension history (operators/scd2.py) as a hash-checked
+# query: snapshot 1 loads ~90% of customers, snapshot 2 re-delivers
+# all of them with a deterministic attribute change (negative-balance
+# members move to segment 'MIGRATED') — so the resulting history
+# exercises all three SCD2 arms at once: unchanged members keep their
+# open row, changed members get a closed row + a new version, and the
+# held-out 10% arrive as brand-new members. The oracle reconstructs
+# the exact same history declaratively.
+_SCD2_T0 = "2024-01-01 00:00:00"
+_SCD2_T1 = "2024-04-01 00:00:00"
+
+
+@query(
+    "scd2_customer_history",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '{_SCD2_T0}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(1 AS BIGINT) AS is_current
+    FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal >= 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '{_SCD2_T0}', TIMESTAMP '{_SCD2_T1}', 0
+    FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal < 0
+    UNION ALL
+    SELECT c_custkey, 'MIGRATED',
+           TIMESTAMP '{_SCD2_T1}', CAST(NULL AS TIMESTAMP), 1
+    FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal < 0
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'MIGRATED' ELSE c_mktsegment END,
+           TIMESTAMP '{_SCD2_T1}', CAST(NULL AS TIMESTAMP), 1
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from fabric_claims_spark.operators.scd2 import IS_CURRENT, scd2_apply
+    from fabric_claims_spark.sources.merge import TableStore
+
+    cust = load_table(spark, sf_dir, "customer")
+    snap1 = cust.where(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    snap2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+
+    # workspace outlives this function (the returned frame reads the
+    # store lazily; the driver collects later) — reclaimed at exit.
+    work = tempfile.mkdtemp(prefix="scd2_history_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = TableStore(spark, work)
+    t0 = datetime.fromisoformat(_SCD2_T0)
+    t1 = datetime.fromisoformat(_SCD2_T1)
+    scd2_apply(store, "dim_customer", snap1, "c_custkey", ["c_mktsegment"], t0)
+    scd2_apply(store, "dim_customer", snap2, "c_custkey", ["c_mktsegment"], t1)
+    return store.read("dim_customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+        F.col(IS_CURRENT).cast("long").alias("is_current"),
+    )

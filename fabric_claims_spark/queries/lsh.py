@@ -144,14 +144,16 @@ def _dup_clusters_oracle(threshold: float = 0.5) -> str:
     """
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes() -> str:
+    """CTE chain ending in ``sh(doc, simhash)`` — the DuckDB twin of
+    extensions.dedup.simhash60_md5, shared by the signature query and
+    the Hamming-banded pair query."""
     votes = ",\n        ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(60)
     )
     acc = " + ".join(f"CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END" for i in range(60))
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id AS doc,
              unnest(string_split_regex(trim(text), '\s+')) AS tok
       FROM documents),
@@ -160,8 +162,53 @@ def _simhash_oracle() -> str:
     votes AS (
       SELECT doc,
         {votes}
-      FROM hs GROUP BY doc)
-    SELECT doc, CAST({acc} AS BIGINT) AS simhash FROM votes
+      FROM hs GROUP BY doc),
+    sh AS (
+      SELECT doc, CAST({acc} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_ctes()}
+    SELECT doc, simhash FROM sh
+    """
+
+
+_SH_BANDS = 4
+_SH_BITS = 15
+_SH_MAX_HAMMING = 3
+_SH_BUCKET_CAP = 64
+
+
+def _simhash_neardup_oracle() -> str:
+    """DuckDB twin of extensions.dedup.simhash_band_pairs over the
+    simhash60_md5 signatures (same banding, same bucket cap, same
+    exact-Hamming verify)."""
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, "
+        f"(simhash >> {b * _SH_BITS}) & {2**_SH_BITS - 1} AS bv FROM sh"
+        for b in range(_SH_BANDS)
+    )
+    return f"""
+    WITH {_simhash_ctes()},
+    bnd AS (
+      {band_selects}),
+    capped AS (
+      SELECT doc, band_idx, bv FROM (
+        SELECT doc, band_idx, bv,
+               COUNT(*) OVER (PARTITION BY band_idx, bv) AS bs
+        FROM bnd)
+      WHERE bs <= {_SH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc < b.doc)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sh x ON x.doc = c.doc_a
+    JOIN sh y ON y.doc = c.doc_b
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SH_MAX_HAMMING}
     """
 
 
@@ -224,6 +271,28 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions.dedup.simhash64."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash60_md5(docs, "doc_id", "text").orderBy("doc")
+
+
+@query("docs_simhash_neardup", oracle=_simhash_neardup_oracle())
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-distance LSH banding: the
+    60-bit signature is cut into 4×15-bit chunks; pigeonhole
+    guarantees every pair at Hamming ≤ 3 shares a chunk, so the
+    self-join is keyed on (band, chunk-value) with the same hot-bucket
+    cap as the MinHash path (extensions.dedup.simhash_band_pairs).
+    Completes the dedup family: exact → MinHash (set overlap) →
+    SimHash (bit-level drift) → Jaccard-verified pairs."""
+    from fabric_claims_spark.extensions.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    return simhash_band_pairs(
+        sigs,
+        bands=_SH_BANDS,
+        bits=_SH_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        bucket_cap=_SH_BUCKET_CAP,
+    ).orderBy("doc_a", "doc_b")
 
 
 def _winnow_oracle(

@@ -237,3 +237,109 @@ def embeddings_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hyperplane_neardup_pairs(emb, _NEARDUP_THRESHOLD, _hp_planes())
+
+# --------------------------------------------------------------------------
+# IVF search: the full ANN read path — route the query vector to its
+# nprobe=2 nearest centroid buckets, brute-force only inside them
+# (extensions/similarity.ivf_search semantics, written inline so
+# every similarity rounds to 6dp for cross-engine parity). The scan
+# side only ever scores K centroids per vector (assignment) and the
+# probed ~2/K of the corpus (search) — at 100 TB with persisted
+# bucketed assignments the probe is a partition-pruned read, not a
+# full scan. The approximate result itself is hash-checked: the
+# oracle replicates routing, bucketing, and scoring exactly.
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 10
+
+
+@query(
+    "embeddings_ivf_search",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, centroid_id AS assigned_centroid FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_dot_product(e.ev, c.cv)
+                     / (sqrt(list_dot_product(e.ev, e.ev))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM e, cent c)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM cent c, q)
+      ORDER BY sim DESC, centroid_id ASC LIMIT {_IVF_NPROBE})
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.ev, q.qv)
+                 / (sqrt(list_dot_product(e.ev, e.ev))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON a.assigned_centroid = p.centroid_id, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT {_IVF_TOPK}
+    """,
+)
+def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+
+    # coarse assignment: broadcast K centroids, argmax per vector
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("assigned_centroid"))
+    )
+
+    # query routing: nprobe nearest centroids (K-row frame, trivially
+    # collected into a broadcast)
+    probe = (
+        cent.join(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+        .limit(_IVF_NPROBE)
+        .select("centroid_id")
+    )
+
+    # probed-bucket brute force (TakeOrderedAndProject, no global sort)
+    return (
+        e.where(F.col("vec_id") != 0)
+        .join(assign, "vec_id")
+        .join(
+            F.broadcast(probe),
+            F.col("assigned_centroid") == F.col("centroid_id"),
+        )
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(_IVF_TOPK)
+    )

@@ -339,6 +339,140 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Context-window chunking: split every document into fixed token
+# windows with overlap (chunk 32, stride 24 → 8-token overlap) — the
+# standard pre-training/RAG preprocessing step that turns variable-
+# length documents into model-sized pieces. Pure Catalyst: sequence()
+# generates chunk starts, posexplode fans them out, slice() cuts the
+# token array — no UDF, no shuffle at all (narrow map over the scan).
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "docs_chunk_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    ch AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), {_STRIDE})) AS chunk_start
+      FROM t)
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start,
+                               least(chunk_start + {_CHUNK} - 1, len(toks))))
+                AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(toks, chunk_start,
+                                      least(chunk_start + {_CHUNK} - 1, len(toks))),
+                           ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def docs_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    ch = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE))).alias(
+            "chunk_idx", "chunk_start"
+        ),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), _CHUNK)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign every document a (pack_id, pack_offset) in
+# the concatenated token stream cut at a fixed context budget — the
+# batch-shaping step that turns a shuffled corpus into fixed-size
+# training sequences. The global running sum is computed scale-safely:
+# per-shard window cumsum + a cumsum over the (tiny, shard-count-row)
+# shard-totals frame broadcast back — the classic two-phase prefix
+# sum, NOT a single-partition global window (which would serialize
+# 100 TB through one task).
+_PACK_BUDGET = 256
+_PACK_SHARD = 512
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST({_TOKEN_COUNT_SQL} AS BIGINT) AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM t)
+    SELECT doc_id, tokens,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS pack_offset,
+           CAST((cum_before + greatest(tokens, 1) - 1) // {_PACK_BUDGET}
+                > cum_before // {_PACK_BUDGET} AS BIGINT) AS spans_packs
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", _token_count().alias("tokens")
+    ).withColumn("shard", F.floor(F.col("doc_id") / _PACK_SHARD).cast("long"))
+
+    # phase 1: cumsum within each shard (parallel, bounded partitions)
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("cum_in", F.coalesce(F.sum("tokens").over(w_in), F.lit(0)))
+
+    # phase 2: shard offsets — one row per shard (corpus/512 rows), so
+    # the unpartitioned window is over a provably tiny frame, then
+    # broadcast back (no shuffle of the doc-sized side).
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("shard")
+        .agg(F.sum("tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_offset", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0))
+        )
+        .select("shard", "shard_offset")
+    )
+
+    cum_before = F.col("shard_offset") + F.col("cum_in")
+    pack_id = F.floor(cum_before / _PACK_BUDGET).cast("long")
+    end_pack = F.floor(
+        (cum_before + F.greatest(F.col("tokens"), F.lit(1)) - 1) / _PACK_BUDGET
+    ).cast("long")
+    return (
+        t.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "tokens",
+            pack_id.alias("pack_id"),
+            (cum_before % _PACK_BUDGET).cast("long").alias("pack_offset"),
+            (end_pack > pack_id).cast("long").alias("spans_packs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing: treat text bytes as an opaque binary payload and
 # run an Arrow-batched mapInPandas "decode" (the real image/audio
 # decode is environment-gated — extensions/multimodal.py; here the

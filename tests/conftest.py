@@ -13,3 +13,9 @@ def spark():
     spark = get_spark("fabric-claims-tests", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    """Smallest driver-generated corpus (fast enough for unit tests)."""
+    return "/root/testdata/sf0.001"

@@ -327,3 +327,119 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         ).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_simhash_band_pairs_finds_near_dup(docs, spark):
+    from fabric_claims_spark.extensions.dedup import (
+        simhash60_md5,
+        simhash_band_pairs,
+    )
+
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    # the one-token edit lands at distance 4 on this fixture — just
+    # outside the 4-band ≤3 guarantee — so the defaults must emit the
+    # exact pair and drop the unrelated ones; the edit pair is only
+    # required once max_hamming covers its distance.
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(sigs).collect()
+    }
+    assert pairs[(0, 4)] == 0  # exact copies: distance 0
+    assert (0, 2) not in pairs and (0, 3) not in pairs  # unrelated
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(sigs, max_hamming=8).collect()
+    }
+    assert wide.get((0, 1)) == 4  # tiny edit found at a wider radius
+
+
+def test_simhash_band_pairs_pigeonhole_guarantee(spark):
+    """Any pair at Hamming ≤ bands-1 MUST be emitted (no LSH miss is
+    possible below the band count): plant signatures at controlled
+    distances and check exhaustively."""
+    from fabric_claims_spark.extensions.dedup import simhash_band_pairs
+
+    base = 0x0123456789ABCDE  # 60-bit value
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),          # distance 3 (all flips in band 0)
+        (2, base ^ (1 << 59) ^ (1 << 44) ^ (1 << 29)),  # distance 3 spread
+        (3, base ^ ((1 << 15) - 1)),  # distance 15: not a near-dup
+    ]
+    sigs = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 3
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got
+
+
+def test_chunk_split_covers_every_token(spark, sf_dir):
+    """Chunks tile the document: starts advance by the stride, the
+    last chunk reaches the end, and overlap = chunk - stride."""
+    from fabric_claims_spark.queries.text_docs import (
+        _CHUNK,
+        _STRIDE,
+        docs_chunk_split,
+    )
+
+    ch = docs_chunk_split(spark, sf_dir)
+    bad_start = ch.where(
+        (F.col("chunk_start") - 1) % _STRIDE != 0
+    ).count()
+    assert bad_start == 0
+    # every non-final chunk is full-size
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    bounds = ch.withColumn("max_idx", F.max("chunk_idx").over(w))
+    # every chunk is ≤ the window size and non-final chunks overhang
+    # the next start (stride < chunk ⇒ ≥ stride+1 tokens) ...
+    assert bounds.where(F.col("chunk_tokens") > _CHUNK).count() == 0
+    assert (
+        bounds.where(
+            (F.col("chunk_idx") < F.col("max_idx"))
+            & (F.col("chunk_tokens") < _STRIDE + 1)
+        ).count()
+        == 0
+    )
+    # ... and per document the chunks reach the last token exactly
+    from fabric_claims_spark.sources.parquet import load_table
+
+    n_toks = (
+        load_table(ch.sparkSession, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+        )
+    )
+    cover = ch.groupBy("doc_id").agg(
+        F.max(F.col("chunk_start") + F.col("chunk_tokens") - 1).alias("covered")
+    )
+    assert (
+        cover.join(n_toks, "doc_id").where(F.col("covered") != F.col("n")).count()
+        == 0
+    )
+
+
+def test_pack_sequences_offsets_consistent(spark, sf_dir):
+    """The two-phase prefix sum reproduces the global cumsum: offsets
+    stay inside the budget and pack boundaries advance monotonically
+    in doc order."""
+    from fabric_claims_spark.queries.text_docs import (
+        _PACK_BUDGET,
+        docs_pack_sequences,
+    )
+
+    p = docs_pack_sequences(spark, sf_dir)
+    assert p.where(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= _PACK_BUDGET)
+    ).count() == 0
+    rows = p.orderBy("doc_id").collect()
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] == cum // _PACK_BUDGET
+        assert r["pack_offset"] == cum % _PACK_BUDGET
+        cum += r["tokens"]

@@ -66,19 +66,33 @@ def test_pinned_list_subset_of_declared_prefix():
 
 
 def test_demoted_time_calc_twins_share_operator_with_prefix():
-    """qtd/mtd (round 3) and yoy (round 4) were deliberately demoted
-    to the tail: their operator (W3 time intelligence) must stay
-    hash-checked in the prefix via the ytd/rolling_12m twins, and the
-    demoted names must still be registered with oracles (the local
-    replica keeps checking them)."""
+    """qtd/mtd (round 3) and yoy/rolling_12m (round 4) were
+    deliberately demoted to the tail: their operator (W3 time
+    intelligence) must stay hash-checked in the prefix via the ytd
+    twin, and the demoted names must still be registered with oracles
+    (the local replica keeps checking them)."""
     reg = load_all_queries()
     prefix = set(list(reg)[:50])
     assert "ytd_running_revenue" in prefix
-    assert "rolling_12m_revenue" in prefix
     assert "status_calc_order_amounts" in prefix  # what yoy made room for
+    assert "docs_simhash_neardup" in prefix  # what rolling_12m made room for
     for demoted in (
         "qtd_running_revenue",
         "mtd_running_revenue",
         "yoy_monthly_revenue",
+        "rolling_12m_revenue",
     ):
         assert demoted in reg and reg[demoted].oracle is not None
+
+
+def test_round4_additions_registered_with_oracles():
+    """Round-4 queries past the 50-row cap still carry oracles so the
+    local replica (tools/check_correctness.py) hash-checks them."""
+    reg = load_all_queries()
+    for name in (
+        "docs_chunk_split",
+        "docs_pack_sequences",
+        "scd2_customer_history",
+        "embeddings_ivf_search",
+    ):
+        assert name in reg and reg[name].oracle is not None

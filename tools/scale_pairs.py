@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from fabric_claims_spark.extensions.dedup import (  # noqa: E402
     minhash_signatures,
+    simhash64,
 )
 from fabric_claims_spark.extensions.similarity import (  # noqa: E402
     hyperplane_band_sigs,
@@ -182,6 +183,38 @@ def winnow_space(docs: DataFrame, max_doc_freq: int = 20) -> int:
     return pair_space(kept, ["fp"])
 
 
+def simhash_space(
+    docs: DataFrame,
+    bands: int = 4,
+    bits: int = 16,
+    bucket_cap: int | None = None,
+) -> int:
+    """Hamming-band pair space of the SimHash plan
+    (extensions/dedup.py:simhash_band_pairs over the prod 64-bit
+    xxhash64 signatures; 4×16 tiles the full width). Like the
+    hyperplane case, a fixed signature width gives a fixed per-pair
+    collision probability — ``bucket_cap`` is the guard that bounds
+    any band bucket's contribution at C(cap,2)."""
+    sigs = simhash64(docs, "doc_id", "text")
+    mask = F.lit((1 << bits) - 1)
+    banded = sigs.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * bits).bitwiseAND(mask)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "bv"),
+    )
+    counts = banded.groupBy("band_idx", "bv").agg(F.count(F.lit(1)).alias("n"))
+    if bucket_cap is not None:
+        counts = counts.where(F.col("n") <= bucket_cap)
+    out = counts.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p")).first()["p"]
+    return int(out or 0)
+
+
 def hyperplane_space(vecs: DataFrame, bits: int | None = None) -> int:
     """Hyperplane band-signature pair space (mirrors
     extensions/similarity.py hyperplane_neardup_pairs). ``bits``
@@ -232,10 +265,12 @@ def main() -> None:
         mh_cap = minhash_lsh_space(docs, bucket_cap=64)  # prod default
         jac = jaccard_prefix_space(docs)
         win = winnow_space(docs)
-        rows.append((label, n, allpairs, mh, mh_cap, jac, win))
+        sh_cap = simhash_space(docs, bucket_cap=64)  # prod default
+        rows.append((label, n, allpairs, mh, mh_cap, jac, win, sh_cap))
         print(
             f"{label}: docs={n} allpairs={allpairs} minhash_lsh={mh} "
-            f"minhash_capped={mh_cap} jaccard_prefix={jac} winnow={win}",
+            f"minhash_capped={mh_cap} jaccard_prefix={jac} winnow={win} "
+            f"simhash_capped={sh_cap}",
             flush=True,
         )
         docs.unpersist()
@@ -261,13 +296,14 @@ def main() -> None:
         with open(sys.argv[1], "w") as f:
             f.write(
                 "| corpus | docs | all-pairs | minhash-LSH (uncapped) "
-                "| minhash-LSH (cap 64) | jaccard-prefix | winnow |\n"
+                "| minhash-LSH (cap 64) | jaccard-prefix | winnow "
+                "| simhash (cap 64) |\n"
             )
-            f.write("|---|---|---|---|---|---|---|\n")
-            for label, n, ap, mh, mhc, jac, win in rows:
+            f.write("|---|---|---|---|---|---|---|---|\n")
+            for label, n, ap, mh, mhc, jac, win, shc in rows:
                 f.write(
                     f"| {label} | {n:,} | {ap:,} | {mh:,} | {mhc:,} "
-                    f"| {jac:,} | {win:,} |\n"
+                    f"| {jac:,} | {win:,} | {shc:,} |\n"
                 )
             f.write(
                 "\n| corpus | vectors | all-pairs | hyperplane-LSH (8-bit) "
