@@ -149,3 +149,37 @@ def test_bronze_has_no_unconditional_repartition():
     src = inspect.getsource(bronze)
     assert ".repartition(" not in src
     assert "spread(" in src
+
+
+def test_chunk_split_is_shuffle_free(spark, registry):
+    """Chunking is a narrow map over the scan — any Exchange means a
+    pointless full shuffle of the corpus at 100 TB."""
+    plan = _plan(spark, registry["docs_chunk_split"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_no_global_window_on_docs(spark, registry):
+    """The two-phase prefix sum must keep the doc-sized side
+    partitioned by shard; the only partitionless window runs over the
+    tiny shard-totals aggregate, and the offsets come back via a
+    broadcast join (no shuffle of the doc side for the join)."""
+    plan = _plan(spark, registry["docs_pack_sequences"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # two windows: the shard-partitioned doc cumsum + the tiny
+    # shard-offsets cumsum (the only partitionless one)
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(shard" in plan
+
+
+def test_simhash_neardup_banded_join_is_equi(spark, registry):
+    plan = _plan(spark, registry["docs_simhash_neardup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_search_broadcasts_probe_and_query(spark, registry):
+    """The probed-bucket scan must join broadcast sides only (probe
+    set, query vector) and finish with a top-k, not a global sort."""
+    plan = _plan(spark, registry["embeddings_ivf_search"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
