@@ -122,6 +122,8 @@ GATE_PRIORITY: list[str] = [
     # local replay (same hash gate, no driver row).
     "docs_chunk_split",
     "docs_pack_sequences",
+    "docs_hash_split",
+    "docs_shuffle_order",
     "scd2_customer_history",
     "embeddings_ivf_search",
     "dates_drill_hierarchy",

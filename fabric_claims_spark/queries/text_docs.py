@@ -637,3 +637,86 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference note: retrieval is an extension beyond lkv971/
     # fabric-claims (which has no text ops); it rounds out the LLM
     # data-pipeline suite next to dedup and quality scoring.
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test assignment: a stable hash of the doc id
+# buckets every document into 100 cells; 80/10/10 cells map to splits.
+# Hash-based (not random) so the assignment is reproducible across
+# runs, engines, and re-partitioning — the property a training
+# pipeline actually needs from its split step. Pure projection: no
+# shuffle, no state.
+@query(
+    "docs_hash_split",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100
+                AS BIGINT) AS bucket,
+           CASE
+             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 80
+               THEN 'train'
+             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 < 90
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.col("doc_id").cast("string")) % 100).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle: a stable global training order (rank
+# by content-independent hash) computed scale-safely. Ordering by a
+# hash whose PREFIX is the shard key means (shard, hash) order equals
+# global hash order — so rank = within-shard row_number + cumsum of
+# shard counts, the same two-phase pattern as docs_pack_sequences: no
+# single-partition window ever touches the doc-sized side.
+@query(
+    "docs_shuffle_order",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("shard", F.substring("h", 1, 2))
+
+    w_in = Window.partitionBy("shard").orderBy("h", "doc_id")
+    t = t.withColumn("rank_in_shard", F.row_number().over(w_in))
+
+    # shard offsets: 256 rows max — the only partitionless window
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_sh), F.lit(0)))
+        .select("shard", "offset")
+    )
+    return (
+        t.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "h",
+            (F.col("offset") + F.col("rank_in_shard")).cast("long").alias("position"),
+        )
+    )

@@ -185,3 +185,38 @@ def running_user_totals_stream(
     if not store.exists(table_name):  # zero-batch stream
         return spark.createDataFrame([], _OUTPUT_SCHEMA)
     return store.read(table_name)
+
+
+def deduped_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "deduped_events",
+    dedup_keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the stream twin of the batch key-dedup
+    operators (re-delivered files, at-least-once sources). Uses
+    ``dropDuplicatesWithinWatermark``: one survivor per key among rows
+    whose event times fall within the watermark horizon, with state
+    EVICTED once the watermark passes a key — bounded state at 100 TB
+    stream history, where plain ``dropDuplicates`` on a stream keeps
+    every key forever and OOMs. Duplicates arriving later than the
+    watermark horizon are the documented residual (route to a batch
+    MERGE reconciliation, sources/merge.TableStore)."""
+    stream = _read_events_stream(spark, events_dir).withWatermark(
+        "event_ts", watermark
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(list(dedup_keys)).select(
+        "event_id", "user_id", "event_type", "value", "event_ts"
+    )
+    (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(query_name)

@@ -67,3 +67,21 @@ def test_stateful_user_totals_across_restarts(spark, events_dir, tmp_path):
     g2 = {r["user_id"]: r["events_seen"] for r in got2}
     for u in g2:
         assert g2[u] == 2 * want[u][0]
+
+
+def test_stream_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
+    """A re-delivered source file (at-least-once delivery) must come
+    out exactly once per event_id, matching batch DISTINCT-by-key."""
+    from fabric_claims_spark.streaming.events_stream import (
+        deduped_events_stream,
+    )
+
+    shutil.copy(f"{SF}/events.parquet", events_dir / "redelivery.parquet")
+    got = deduped_events_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_dedup"), query_name="t_dedup"
+    )
+    n_distinct = (
+        spark.read.parquet(str(events_dir)).select("event_id").distinct().count()
+    )
+    assert got.count() == n_distinct
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0

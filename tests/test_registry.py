@@ -92,6 +92,8 @@ def test_round4_additions_registered_with_oracles():
     for name in (
         "docs_chunk_split",
         "docs_pack_sequences",
+        "docs_hash_split",
+        "docs_shuffle_order",
         "scd2_customer_history",
         "embeddings_ivf_search",
     ):
