@@ -124,6 +124,7 @@ GATE_PRIORITY: list[str] = [
     "docs_pack_sequences",
     "docs_hash_split",
     "docs_shuffle_order",
+    "docs_clean_corpus",
     "scd2_customer_history",
     "embeddings_ivf_search",
     "dates_drill_hierarchy",

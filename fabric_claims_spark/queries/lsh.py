@@ -47,14 +47,16 @@ _K = 5
 _SQL_BASE = "(('0x' || substr(md5(shingle),1,15))::BIGINT % 2147483647)"
 
 
-def _sql_shingles_cte() -> str:
+def _sql_shingles_cte(src: str = "documents") -> str:
     """Char 5-gram generator matching extensions.dedup
-    minhash_signatures (1-indexed substr over exploded positions)."""
+    minhash_signatures (1-indexed substr over exploded positions).
+    ``src`` lets callers point the chain at a prior CTE (e.g. the
+    quality/exact-dedup survivors in the clean-corpus query)."""
     return f"""sh AS (
       SELECT doc, substr(text, pos, {_K}) AS shingle FROM (
         SELECT doc_id AS doc, text,
                unnest(generate_series(1, greatest(length(text) - {_K - 1}, 1))) AS pos
-        FROM documents))"""
+        FROM {src}))"""
 
 
 def _sql_mins_cte() -> str:
@@ -74,10 +76,10 @@ def _signatures_oracle() -> str:
     """
 
 
-def _neardup_ctes(bucket_cap: int = 64) -> str:
+def _neardup_ctes(bucket_cap: int = 64, src: str = "documents") -> str:
     """CTE chain producing ``est(doc_a, doc_b, est_jaccard)`` — shared
-    by the pair query and the cluster query so both gates check the
-    exact same candidate pipeline."""
+    by the pair query, the cluster query, and the clean-corpus query
+    so every gate checks the exact same candidate pipeline."""
     rows = _NUM_HASHES // _BANDS
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk FROM mins".format(
@@ -89,7 +91,7 @@ def _neardup_ctes(bucket_cap: int = 64) -> str:
     eq_sum = " + ".join(
         f"CAST(ma.h{i} = mb.h{i} AS INT)" for i in range(_NUM_HASHES)
     )
-    return f"""{_sql_shingles_cte()},
+    return f"""{_sql_shingles_cte(src)},
     {_sql_mins_cte()},
     bands AS (
       {band_selects}),
@@ -366,3 +368,133 @@ def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(
         "doc", F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig")
     ).orderBy("doc")
+
+
+# --------------------------------------------------------------------------
+# The end-to-end corpus-cleaning composition — the pipeline an LLM
+# training run actually executes, as ONE oracle-checked operator:
+# quality filter → exact dedup (content-hash canonical) → near-dup
+# clustering over the survivors (MinHash-LSH pairs → connected
+# components) → every document labeled kept / quality_filtered /
+# exact_dup / near_dup with its FINAL surviving canonical (exact-dup
+# canonicals that themselves lose the near-dup vote resolve
+# transitively to the cluster survivor).
+_CLEAN_MIN_CHARS = 100
+_CLEAN_MIN_ALPHA = 0.5
+_CLEAN_THRESHOLD = 0.5
+
+
+def _clean_corpus_oracle() -> str:
+    return f"""
+    WITH RECURSIVE ql AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= {_CLEAN_MIN_CHARS}
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / length(text) > {_CLEAN_MIN_ALPHA}),
+    ex AS (
+      SELECT doc_id, text,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_canon
+      FROM ql),
+    surv AS (
+      SELECT doc_id, text FROM ex WHERE doc_id = exact_canon),
+    {_neardup_ctes(src="surv")},
+    prs AS (
+      SELECT doc_a, doc_b FROM est WHERE est_jaccard >= {_CLEAN_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs),
+    reach(node, lab) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (
+      SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id,
+      CASE
+        WHEN e.doc_id IS NULL THEN 'quality_filtered'
+        WHEN e.doc_id != e.exact_canon THEN 'exact_dup'
+        WHEN c.cluster IS NOT NULL AND c.cluster != d.doc_id THEN 'near_dup'
+        ELSE 'kept'
+      END AS status,
+      CAST(CASE
+        WHEN e.doc_id IS NULL THEN NULL
+        WHEN e.doc_id != e.exact_canon THEN COALESCE(c2.cluster, e.exact_canon)
+        WHEN c.cluster IS NOT NULL THEN c.cluster
+        ELSE d.doc_id
+      END AS BIGINT) AS canonical_doc_id
+    FROM documents d
+    LEFT JOIN ex e ON e.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN comp c2 ON c2.node = e.exact_canon
+    """
+
+
+@query("docs_clean_corpus", oracle=_clean_corpus_oracle())
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning end-to-end. Scale shape: the quality filter and
+    exact dedup are one scan + one hash window; LSH pairs only ever
+    form over the deduped survivors (never the raw corpus); the
+    component labels and the (tiny) survivor→cluster map broadcast
+    back onto the full corpus for labeling."""
+    from fabric_claims_spark.extensions.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+        / F.length("text")
+    )
+    ql = docs.where(
+        (F.length("text") >= _CLEAN_MIN_CHARS) & (alpha > _CLEAN_MIN_ALPHA)
+    ).select("doc_id", "text")
+    ex = ql.withColumn(
+        "exact_canon", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    surv = ex.where(F.col("doc_id") == F.col("exact_canon")).select(
+        "doc_id", "text"
+    )
+    pairs = minhash_near_dups(
+        surv,
+        "doc_id",
+        "text",
+        threshold=_CLEAN_THRESHOLD,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+
+    e = ex.select("doc_id", "exact_canon")
+    c = comp.select(F.col("node").alias("doc_id"), "cluster")
+    c2 = comp.select(
+        F.col("node").alias("exact_canon"), F.col("cluster").alias("canon_cluster")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(F.broadcast(c), "doc_id", "left")
+        .join(F.broadcast(c2), "exact_canon", "left")
+    )
+    status = (
+        F.when(F.col("exact_canon").isNull(), "quality_filtered")
+        .when(F.col("doc_id") != F.col("exact_canon"), "exact_dup")
+        .when(
+            F.col("cluster").isNotNull() & (F.col("cluster") != F.col("doc_id")),
+            "near_dup",
+        )
+        .otherwise("kept")
+    )
+    canonical = (
+        F.when(F.col("exact_canon").isNull(), F.lit(None))
+        .when(
+            F.col("doc_id") != F.col("exact_canon"),
+            F.coalesce("canon_cluster", "exact_canon"),
+        )
+        .when(F.col("cluster").isNotNull(), F.col("cluster"))
+        .otherwise(F.col("doc_id"))
+        .cast("long")
+    )
+    return out.select(
+        "doc_id", status.alias("status"), canonical.alias("canonical_doc_id")
+    )

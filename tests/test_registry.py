@@ -94,6 +94,7 @@ def test_round4_additions_registered_with_oracles():
         "docs_pack_sequences",
         "docs_hash_split",
         "docs_shuffle_order",
+        "docs_clean_corpus",
         "scd2_customer_history",
         "embeddings_ivf_search",
     ):
