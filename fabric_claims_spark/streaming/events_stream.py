@@ -220,3 +220,62 @@ def deduped_events_stream(
         .awaitTermination()
     )
     return spark.table(query_name)
+
+
+def views_with_recent_purchase_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "views_with_purchase",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: every view event
+    paired with the same user's purchases in the preceding
+    ``lookback`` window — the streaming form of the enrich-by-recent-
+    activity join (batch twin: a plain range-condition join).
+
+    Both sides carry event-time watermarks and the join condition
+    bounds purchase_ts to [view_ts - lookback, view_ts], so Spark can
+    EVICT join state older than watermark + lookback — bounded state
+    on an unbounded stream, which is what separates this from a
+    never-evicting stream-stream equi-join (state OOM at 100 TB of
+    history). Inner join: matches emit as they form, no watermark
+    finalization delay."""
+    views = (
+        _read_events_stream(spark, events_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("event_ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _read_events_stream(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") <= F.col("view_ts"))
+        & (F.col("purchase_ts") >= F.col("view_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts", "purchase_value")
+    (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(query_name)

@@ -85,3 +85,41 @@ def test_stream_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
     )
     assert got.count() == n_distinct
     assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """The watermarked view×purchase interval join must emit exactly
+    the pairs the equivalent batch range join produces on the same
+    bounded input."""
+    from fabric_claims_spark.streaming.events_stream import (
+        views_with_recent_purchase_stream,
+    )
+
+    got = views_with_recent_purchase_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_ssj"), query_name="t_ssj"
+    )
+    e = (
+        spark.read.parquet(str(events_dir))
+        .withColumn("event_ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("event_ts").alias("view_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    want = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") <= F.col("view_ts"))
+            & (F.col("purchase_ts") >= F.col("view_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select("view_id", "purchase_id")
+    )
+    g = {(r["view_id"], r["purchase_id"]) for r in got.collect()}
+    w = {(r["view_id"], r["purchase_id"]) for r in want.collect()}
+    assert g == w and len(g) > 0

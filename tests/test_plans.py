@@ -183,3 +183,12 @@ def test_ivf_search_broadcasts_probe_and_query(spark, registry):
     plan = _plan(spark, registry["embeddings_ivf_search"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clean_corpus_labels_join_broadcast_no_cartesian(spark, registry):
+    """The cleaning composition must keep the LSH candidate join equi
+    and bring component labels back onto the corpus via broadcast —
+    a cartesian or a shuffled label join breaks the 100 TB shape."""
+    plan = _plan(spark, registry["docs_clean_corpus"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
