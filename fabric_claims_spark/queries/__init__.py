@@ -125,6 +125,9 @@ GATE_PRIORITY: list[str] = [
     "docs_hash_split",
     "docs_shuffle_order",
     "docs_clean_corpus",
+    "docs_repetition_stats",
+    "docs_unigram_logprob",
+    "docs_contamination_probe",
     "scd2_customer_history",
     "embeddings_ivf_search",
     "dates_drill_hierarchy",

@@ -720,3 +720,218 @@ def docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rank_in_shard")).cast("long").alias("position"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition detection — the "repetitious text" quality filter
+# (degenerate generations, boilerplate, keyword stuffing): distinct-
+# token ratio, hottest-token share, hottest-bigram share. All exact
+# integer ratios (single IEEE division per cell — deterministic).
+# Scale shape: two explode→hash-aggregate passes keyed by doc, no
+# joins wider than the doc's own tokens.
+@query(
+    "docs_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t),
+    top_tok AS (
+      SELECT doc_id, MAX(c) AS top_token_count FROM (
+        SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        FROM t WHERE len(toks) >= 2)),
+    top_bg AS (
+      SELECT doc_id, MAX(c) AS top_bigram_count FROM (
+        SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS distinct_ratio,
+           CAST(tt.top_token_count AS DOUBLE) / len(toks)
+             AS top_token_share,
+           CAST(COALESCE(tb.top_bigram_count, 0) AS DOUBLE)
+             / greatest(len(toks) - 1, 1) AS top_bigram_share,
+           CAST(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.3
+                OR CAST(tt.top_token_count AS DOUBLE) / len(toks) > 0.2
+                AS BIGINT) AS repetitive
+    FROM t
+    JOIN top_tok tt ON tt.doc_id = t.doc_id
+    LEFT JOIN top_bg tb ON tb.doc_id = t.doc_id
+    """,
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    top_tok = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_count"))
+    )
+    bigrams = t.where(F.col("n") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, F.lit(2))),
+            )
+        ).alias("bigram"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")).cast("double") / F.col("n")
+    top_token_share = F.col("top_token_count").cast("double") / F.col("n")
+    top_bigram_share = F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(F.col("n") - 1, F.lit(1))
+    return (
+        t.join(top_tok, "doc_id")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            top_token_share.alias("top_token_share"),
+            top_bigram_share.alias("top_bigram_share"),
+            ((distinct_ratio < 0.3) | (top_token_share > 0.2))
+            .cast("long")
+            .alias("repetitive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring — the KenLM-style fluency filter at
+# its simplest: score every document by the mean corpus log-
+# probability of its tokens (low score = off-distribution text).
+# Determinism across engines: ln() differs by 1 ulp between the JVM
+# and libm, and float summation is partition-order-dependent — so the
+# per-token log is rounded to 6 dp, scaled to integer MICRO-units,
+# and summed as exact longs; only the final mean is one IEEE
+# division. Scale shape: corpus counts are one token-keyed aggregate
+# computed as a count-over-partition window on the SAME exploded
+# frame that feeds the per-doc mean (one shuffle on tok straight
+# into the doc aggregate — the docs_jaccard_pairs pattern).
+@query(
+    "docs_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(ROUND(ln(CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE)
+                                 / (SELECT total FROM tot)), 6) * 1000000, 0)
+                  AS BIGINT) AS micro_log
+      FROM tok)
+    SELECT doc_id,
+           COUNT(*) AS tokens,
+           CAST(SUM(micro_log) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok"))
+    total = tok.count()  # one scalar; broadcast as a literal
+    w_tok = Window.partitionBy("tok")
+    micro_log = F.round(
+        F.round(
+            F.log(F.count(F.lit(1)).over(w_tok).cast("double") / F.lit(float(total))),
+            6,
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    return (
+        tok.withColumn("micro_log", micro_log)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tokens"),
+            (
+                F.sum("micro_log").cast("double")
+                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination probe — decontamination's detection step:
+# treat a small set of "evaluation" documents as probes, and find
+# every corpus document sharing >= 2 word 8-grams with any probe (the
+# standard n-gram-overlap contamination test). The probe side is a
+# handful of documents, so its gram set broadcasts; the corpus side
+# is one explode -> distinct per doc; the join is equi on the gram
+# string. Probe docs match themselves — the built-in positive
+# control.
+_PROBE_DOC_IDS = [0, 7, 13]
+_PROBE_GRAM = 8
+_PROBE_MIN_SHARED = 2
+
+
+@query(
+    "docs_contamination_probe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + {_PROBE_GRAM - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - {_PROBE_GRAM - 1}, 1))) AS i
+        FROM t)),
+    probes AS (
+      SELECT doc_id AS probe_doc_id, gram FROM dg
+      WHERE doc_id IN ({", ".join(str(i) for i in _PROBE_DOC_IDS)}))
+    SELECT d.doc_id, p.probe_doc_id,
+           COUNT(*) AS shared_8grams
+    FROM dg d JOIN probes p ON d.gram = p.gram
+    GROUP BY d.doc_id, p.probe_doc_id
+    HAVING COUNT(*) >= {_PROBE_MIN_SHARED}
+    """,
+)
+def docs_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dg = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _PROBE_GRAM))
+        ).alias("gram"),
+    )
+    probes = dg.where(F.col("doc_id").isin(_PROBE_DOC_IDS)).select(
+        F.col("doc_id").alias("probe_doc_id"), "gram"
+    )
+    return (
+        dg.join(F.broadcast(probes), "gram")
+        .groupBy("doc_id", "probe_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_8grams"))
+        .where(F.col("shared_8grams") >= _PROBE_MIN_SHARED)
+    )

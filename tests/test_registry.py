@@ -95,6 +95,9 @@ def test_round4_additions_registered_with_oracles():
         "docs_hash_split",
         "docs_shuffle_order",
         "docs_clean_corpus",
+        "docs_repetition_stats",
+        "docs_unigram_logprob",
+        "docs_contamination_probe",
         "scd2_customer_history",
         "embeddings_ivf_search",
     ):
