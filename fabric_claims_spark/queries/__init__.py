@@ -130,6 +130,7 @@ GATE_PRIORITY: list[str] = [
     "docs_contamination_probe",
     "scd2_customer_history",
     "embeddings_ivf_search",
+    "kmv_distinct_estimate",
     "dates_drill_hierarchy",
     "top3_orders_per_customer",
     "distinct_order_status",

@@ -273,3 +273,66 @@ def order_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 2).alias("var_pop"),
         F.round(F.sqrt(var), 4).alias("stddev_pop"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / K-Minimum-Values) distinct-count sketch — the
+# engine-agnostic alternative to HLL: hash every key, keep the k
+# smallest DISTINCT hash values, estimate distinct = (k-1) / kth-min
+# (normalized to [0,1)). Unlike approx_count_distinct (whose HLL
+# register layout is engine-internal, hence rows-only above), KMV is
+# a deterministic function of the md5 key hashes — so the ESTIMATE
+# itself is hash-checked against DuckDB. Scale shape: one distinct on
+# the hash (map-side combined) + TakeOrderedAndProject for the bottom
+# k; the sketch is k values however large the corpus — mergeable
+# across partitions/tables by union + re-limit.
+_KMV_K = 256
+_KMV_RANGE = float(1 << 60)  # md5_long values are uniform in [0, 2^60)
+
+
+@query(
+    "kmv_distinct_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),1,15))::BIGINT
+               AS h
+      FROM orders),
+    bottom AS (
+      SELECT MAX(h) AS kth_min, COUNT(*) AS k_seen FROM (
+        SELECT h FROM h ORDER BY h LIMIT {_KMV_K})),
+    exact AS (
+      SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(b.kth_min AS BIGINT) AS kth_min,
+           ({_KMV_K}.0 - 1.0) * {_KMV_RANGE!r} / b.kth_min AS est_distinct,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           (({_KMV_K}.0 - 1.0) * {_KMV_RANGE!r} / b.kth_min - e.exact_distinct)
+             / e.exact_distinct AS rel_error
+    FROM bottom b, exact e
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    bottom = (
+        o.select(md5_long(F.col("o_custkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("kth_min"))
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    est = F.lit(_KMV_K - 1.0) * F.lit(_KMV_RANGE) / F.col("kth_min")
+    return (
+        bottom.crossJoin(exact)
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("kth_min").cast("long").alias("kth_min"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+                "rel_error"
+            ),
+        )
+    )

@@ -105,3 +105,51 @@ def test_upsert_commutes_with_dedup(spark, tmp_path_factory, rows):
         s2.merge("t", batch, keys=["k"])
     got = sorted(map(tuple, s2.read("t").collect()))
     assert got == want
+
+
+# 60-bit signatures with planted near-dup structure: pairs are built
+# by flipping up to `flips` random bit positions off a base value.
+sig_case_st = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),  # base signature
+    st.lists(  # per-doc flip sets (distance from base = len of set)
+        st.sets(st.integers(min_value=0, max_value=59), max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+)
+
+
+@given(case=sig_case_st)
+@settings(**_SETTINGS)
+def test_simhash_band_pairs_pigeonhole_property(spark, case):
+    """LSH recall guarantee (no cap): ANY pair at Hamming distance
+    ≤ bands-1 MUST be emitted, and every emitted pair's distance must
+    be exact and ≤ max_hamming — checked against a brute-force
+    reference on randomized planted signatures."""
+    from fabric_claims_spark.extensions.dedup import simhash_band_pairs
+
+    base, flip_sets = case
+    sigs = [
+        (i, base ^ sum(1 << b for b in flips))
+        for i, flips in enumerate(flip_sets)
+    ]
+    df = spark.createDataFrame(sigs, "doc long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_band_pairs(
+            df, bands=4, bits=15, max_hamming=3, bucket_cap=10**9
+        ).collect()
+    }
+    want_guaranteed = {}
+    for i, (di, si) in enumerate(sigs):
+        for dj, sj in sigs[i + 1 :]:
+            d = bin(si ^ sj).count("1")
+            if d <= 3 and di != dj:
+                want_guaranteed[(min(di, dj), max(di, dj))] = d
+    # completeness below the pigeonhole bound
+    for pair, d in want_guaranteed.items():
+        assert got.get(pair) == d, (pair, d, got)
+    # soundness: everything emitted is a true ≤3 pair
+    for (a, b), d in got.items():
+        full = dict(sigs)
+        assert bin(full[a] ^ full[b]).count("1") == d <= 3

@@ -100,5 +100,6 @@ def test_round4_additions_registered_with_oracles():
         "docs_contamination_probe",
         "scd2_customer_history",
         "embeddings_ivf_search",
+        "kmv_distinct_estimate",
     ):
         assert name in reg and reg[name].oracle is not None
