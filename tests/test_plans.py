@@ -192,3 +192,19 @@ def test_clean_corpus_labels_join_broadcast_no_cartesian(spark, registry):
     plan = _plan(spark, registry["docs_clean_corpus"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_shuffle_order_uses_shard_windows_and_broadcast_offsets(spark, registry):
+    """Global hash rank must come from shard-partitioned windows plus
+    broadcast offsets — same two-phase discipline as pack_sequences."""
+    plan = _plan(spark, registry["docs_shuffle_order"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_unigram_logprob_window_is_token_partitioned(spark, registry):
+    """Corpus token frequencies come from a count-over-partition
+    window keyed on the token — never a partitionless window over the
+    exploded corpus."""
+    plan = _plan(spark, registry["docs_unigram_logprob"].fn(spark, SF))
+    assert "hashpartitioning(tok" in plan
