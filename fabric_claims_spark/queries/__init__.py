@@ -145,6 +145,9 @@ GATE_PRIORITY: list[str] = [
     "split_union_reassembly",
     "docs_bpe_token_estimate",
     "docs_winnow_overlap",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
     "approx_aggregates",
 ]
 
@@ -162,6 +165,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         lsh,
         kpi,
         stats,
+        behavior,
         pipeline_smoke,
     )
 

@@ -1,0 +1,200 @@
+"""Behavioral analytics over the event stream: funnel conversion,
+cohort retention, and moment-based anomaly flagging.
+
+The reference (lkv971/fabric-claims) has no event tables; these round
+out the engine the way its KPI measures round out the claims model —
+standard product-analytics shapes a warehouse user expects, built on
+the same cross-engine determinism rules (timestamps truncated to
+seconds, exact decimal moments, single IEEE divisions).
+
+Scale notes (100 TB): every stage is a hash aggregate or equi-join
+keyed on ``user_id`` / ``event_type`` — co-partitioned shuffles with
+map-side partial aggregation; no global windows, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import MONEY
+from fabric_claims_spark.sources.parquet import load_table
+
+
+def _events_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the second-truncated timestamp the catalog compares on."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion — staged view → click → purchase, each stage's
+# entry strictly after the previous stage's first event for that user.
+# Three user-keyed aggregates chained by equi-joins (each shuffle
+# reuses the user_id hash partitioning); the final row is a cross
+# join of three one-row aggregates.
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+      FROM events),
+    v AS (SELECT user_id, MIN(ts_s) AS v_ts FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts_s) AS c_ts
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts_s > v.v_ts GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts_s) AS p_ts
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts_s > c.c_ts GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS users_view,
+           (SELECT COUNT(*) FROM c) AS users_click,
+           (SELECT COUNT(*) FROM p) AS users_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_s") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_s") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("users_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("users_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("users_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_).select(
+        "users_view",
+        "users_click",
+        "users_purchase",
+        F.round(
+            F.col("users_click").cast("double") / F.col("users_view"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.col("users_purchase").cast("double") / F.col("users_click"), 6
+        ).alias("click_to_purchase"),
+        F.round(
+            F.col("users_purchase").cast("double") / F.col("users_view"), 6
+        ).alias("view_to_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — users grouped by first-active ISO week; for each
+# (cohort_week, week_offset) cell, how many of that cohort were active.
+# Both engines truncate weeks to the ISO Monday; the offset is an
+# exact integer (day difference of Monday-aligned dates / 7).
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS active_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _events_s(spark, sf_dir)
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts_s")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    c = a.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        # rows of `a` are distinct per (user, week), so COUNT(*) is the
+        # distinct-user count without a second dedup shuffle
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly flagging — per-type mean/stddev from exact decimal
+# moments (Σx, Σx² as decimal sums — partition-order-independent),
+# then one deterministic chain of double ops per row. The 5-row stats
+# side broadcasts; the fact table never shuffles. Same moment trick as
+# order_value_stats (queries/stats.py).
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS sv,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                            * CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS ssv
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - sv / n)
+                 / sqrt((ssv - sv * sv / n) / (n - 1)), 6) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - sv / n)
+                    / sqrt((ssv - sv * sv / n) / (n - 1)), 6)) > 3
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    vd = F.col("value").cast(MONEY)
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(vd), 4).cast("double").alias("sv"),
+        F.round(F.sum(vd * vd), 4).cast("double").alias("ssv"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("sv") / F.col("n"))
+        / F.sqrt(
+            (F.col("ssv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > 3)
+    )
