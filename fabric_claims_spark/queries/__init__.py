@@ -148,6 +148,12 @@ GATE_PRIORITY: list[str] = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_zscore",
+    "customers_pareto_bands",
+    "basket_brand_pairs",
+    "docs_stratified_sample",
+    "docs_mixture_weights",
+    "docs_bigram_topk",
+    "docs_length_deciles",
     "approx_aggregates",
 ]
 
@@ -166,6 +172,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         kpi,
         stats,
         behavior,
+        analytics,
         pipeline_smoke,
     )
 

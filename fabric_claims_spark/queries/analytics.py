@@ -1,0 +1,361 @@
+"""Distribution / co-occurrence / sampling analytics: Pareto revenue
+concentration, market-basket brand pairs, deterministic stratified
+sampling, corpus mixture weights, n-gram document frequency, and
+histogram-CDF deciles.
+
+The reference (lkv971/fabric-claims) stops at per-status KPI measures;
+these are the next analytics shapes a warehouse user reaches for, and
+the sampling/mixture/n-gram trio is core LLM-corpus tooling. All six
+follow the cross-engine determinism rules from ``queries/__init__``
+(exact decimal sums, single IEEE divisions rounded to 6 dp, md5-folded
+hashes).
+
+Scale notes (100 TB): the only per-row work is scans, hash aggregates,
+and bounded-array explodes. Every window in this module runs over an
+already-aggregated frame whose size is bounded by a *domain* (revenue
+bands, distinct document lengths), never by row count; top-k is
+TakeOrderedAndProject; the basket self-join is co-partitioned on the
+order key with per-order pair fan-out bounded by lines-per-order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.sources.parquet import load_table
+
+# Band width for the Pareto rollup: wide enough that the band domain
+# stays small (dozens) at any scale factor.
+_BAND = 250_000
+
+
+# --------------------------------------------------------------------------
+# Pareto revenue concentration — WITHOUT a global per-customer rank.
+# The classic formulation (rank all customers by revenue, running
+# share) needs an unpartitioned window over every customer: a
+# single-reducer sort that dies at 100 TB. Instead, roll customers up
+# into fixed-width revenue bands (bounded domain) and take the running
+# share over bands, top band first: two hash aggregates + a window
+# over a few dozen rows.
+@query(
+    "customers_pareto_bands",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT CAST(FLOOR(CAST(ROUND(rev, 4) AS DOUBLE) / {_BAND}) AS BIGINT)
+               AS revenue_band,
+             COUNT(*) AS customers,
+             SUM(rev) AS brev
+      FROM r GROUP BY 1)
+    SELECT revenue_band,
+           customers,
+           CAST(ROUND(brev, 4) AS DOUBLE) AS band_revenue,
+           ROUND(CAST(ROUND(SUM(brev) OVER (ORDER BY revenue_band DESC), 4)
+                      AS DOUBLE)
+                 / CAST(ROUND(SUM(brev) OVER (), 4) AS DOUBLE), 6)
+             AS cum_revenue_share
+    FROM b
+    """,
+)
+def customers_pareto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    bands = rev.groupBy(
+        F.floor(F.round(F.col("rev"), 4).cast("double") / _BAND)
+        .cast("long")
+        .alias("revenue_band")
+    ).agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("rev").alias("brev"),
+    )
+    # windows over the band domain: bounded rows, safe unpartitioned
+    cum = Window.orderBy(F.col("revenue_band").desc())
+    return bands.select(
+        "revenue_band",
+        "customers",
+        F.round(F.col("brev"), 4).cast("double").alias("band_revenue"),
+        F.round(
+            F.round(F.sum("brev").over(cum), 4).cast("double")
+            / F.round(F.sum("brev").over(Window.partitionBy()), 4).cast(
+                "double"
+            ),
+            6,
+        ).alias("cum_revenue_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket analysis — which part brands co-occur in an order, with
+# lift against independence. Distinct (order, brand) first so the
+# self-join fan-out per order is C(brands_in_order, 2) ≤ C(lines, 2);
+# the join is co-partitioned on the order key (one shuffle reused by
+# both sides); the brand domain is bounded, so the pair aggregate and
+# the two brand-count joins are broadcast-sized.
+@query(
+    "basket_brand_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    bc AS (SELECT brand, COUNT(*) AS brand_orders FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             COUNT(*) AS pair_orders
+      FROM ob a JOIN ob b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3)
+    SELECT p.brand_a, p.brand_b, p.pair_orders,
+           ROUND((CAST(p.pair_orders AS DOUBLE) / ca.brand_orders)
+                 * (CAST(n.n_orders AS DOUBLE) / cb.brand_orders), 6)
+             AS lift
+    FROM pairs p
+    JOIN bc ca ON p.brand_a = ca.brand
+    JOIN bc cb ON p.brand_b = cb.brand
+    CROSS JOIN n
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("brand_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= 3)
+    )
+    ca = F.broadcast(bc.select(F.col("brand"), F.col("brand_orders").alias("a_orders")))
+    cb = F.broadcast(bc.select(F.col("brand"), F.col("brand_orders").alias("b_orders")))
+    return (
+        pairs.join(ca, pairs.brand_a == ca.brand)
+        .drop("brand")
+        .join(cb, pairs.brand_b == cb.brand)
+        .drop("brand")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(
+                (F.col("pair_orders").cast("double") / F.col("a_orders"))
+                * (F.col("n_orders").cast("double") / F.col("b_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling — per-language rates applied via an
+# md5-folded uniform on the key, so the sample is reproducible,
+# cross-engine identical, and needs no RNG state: one stateless filter,
+# no shuffle at all (the classic Bernoulli-per-stratum design, with the
+# hash as the uniform). Downsamples the over-represented 'en' stratum.
+_RATES_BP = {"en": 2500}  # basis points of 10000; others keep 7500
+_DEFAULT_BP = 7500
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS u_bp
+      FROM documents)
+    WHERE u_bp < CASE WHEN lang = 'en' THEN {_RATES_BP["en"]}
+                      ELSE {_DEFAULT_BP} END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u_bp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_RATES_BP["en"])).otherwise(
+        F.lit(_DEFAULT_BP)
+    )
+    return d.where(u_bp < rate).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture weights — the per-source resampling weight that moves
+# the token mixture to uniform across sources (the standard knob in
+# pretraining-data recipes). One hash aggregate over a bounded source
+# domain; the totals row broadcasts back.
+@query(
+    "docs_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n_sources, SUM(tokens) AS total_tokens FROM s)
+    SELECT s.source, s.docs, s.tokens,
+           ROUND(CAST(s.tokens AS DOUBLE) / t.total_tokens, 6)
+             AS token_share,
+           ROUND(CAST(t.total_tokens AS DOUBLE)
+                 / (t.n_sources * s.tokens), 6) AS uniform_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum(tok).alias("tokens")
+    )
+    totals = s.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+    return s.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_sources") * F.col("tokens")),
+            6,
+        ).alias("uniform_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram document frequency, top-k — per-document *distinct* bigrams
+# (document frequency, not term frequency), exploded and hash-counted;
+# the top-k is ORDER BY + LIMIT, which Spark plans as
+# TakeOrderedAndProject (per-partition heap + driver merge of k rows —
+# no global sort). Ties broken by the bigram string for determinism.
+@query(
+    "docs_bigram_topk",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]))) AS bigram
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2))
+    SELECT bigram, COUNT(*) AS doc_freq
+    FROM bg GROUP BY 1
+    ORDER BY doc_freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    bigrams = F.array_distinct(
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    return (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact global deciles WITHOUT a global sort — the histogram-CDF trick:
+# aggregate counts by value (the distinct-length domain is bounded, a
+# few thousand rows regardless of corpus size), cumulate over that tiny
+# frame, and place each decile target ``ceil(q*n/10)`` into the CDF
+# with a bounded range join. Contrast with Spark's percentile()
+# aggregate, which buffers every value. Discrete (type-7-free)
+# percentile_disc semantics, integer-exact in both engines.
+@query(
+    "docs_length_deciles",
+    oracle="""
+    WITH h AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    c AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER (ORDER BY n_chars) - cnt AS prev_cum
+      FROM h),
+    t AS (SELECT SUM(cnt) AS n FROM h),
+    d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+    SELECT d.decile, c.n_chars AS value
+    FROM d CROSS JOIN t
+    JOIN c ON c.prev_cum < (d.decile * t.n + 9) // 10
+          AND (d.decile * t.n + 9) // 10 <= c.cum
+    """,
+)
+def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # cumulative over the bounded value domain (distinct lengths)
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        "n_chars",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("prev_cum"),
+    )
+    t = h.agg(F.sum("cnt").alias("n"))
+    d = load_table(spark, sf_dir, "documents").sparkSession.range(
+        1, 10
+    ).select(F.col("id").alias("decile"))
+    target = F.expr("(decile * n + 9) div 10")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .join(
+            c,
+            (F.col("prev_cum") < target) & (target <= F.col("cum")),
+        )
+        .select("decile", F.col("n_chars").alias("value"))
+    )
