@@ -95,11 +95,13 @@ def customers_pareto_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Market-basket analysis — which part brands co-occur in an order, with
-# lift against independence. Distinct (order, brand) first so the
-# self-join fan-out per order is C(brands_in_order, 2) ≤ C(lines, 2);
-# the join is co-partitioned on the order key (one shuffle reused by
-# both sides); the brand domain is bounded, so the pair aggregate and
-# the two brand-count joins are broadcast-sized.
+# lift against independence. No self-join: one groupBy(order) builds
+# the sorted distinct-brand set (bounded by lines-per-order), and the
+# pair list is generated in-expression from that array — C(brands, 2)
+# ≤ C(lines, 2) structs per order, whole-stage codegen. One shuffle on
+# the order key total; the brand domain is bounded, so the pair
+# aggregate and the two brand-count joins are broadcast-sized. (The
+# oracle states the same semantics as the classic self-join.)
 @query(
     "basket_brand_pairs",
     oracle="""
@@ -130,26 +132,37 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # one shuffle: distinct brands per order as a sorted array
+    # (cached: three consumers — totals, brand counts, pair counts —
+    # and bench.py clears caches between queries)
+    baskets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select(
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
-        .distinct()
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+        .cache()
     )
-    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("brand_orders"))
-    a, b = ob.alias("a"), ob.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    bc = baskets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).alias("brand_orders")
+    )
+    # ordered pairs from the sorted array: (bs[i], bs[j]) for i < j
+    combos = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size("bs")),
+                lambda y: F.struct(
+                    x.alias("brand_a"), y.alias("brand_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
-        )
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .where(F.col("pair_orders") >= 3)
     )
