@@ -113,3 +113,88 @@ def connected_components(
         else:
             raise ConvergenceError(msg)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+) -> DataFrame:
+    """Weighted PageRank over an edge list: (node, pr) after ``iters``
+    synchronous rounds. Each round is one co-partitioned equi-join of
+    the edge list with the rank frame plus one hash aggregate on the
+    destination key — the same shuffle shape as connected_components,
+    so it scales the same way (no adjacency matrices, no driver state).
+
+    Cross-engine determinism (so a SQL oracle can unroll the loop):
+    the out-degree ratio is a single IEEE division rounded to 9 dp;
+    per-edge contributions are ``round(pr * r, 12)`` summed as exact
+    ``decimal(20,12)``; each round's rank is one deterministic
+    double chain rounded to 12 dp. ``damping`` and ``teleport`` are
+    independent constants (never derived from each other — ``1 - 0.85``
+    is not ``0.15`` in IEEE doubles).
+
+    Dangling nodes (no out-edges) leak their mass — acceptable for the
+    symmetric co-occurrence graphs this engine builds, where every
+    node with an in-edge has the reverse out-edge. Lineage grows
+    linearly in ``iters``; for long runs wrap with the checkpointing
+    used by connected_components.
+    """
+    w = F.col(weight) if weight else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # loop-invariant frames, re-read every round: cache them or each
+    # iteration recomputes the whole upstream edge build
+    er = (
+        e.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("w").cast("double") / F.col("out_w"), 9).alias("r"),
+        )
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node",
+        "n_nodes",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("pr"),
+    )
+    zero = F.lit(0).cast("decimal(20,12)")
+    for _ in range(iters):
+        contrib = er.join(
+            pr.select(F.col("node").alias("src"), "pr"), "src"
+        ).select(
+            "dst",
+            F.round(F.col("pr") * F.col("r"), 12)
+            .cast("decimal(20,12)")
+            .alias("c"),
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            pr.select("node", "n_nodes")
+            .join(s, pr["node"] == s["dst"], "left")
+            .select(
+                "node",
+                "n_nodes",
+                F.round(
+                    F.lit(teleport) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), zero).cast("double"),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

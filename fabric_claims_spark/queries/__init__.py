@@ -154,6 +154,8 @@ GATE_PRIORITY: list[str] = [
     "docs_mixture_weights",
     "docs_bigram_topk",
     "docs_length_deciles",
+    "docs_sample_per_lang",
+    "brand_pagerank",
     "approx_aggregates",
 ]
 

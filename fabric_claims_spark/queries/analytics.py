@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.extensions.graph import pagerank
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import money
 from fabric_claims_spark.sources.parquet import load_table
@@ -371,4 +372,144 @@ def docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prev_cum") < target) & (target <= F.col("cum")),
         )
         .select("decile", F.col("n_chars").alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe deterministic per-group sampling — top-k per language by an
+# md5-folded uniform. A naive row_number() over PARTITION BY lang puts
+# an entire language (at 100 TB: most of the corpus) in one window
+# partition; instead rank within (lang, salt) first — 64-way salted,
+# each partition 1/64th of the stratum — then re-rank the 64·k
+# survivors, a bounded frame. The oracle states the unsalted
+# semantics; salting is a pure execution-strategy rewrite (phase-1
+# survivors are a superset of the global per-language top-k).
+_SAMPLE_K = 10
+_SAMPLE_SALTS = 64
+
+
+@query(
+    "docs_sample_per_lang",
+    oracle=f"""
+    SELECT lang, sample_rank, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          ::BIGINT, doc_id) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= {_SAMPLE_K}
+    """,
+)
+def docs_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = d.select(
+        "lang", "doc_id", u.alias("u"),
+        F.pmod(F.col("doc_id"), F.lit(_SAMPLE_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("u", "doc_id")
+    survivors = (
+        base.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= _SAMPLE_K)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= _SAMPLE_K)
+        .select("lang", "sample_rank", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank centrality over the brand co-occurrence graph (edges =
+# basket pairs, weight = co-occurring orders). The Spark side is the
+# generic extensions.graph.pagerank loop — one edge⋈rank join + one
+# hash aggregate per round; the oracle unrolls the identical
+# arithmetic into one CTE pair per iteration.
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int) -> str:
+    head = """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pairs AS (
+      SELECT a.brand AS src, b.brand AS dst, COUNT(*) AS w
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand
+      GROUP BY 1, 2),
+    outw AS (SELECT src, SUM(w) AS out_w FROM pairs GROUP BY 1),
+    er AS (SELECT p.src, p.dst, ROUND(CAST(p.w AS DOUBLE) / o.out_w, 9) AS r
+           FROM pairs p JOIN outw o ON p.src = o.src),
+    nodes AS (SELECT DISTINCT src AS node FROM pairs),
+    t AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / t.n, 12) AS pr
+            FROM nodes CROSS JOIN t)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(p.pr * e.r, 12) AS DECIMAL(20,12))) AS s
+      FROM er e JOIN it{k - 1} p ON e.src = p.node GROUP BY 1),
+    it{k} AS (
+      SELECT n.node,
+             ROUND(CAST(0.15 AS DOUBLE) / t.n
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(COALESCE(c.s, CAST(0 AS DECIMAL(20,12)))
+                            AS DOUBLE), 12) AS pr
+      FROM nodes n CROSS JOIN t LEFT JOIN c{k} c ON n.node = c.node)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS brand, pr AS pagerank FROM it{iters}"
+    )
+
+
+@query("brand_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # same no-self-join pair generation as basket_brand_pairs: pairs
+    # come from each order's sorted distinct-brand array (fan-out
+    # bounded by lines-per-order), then mirrored to a symmetric edge
+    # list. The oracle's a.brand <> b.brand self-join states identical
+    # semantics.
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size("bs")),
+                lambda y: F.struct(x.alias("ba"), y.alias("bb")),
+            ),
+        )
+    )
+    upper = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.ba").alias("src"), F.col("p.bb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = upper.unionByName(
+        upper.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    ranks = pagerank(edges, weight="w", iters=_PR_ITERS)
+    return ranks.select(
+        F.col("node").alias("brand"), F.col("pr").alias("pagerank")
     )

@@ -443,3 +443,64 @@ def test_pack_sequences_offsets_consistent(spark, sf_dir):
         assert r["pack_id"] == cum // _PACK_BUDGET
         assert r["pack_offset"] == cum % _PACK_BUDGET
         cum += r["tokens"]
+
+
+# --------------------------------------------------------------------------
+# PageRank
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    from fabric_claims_spark.extensions.graph import pagerank
+
+    # undirected star: center c connected to 4 leaves
+    rows = []
+    for leaf in ("a", "b", "d", "e"):
+        rows += [("c", leaf, 1), (leaf, "c", 1)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w int")
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, weight="w").collect()}
+    assert set(pr) == {"a", "b", "c", "d", "e"}
+    assert pr["c"] > max(v for k, v in pr.items() if k != "c")
+    # leaves are symmetric → identical ranks
+    leaves = [v for k, v in pr.items() if k != "c"]
+    assert len(set(leaves)) == 1
+    # no dangling nodes → total mass conserved (up to rounding)
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from fabric_claims_spark.extensions.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n, 1) for i in range(n)], "src long, dst long, w int"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, weight="w").collect()}
+    # a directed cycle is rank-uniform: every node keeps 1/n
+    assert all(abs(v - 1.0 / n) < 1e-9 for v in pr.values())
+
+
+def test_salted_sample_matches_unsalted_semantics(spark, sf_dir):
+    """The 64-way salted two-phase top-k must return exactly the rows
+    the oracle's unsalted per-language row_number() would."""
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.queries.analytics import docs_sample_per_lang
+    from fabric_claims_spark.sources.parquet import load_table
+
+    got = {
+        (r["lang"], r["sample_rank"], r["doc_id"])
+        for r in docs_sample_per_lang(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(u, "doc_id")
+    want = {
+        (r["lang"], r["sample_rank"], r["doc_id"])
+        for r in d.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 10)
+        .select("lang", "sample_rank", "doc_id")
+        .collect()
+    }
+    assert got == want
