@@ -156,6 +156,8 @@ GATE_PRIORITY: list[str] = [
     "docs_length_deciles",
     "docs_sample_per_lang",
     "brand_pagerank",
+    "lineitem_correlations",
+    "docs_token_entropy",
     "approx_aggregates",
 ]
 

@@ -336,3 +336,90 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix from exact decimal moments — the same
+# moment trick as order_value_stats, extended to cross-moments. A
+# built-in corr() sums doubles in partition order (non-deterministic
+# at scale); here every Σx, Σy, Σxy, Σx², Σy² is an exact decimal sum
+# (product sums rounded to integer so the double cast stays under
+# 2^53), and each correlation is one deterministic double chain. One
+# scan, one aggregate row, zero shuffles beyond the partial-agg merge.
+@query(
+    "lineitem_correlations",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))), 4) AS DOUBLE) AS sq,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE) AS sp,
+             CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(19,4))), 4) AS DOUBLE) AS sd,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_quantity AS DECIMAL(19,4))), 0) AS DOUBLE) AS sqq,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS spp,
+             CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(19,4))
+                            * CAST(l_discount AS DECIMAL(19,4))), 4) AS DOUBLE) AS sdd,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE) AS sqp,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_discount AS DECIMAL(19,4))), 4) AS DOUBLE) AS sqd,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                            * CAST(l_discount AS DECIMAL(19,4))), 4) AS DOUBLE) AS spd
+      FROM lineitem)
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sqp - sq * sp)
+                 / sqrt((CAST(n AS DOUBLE) * sqq - sq * sq)
+                        * (CAST(n AS DOUBLE) * spp - sp * sp)), 6)
+             AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * sqd - sq * sd)
+                 / sqrt((CAST(n AS DOUBLE) * sqq - sq * sq)
+                        * (CAST(n AS DOUBLE) * sdd - sd * sd)), 6)
+             AS corr_qty_discount,
+           ROUND((CAST(n AS DOUBLE) * spd - sp * sd)
+                 / sqrt((CAST(n AS DOUBLE) * spp - sp * sp)
+                        * (CAST(n AS DOUBLE) * sdd - sd * sd)), 6)
+             AS corr_price_discount
+    FROM m
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(19,4)"
+    q = F.col("l_quantity").cast(dec)
+    p = F.col("l_extendedprice").cast(dec)
+    d = F.col("l_discount").cast(dec)
+
+    def s(c, scale):
+        return F.round(F.sum(c), scale).cast("double")
+
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        s(q, 4).alias("sq"),
+        s(p, 4).alias("sp"),
+        s(d, 4).alias("sd"),
+        s(q * q, 0).alias("sqq"),
+        s(p * p, 0).alias("spp"),
+        s(d * d, 4).alias("sdd"),
+        s(q * p, 0).alias("sqp"),
+        s(q * d, 4).alias("sqd"),
+        s(p * d, 4).alias("spd"),
+    )
+    nd = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (nd * F.col(sxy) - F.col(sx) * F.col(sy))
+            / F.sqrt(
+                (nd * F.col(sxx) - F.col(sx) * F.col(sx))
+                * (nd * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            6,
+        )
+
+    return m.select(
+        "n",
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )

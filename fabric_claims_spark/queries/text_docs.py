@@ -935,3 +935,58 @@ def docs_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_8grams"))
         .where(F.col("shared_8grams") >= _PROBE_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution entropy per language (nats) — a corpus-diversity
+# diagnostic. Uses the identity H = ln(T) - (Σ c·ln(c))/T so ln is
+# only ever taken of INTEGER counts (values both engines share
+# bit-exactly); each ln is rounded to 6 dp and scaled to a micro-nat
+# integer (the docs_unigram_logprob pattern), so the weighted sum is
+# exact int64 arithmetic and the final entropy is one deterministic
+# double chain. Two hash aggregates — (lang, token) then lang — with
+# map-side partial aggregation absorbing the 5-key lang skew.
+@query(
+    "docs_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT lang,
+           COUNT(*) AS distinct_tokens,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           ROUND(ROUND(ln(CAST(SUM(c) AS DOUBLE)), 6)
+                 - CAST(SUM(CAST(ROUND(ROUND(ln(CAST(c AS DOUBLE)), 6)
+                                       * 1000000, 0) AS BIGINT) * c)
+                        AS DOUBLE)
+                   / (1000000.0 * SUM(c)), 6) AS entropy_nats
+    FROM c
+    GROUP BY lang
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok")
+    )
+    c = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    micro_ln = F.round(
+        F.round(F.log(F.col("c").cast("double")), 6) * 1_000_000, 0
+    ).cast("long")
+    return (
+        c.select("lang", "c", (micro_ln * F.col("c")).alias("wln"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.round(
+                F.round(F.log(F.sum("c").cast("double")), 6)
+                - F.sum("wln").cast("double")
+                / (F.lit(1_000_000.0) * F.sum("c")),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
