@@ -208,3 +208,54 @@ def test_unigram_logprob_window_is_token_partitioned(spark, registry):
     exploded corpus."""
     plan = _plan(spark, registry["docs_unigram_logprob"].fn(spark, SF))
     assert "hashpartitioning(tok" in plan
+
+
+def test_basket_pairs_no_self_join(spark, registry):
+    """Brand pairs come from per-order array expansion (Generate),
+    never a sort-merge self-join on the order key; the brand-count
+    and totals joins broadcast."""
+    plan = _plan(spark, registry["basket_brand_pairs"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_window_runs_on_band_aggregate(spark, registry):
+    """The cumulative-share window must consume the band rollup (a
+    bounded domain), not per-customer rows: the per-customer and
+    per-band aggregates shuffle on their keys, and the only
+    single-partition exchange feeds the tiny band window. The scan
+    reads exactly the two columns the query needs."""
+    plan = _plan(spark, registry["customers_pareto_bands"].fn(spark, SF))
+    assert "hashpartitioning(o_custkey" in plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+    before_single, _, after_single = plan.partition("Exchange SinglePartition")
+    assert "HashAggregate" in after_single  # band rollup below the window
+
+
+def test_sample_per_lang_salted_and_rank_limited(spark, registry):
+    """Phase 1 must shuffle on (lang, salt) — the skew guard — and
+    both row_number phases must carry the WindowGroupLimit rank-limit
+    pushdown so each partition keeps only k rows before the sort."""
+    import re
+
+    plan = _plan(spark, registry["docs_sample_per_lang"].fn(spark, SF))
+    assert re.search(r"hashpartitioning\(lang#\d+, salt#\d+", plan)
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_length_deciles_window_on_histogram(spark, registry):
+    """The CDF window consumes the value-domain histogram (grouped on
+    n_chars), never raw document rows, and the scan is pruned to the
+    single column."""
+    plan = _plan(spark, registry["docs_length_deciles"].fn(spark, SF))
+    assert "hashpartitioning(n_chars" in plan
+    assert "ReadSchema: struct<n_chars:bigint>" in plan
+
+
+def test_pagerank_caches_loop_invariants(spark, registry):
+    """The edge-ratio and node frames are re-read every iteration;
+    they must come from InMemoryRelation, not a recompute of the
+    whole edge build per round."""
+    plan = _plan(spark, registry["brand_pagerank"].fn(spark, SF))
+    assert "InMemoryRelation" in plan
