@@ -159,18 +159,27 @@ def incremental_slice_after_watermark(spark: SparkSession, sf_dir: str) -> DataF
     import datetime as _dt
     import os
 
-    # Filter in the SOURCE domain: events.ts is raw int64 nanoseconds
-    # on disk (see load_table), and a predicate on the converted
-    # timestamp cannot push past the conversion expression. Comparing
-    # the raw long pushes to the parquet scan (row-group pruning at
-    # scale); the µs conversion happens after the filter.
-    wm_ns = int(
-        _dt.datetime(2024, 1, 25, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000_000
-    )
+    # Filter in the SOURCE domain: a predicate on a converted/cast
+    # timestamp cannot push past the conversion expression, so compare
+    # in the column's native on-disk type (raw int64 nanos for legacy
+    # TIMESTAMP(NANOS) files, TIMESTAMP_NTZ for timestamp[us] files).
+    # Either way the comparison reaches the parquet scan (row-group
+    # pruning at scale); any relabeling happens after the filter.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        wm_ns = int(
+            _dt.datetime(2024, 1, 25, tzinfo=_dt.timezone.utc).timestamp()
+            * 1_000_000_000
+        )
+        gate = F.col("ts") > F.lit(wm_ns)
+    elif ts_type == "timestamp_ntz":
+        gate = F.col("ts") > F.expr("TIMESTAMP_NTZ '2024-01-25 00:00:00'")
+    else:
+        gate = F.col("ts") > F.expr("TIMESTAMP '2024-01-25 00:00:00'")
     return (
-        raw.where(F.col("ts") > F.lit(wm_ns))
+        raw.where(gate)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("new_events"),

@@ -16,20 +16,36 @@ from pyspark.sql import functions as F
 from fabric_claims_spark.schemas import TESTDATA_TABLES
 
 
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to TimestampType regardless
+    of how the parquet writer encoded it. The driver has shipped both
+    TIMESTAMP(NANOS) (read as raw int64 via the legacy nanosAsLong conf,
+    converted ns→µs with exact integer division) and plain timestamp[us]
+    (read as TIMESTAMP_NTZ, cast under the UTC session timezone — a
+    value-preserving relabel). Branching on the observed dtype keeps
+    every downstream query identical across driver data generations.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table (parity with Delta scan-by-path, S2:
     NBclaims_silver.Notebook/notebook-content.py:64-75).
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as long via the
-    legacy conf and convert ns→µs with exact integer division. DuckDB
-    keeps ns, so queries surface timestamps truncated ≥ second grain.
+    events.ts arrives in whatever physical type the data generator
+    used (see normalize_events_ts); surface it uniformly as
+    TimestampType. DuckDB reads the same file natively, so queries
+    compare at ≥ second grain either way.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -6,9 +6,9 @@ Both run with Trigger.AvailableNow over a file source, so the same
 code serves batch backfill and continuous operation; the checkpoint
 carries watermark + operator state across restarts.
 
-events.ts is TIMESTAMP(NANOS) parquet (Spark-illegal): the stream
-reads it as long (nanosAsLong) and converts after the scan, same as
-the batch path in sources/parquet.load_table.
+events.ts arrives as TIMESTAMP(NANOS) or timestamp[us] depending on
+the data-generator generation; _read_events_stream probes the batch
+schema once and adapts, same as sources/parquet.normalize_events_ts.
 """
 
 from __future__ import annotations
@@ -42,9 +42,18 @@ EVENTS_LONG_TS_SCHEMA = StructType(
 
 
 def _read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    # Streams need an explicit schema; probe the files once with a
+    # batch read (driver-side footer inspection, no data scan) to learn
+    # which ts encoding this data generation uses, then branch exactly
+    # like the batch path (sources/parquet.normalize_events_ts).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("event_ts", F.expr("timestamp_micros(ts div 1000)"))
+    observed = spark.read.parquet(events_dir).schema
+    ts_type = observed["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as raw int64
+        raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(events_dir)
+        return raw.withColumn("event_ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(observed).parquet(events_dir)
+    return raw.withColumn("event_ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(

@@ -98,9 +98,10 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     got = views_with_recent_purchase_stream(
         spark, str(events_dir), str(tmp_path / "ckpt_ssj"), query_name="t_ssj"
     )
-    e = (
-        spark.read.parquet(str(events_dir))
-        .withColumn("event_ts", F.expr("timestamp_micros(ts div 1000)"))
+    from fabric_claims_spark.sources.parquet import normalize_events_ts
+
+    e = normalize_events_ts(spark.read.parquet(str(events_dir))).withColumn(
+        "event_ts", F.col("ts")
     )
     v = e.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"), "user_id",
