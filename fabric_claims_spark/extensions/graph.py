@@ -115,6 +115,73 @@ def connected_components(
     return labels
 
 
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list:
+    (node, triangles) for every node in the graph, zeros included.
+
+    Algorithm: degree-ordered orientation ("compact-forward", Latapy,
+    TCS 2008; the same orientation MapReduce triangle counters use —
+    Suri & Vassilvitskii, WWW'11). Each edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, making the graph a
+    DAG in which every triangle {x, y, z} has exactly one source node
+    with two out-edges — so the wedge self-join enumerates each
+    triangle once, no post-dedup. Scale shape: the wedge join fans out
+    per node as C(out_degree, 2), and orientation bounds out-degree by
+    O(sqrt(m)) (a node of degree d only keeps out-edges to
+    higher-degree nodes, and there are at most 2m/d of those) — total
+    work O(m^1.5) worst case versus O(sum deg^2) for the naive wedge
+    count, which is the difference between a skewed hub exploding the
+    join (C(n,2) wedges at a celebrity node) and it contributing its
+    sqrt share. Three shuffles: degree agg, wedge self-join on the
+    source key, closing-edge semi-join."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = e.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("t_deg"),
+    )
+    o1 = ori.select("s", F.col("t").alias("a"), F.col("t_deg").alias("a_deg"))
+    o2 = ori.select("s", F.col("t").alias("b"), F.col("t_deg").alias("b_deg"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("a_deg") < F.col("b_deg"))
+        | ((F.col("a_deg") == F.col("b_deg")) & (F.col("a") < F.col("b")))
+    )
+    closing = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    tri = wedges.join(closing, ["a", "b"]).select("s", "a", "b")
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("s"), F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

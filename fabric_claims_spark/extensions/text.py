@@ -82,6 +82,33 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+# PII scrub patterns. Deliberately backslash-free (character classes
+# only) so the identical literal behaves the same under Java regex
+# (Spark executors) and RE2 (DuckDB oracles) with no escaping drift.
+# Insertion order is application order: email first so the phone
+# pattern never fires inside an already-masked span.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9.]+@[a-z]+[.][a-z]+",
+    "phone": "555-[0-9][0-9][0-9][0-9]",
+}
+
+
+def redact_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Mask every occurrence of each PII pattern with its [TAG] — the
+    scrub step of a training-data pipeline (strip contact info before
+    a corpus ships). Pure Catalyst regexp_replace chain: one projection,
+    no shuffle, whole-stage codegen; at 100 TB this is scan-bound."""
+    out = text
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_hits(text: Column, pattern: str) -> Column:
+    """Occurrence count of one PII pattern (audit metric)."""
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
 def winnow_prints(
     df,  # DataFrame
     id_col: str,

@@ -158,6 +158,9 @@ GATE_PRIORITY: list[str] = [
     "brand_pagerank",
     "lineitem_correlations",
     "docs_token_entropy",
+    "docs_tfidf_topterms",
+    "customers_pii_redaction",
+    "brand_triangles",
     "approx_aggregates",
 ]
 

@@ -513,3 +513,70 @@ def brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("brand"), F.col("pr").alias("pagerank")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the brand co-occurrence graph — graph motif
+# analytics (community density; a triangle means three brands that
+# pairwise co-sell). Edges are the support-≥3 basket pairs; counting
+# uses the degree-ordered orientation in extensions/graph.triangles,
+# whose wedge join is bounded O(m^1.5) regardless of hub skew — the
+# plan that survives a celebrity node, where the naive wedge count
+# explodes as C(degree, 2). The oracle states the same count as the
+# canonical a<b<c three-way self-join.
+@query(
+    "brand_triangles",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e AS (
+      SELECT a.brand AS u, b.brand AS v
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    nodes AS (SELECT u AS brand FROM e UNION SELECT v FROM e),
+    m AS (SELECT a AS brand FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t),
+    cnt AS (SELECT brand, COUNT(*) AS tri FROM m GROUP BY 1)
+    SELECT n.brand, CAST(COALESCE(cnt.tri, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN cnt USING (brand)
+    """,
+)
+def brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.graph import triangles
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+        )
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size("bs")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= 3)
+        .select("u", "v")
+    )
+    return triangles(edges, "u", "v").select(
+        F.col("node").alias("brand"), "triangles"
+    )

@@ -990,3 +990,154 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document TF-IDF top terms — keyword extraction, the classic
+# "what is this document about" projection of a corpus. Expressed as
+# tf · (ln N − ln df) so ln is only ever taken of INTEGER counts
+# (the docs_token_entropy / docs_unigram_logprob micro-nat pattern:
+# each ln rounds to 6 dp and scales to an int64 micro-nat, so the
+# score is exact integer arithmetic until one final IEEE division).
+# Scale shape: explode → two hash aggregates; the document-frequency
+# table is vocabulary-sized (bounded, broadcast); the top-3 window
+# partitions by doc_id with per-partition rows bounded by per-doc
+# vocabulary — nothing global, nothing skewed.
+@query(
+    "docs_tfidf_topterms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(CAST(tf.tf *
+                 (CAST(ROUND(ROUND(ln(CAST(n.n_docs AS DOUBLE)), 6)
+                             * 1000000, 0) AS BIGINT)
+                  - CAST(ROUND(ROUND(ln(CAST(df.df AS DOUBLE)), 6)
+                               * 1000000, 0) AS BIGINT))
+                 AS DOUBLE) / 1000000.0, 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS term_rank
+      FROM sc)
+    SELECT doc_id, term_rank, term, tf, tfidf FROM r WHERE term_rank <= 3
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def micro_ln(c: F.Column) -> F.Column:
+        return F.round(
+            F.round(F.log(c.cast("double")), 6) * 1_000_000, 0
+        ).cast("long")
+
+    sc = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                (
+                    F.col("tf")
+                    * (micro_ln(F.col("n_docs")) - micro_ln(F.col("df")))
+                ).cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        sc.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "term", "tf", "tfidf")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the scrub pass a corpus takes before it ships
+# (extensions/text.redact_pii). The driver corpus is synthetic word
+# salad with no contact info, so redacting it would exercise nothing;
+# instead the query BUILDS deterministic contact strings from the
+# customer table (name → email local part, custkey → phone suffix) in
+# both engines, redacts them, and aggregates per market segment — the
+# regex semantics, the masking, and the audit counts all hash-check.
+# Scale shape: one projection chain (regexp_replace ×2 + regexp_count
+# ×2, whole-stage codegen) and one hash aggregate over a 5-value key.
+@query(
+    "customers_pii_redaction",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             c_name || ' <' || lower(replace(c_name, '#', '.'))
+               || '@example.com> phone 555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM customer),
+    r AS (
+      SELECT c_mktsegment, contact,
+             regexp_replace(
+               regexp_replace(contact, '[a-z0-9.]+@[a-z]+[.][a-z]+',
+                              '[EMAIL]', 'g'),
+               '555-[0-9][0-9][0-9][0-9]', '[PHONE]', 'g') AS redacted,
+             CAST(length(regexp_extract_all(contact,
+                    '[a-z0-9.]+@[a-z]+[.][a-z]+')) AS BIGINT) AS emails,
+             CAST(length(regexp_extract_all(contact,
+                    '555-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS phones
+      FROM c)
+    SELECT c_mktsegment,
+           COUNT(*) AS customers,
+           CAST(SUM(emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(length(contact) - length(redacted)) AS BIGINT)
+             AS chars_removed,
+           MIN(redacted) AS sample_redacted
+    FROM r GROUP BY 1
+    """,
+)
+def customers_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.text import (
+        PII_PATTERNS,
+        pii_hits,
+        redact_pii,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    r = cust.select(
+        "c_mktsegment",
+        contact.alias("contact"),
+        redact_pii(contact).alias("redacted"),
+        pii_hits(contact, PII_PATTERNS["email"]).alias("emails"),
+        pii_hits(contact, PII_PATTERNS["phone"]).alias("phones"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("emails").cast("long").alias("emails_redacted"),
+        F.sum("phones").cast("long").alias("phones_redacted"),
+        F.sum(F.length("contact") - F.length("redacted"))
+        .cast("long")
+        .alias("chars_removed"),
+        F.min("redacted").alias("sample_redacted"),
+    )

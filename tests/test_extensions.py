@@ -504,3 +504,55 @@ def test_salted_sample_matches_unsalted_semantics(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_triangles_counts_known_graph(spark):
+    from fabric_claims_spark.extensions.graph import triangles
+
+    # K4 on {a,b,c,d} (4 triangles, every node in 3), triangle x-y-z
+    # with pendant w, isolated edge p-q; plus a duplicate reversed
+    # edge and a self-loop that canonicalization must drop.
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            ("b", "a"),  # reversed duplicate
+            ("a", "a"),  # self-loop
+            ("x", "y"), ("y", "z"), ("x", "z"), ("w", "x"),
+            ("p", "q"),
+        ],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["triangles"] for r in triangles(edges).collect()}
+    assert got == {
+        "a": 3, "b": 3, "c": 3, "d": 3,
+        "x": 1, "y": 1, "z": 1, "w": 0,
+        "p": 0, "q": 0,
+    }
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from fabric_claims_spark.extensions.text import (
+        PII_PATTERNS,
+        pii_hits,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe@example.com or jane@test.org, tel 555-1234",),
+            ("no contact info here",),
+        ],
+        "text string",
+    )
+    out = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_hits(F.col("text"), PII_PATTERNS["email"]).alias("emails"),
+        pii_hits(F.col("text"), PII_PATTERNS["phone"]).alias("phones"),
+    ).collect()
+    assert out[0]["red"] == "reach me at [EMAIL] or [EMAIL], tel [PHONE]"
+    assert (out[0]["emails"], out[0]["phones"]) == (2, 1)
+    assert out[1]["red"] == "no contact info here"
+    assert (out[1]["emails"], out[1]["phones"]) == (0, 0)

@@ -259,3 +259,30 @@ def test_pagerank_caches_loop_invariants(spark, registry):
     whole edge build per round."""
     plan = _plan(spark, registry["brand_pagerank"].fn(spark, SF))
     assert "InMemoryRelation" in plan
+
+
+def test_tfidf_broadcasts_df_and_rank_limits(spark, registry):
+    """The vocabulary-sized document-frequency table must broadcast
+    (never shuffle the tf frame on the term key), and the per-doc
+    top-3 window must carry the WindowGroupLimit pushdown."""
+    plan = _plan(spark, registry["docs_tfidf_topterms"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_brand_triangles_no_cartesian_edge_build(spark, registry):
+    """Edges come from per-order array expansion (Generate), and the
+    wedge/closing joins are equi-joins — no cartesian anywhere."""
+    plan = _plan(spark, registry["brand_triangles"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pii_redaction_single_pass_scan(spark, registry):
+    """PII scrub is a projection chain + one hash aggregate; the scan
+    must not read columns the contact build never touches."""
+    plan = _plan(spark, registry["customers_pii_redaction"].fn(spark, SF))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_acctbal" not in read_schema
+    assert "c_nationkey" not in read_schema
