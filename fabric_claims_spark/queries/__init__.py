@@ -16,7 +16,9 @@ Cross-engine determinism rules (so value hashes match DuckDB exactly):
   deterministic IEEE division — never engine-native ``avg`` over
   decimals (result types differ).
 * Timestamp columns are cast to date / truncated to seconds at the
-  edges (events.ts is ns in parquet; Spark truncates to µs).
+  edges (events.ts arrives as TIMESTAMP(NANOS) or timestamp[us]
+  depending on the data generation — sources/parquet.normalize_events_ts
+  surfaces both as µs-precision TimestampType).
 * Every computed column is aliased identically in Spark and SQL.
 """
 
@@ -161,6 +163,8 @@ GATE_PRIORITY: list[str] = [
     "docs_tfidf_topterms",
     "customers_pii_redaction",
     "brand_triangles",
+    "events_rolling_7d_user",
+    "docs_weighted_sample",
     "approx_aggregates",
 ]
 

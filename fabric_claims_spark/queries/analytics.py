@@ -580,3 +580,64 @@ def brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges, "u", "v").select(
         F.col("node").alias("brand"), "triangles"
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis): each doc
+# draws priority ln(u)/w where u is an md5-uniform and w its token
+# count, and the global top-k by priority IS a weighted sample without
+# replacement. Cross-engine exactness: u = k32/2^32 with k32 an
+# integer, so ln(u) = ln(k32) − ln(2^32) — both micro-nat integer
+# logs (the docs_token_entropy pattern; ln(2^32) is the precomputed
+# constant below), and the only float op is one IEEE division by the
+# integer weight. Scale shape: one projection + TakeOrderedAndProject;
+# no shuffle, no RNG state, reproducible on any cluster layout.
+_ES_K = 50
+_LN_2_32_MICRO = 22_180_710  # round(round(ln(2^32), 6) * 1e6)
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 1
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1 AS k32
+      FROM documents),
+    pr AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(CAST(ROUND(ROUND(ln(CAST(k32 AS DOUBLE)), 6)
+                             * 1000000, 0) AS BIGINT)
+                  - {_LN_2_32_MICRO} AS DOUBLE) / n_tokens AS priority
+      FROM w)
+    SELECT doc_id, lang, n_tokens, priority
+    FROM pr ORDER BY priority DESC, doc_id LIMIT {_ES_K}
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(1))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+    )
+    k32 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+    micro_ln_k = F.round(
+        F.round(F.log(k32.cast("double")), 6) * 1_000_000, 0
+    ).cast("long")
+    priority = (micro_ln_k - F.lit(_LN_2_32_MICRO)).cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("priority", priority)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(_ES_K)
+    )

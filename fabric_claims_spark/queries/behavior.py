@@ -14,7 +14,7 @@ map-side partial aggregation; no global windows, no driver collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.queries import query
@@ -197,4 +197,48 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .where(F.abs(F.col("zscore")) > 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day per-user activity — a RANGE-frame window over event
+# *time*, not row position: every event sees the exact count/value of
+# the same user's events in the trailing 7 days, regardless of how
+# many rows that is (the rows-frame rolling_12m twin can't express
+# this). Frames are anchored on integer epoch-microseconds in both
+# engines (unix_micros / epoch_us), so frame membership is exact —
+# no float time, no truncation drift. Scale shape: one shuffle on
+# user_id; per-partition state is bounded by one user's 7-day burst,
+# and the sum is exact decimal.
+_7D_US = 604_800_000_000  # 7 days in microseconds
+
+
+@query(
+    "events_rolling_7d_user",
+    oracle=f"""
+    SELECT event_id, user_id,
+           date_trunc('second', ts) AS ts_s,
+           COUNT(*) OVER w AS events_7d,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 4) AS DOUBLE)
+             AS value_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_7d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_7D_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("events_7d"),
+        F.round(F.sum(F.col("value").cast(MONEY)).over(w), 4)
+        .cast("double")
+        .alias("value_7d"),
     )

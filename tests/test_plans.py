@@ -286,3 +286,20 @@ def test_pii_redaction_single_pass_scan(spark, registry):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "c_acctbal" not in read_schema
     assert "c_nationkey" not in read_schema
+
+
+def test_rolling_7d_window_user_partitioned(spark, registry):
+    """The RANGE-frame rolling window must partition on user_id —
+    never a global (single-partition) time window."""
+    plan = _plan(spark, registry["events_rolling_7d_user"].fn(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_weighted_sample_is_shuffle_free_topk(spark, registry):
+    """Efraimidis–Spirakis priorities are a pure projection; the
+    global top-k must be TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), not a sort shuffle."""
+    plan = _plan(spark, registry["docs_weighted_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
