@@ -165,6 +165,9 @@ GATE_PRIORITY: list[str] = [
     "brand_triangles",
     "events_rolling_7d_user",
     "docs_weighted_sample",
+    "events_transition_matrix",
+    "events_daily_trend",
+    "docs_posting_lists",
     "approx_aggregates",
 ]
 

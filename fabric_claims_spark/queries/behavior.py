@@ -242,3 +242,126 @@ def events_rolling_7d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov) — per user, each event
+# paired with that user's next event via a lead window ordered by
+# (ts, event_id) (total order: ties broken by the unique key, so both
+# engines see the same successor). Transition probability is one IEEE
+# division of exact counts, rounded to 6 dp. Scale shape: one shuffle
+# on user_id for the window, one hash aggregate on the bounded
+# (from, to) type domain, broadcast row-totals join.
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS transitions
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, SUM(transitions) AS row_total FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.transitions,
+           ROUND(CAST(c.transitions AS DOUBLE) / t.row_total, 6)
+             AS probability
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    c = (
+        nxt.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    t = c.groupBy("from_type").agg(F.sum("transitions").alias("row_total"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.round(
+            F.col("transitions").cast("double") / F.col("row_total"), 6
+        ).alias("probability"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-type daily activity trend — ordinary least squares fit of daily
+# event counts against the day index, computed entirely from INTEGER
+# moments (n, Σx, Σy, Σxy, Σx²): the slope and intercept are each one
+# exact-integer expression divided once in IEEE doubles, so both
+# engines agree bit-for-bit. The regression consumes the per-day
+# rollup (bounded by the date domain), never raw events — the same
+# aggregate-then-analyze shape as customers_pareto_bands.
+_TREND_EPOCH = "2024-01-01"
+
+
+@query(
+    "events_daily_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_TREND_EPOCH}',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM d GROUP BY 1)
+    SELECT event_type, n,
+           CAST(sy AS BIGINT) AS total_events,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS intercept
+    FROM m
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit(_TREND_EPOCH).cast("date"),
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "event_type",
+        "n",
+        F.col("sy").cast("long").alias("total_events"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / det,
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / det,
+            6,
+        ).alias("intercept"),
+    )

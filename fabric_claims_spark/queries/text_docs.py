@@ -1141,3 +1141,58 @@ def customers_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_removed"),
         F.min("redacted").alias("sample_redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index construction — per-term posting lists (the data
+# structure behind the BM25 retrieval query, materialized as an
+# operator in its own right). One explode → distinct → per-term
+# sorted aggregate; posting lists surface as comma-joined strings so
+# the gate canonicalizer hash-checks the exact doc ordering. Scale
+# shape: one shuffle on the term key with map-side partial
+# aggregation; per-term list size is the document frequency, and the
+# df cap bounds the hottest (stopword) postings the way the LSH
+# bucket_cap bounds hot buckets — a capped engine would page real
+# postings to secondary structures instead.
+_POSTINGS_MAX_DF = 400
+
+
+@query(
+    "docs_posting_lists",
+    oracle=f"""
+    WITH td AS (
+      SELECT DISTINCT tok AS term, doc_id
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0)),
+    pl AS (
+      SELECT term, COUNT(*) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM td GROUP BY 1)
+    SELECT term, df, postings FROM pl WHERE df <= {_POSTINGS_MAX_DF}
+    """,
+)
+def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), _WS)).alias("term"),
+        )
+        .distinct()
+    )
+    pl = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return pl.where(F.col("df") <= _POSTINGS_MAX_DF).select(
+        "term", "df", "postings"
+    )

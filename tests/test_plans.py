@@ -303,3 +303,30 @@ def test_weighted_sample_is_shuffle_free_topk(spark, registry):
     plan = _plan(spark, registry["docs_weighted_sample"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_transition_matrix_user_window_broadcast_totals(spark, registry):
+    """The successor window shuffles once on user_id; the bounded
+    (from_type) row-totals join must broadcast."""
+    plan = _plan(spark, registry["events_transition_matrix"].fn(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_daily_trend_fits_on_day_rollup(spark, registry):
+    """OLS moments must consume the per-(type, day) rollup — two hash
+    aggregates, no raw-row window, no single-partition exchange."""
+    plan = _plan(spark, registry["events_daily_trend"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_posting_lists_single_term_shuffle(spark, registry):
+    """Posting lists build from one explode (Generate) and one
+    term-keyed aggregate; the df cap filters after the aggregate
+    without another shuffle."""
+    plan = _plan(spark, registry["docs_posting_lists"].fn(spark, SF))
+    assert "Generate explode" in plan
+    assert "hashpartitioning(term" in plan
