@@ -168,6 +168,8 @@ GATE_PRIORITY: list[str] = [
     "events_transition_matrix",
     "events_daily_trend",
     "docs_posting_lists",
+    "orders_median_by_priority",
+    "orders_column_profile",
     "approx_aggregates",
 ]
 

@@ -423,3 +423,145 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group median — via the value-domain histogram CDF, NOT a
+# per-group row sort: a window partitioned by a 5-value priority key
+# would put 1/5 of all orders in one sort partition (the skew the
+# docs_length_deciles histogram avoids). Here the window runs over
+# (priority, distinct price) histogram rows — bounded by the value
+# domain — and the median is the avg of the two middle positions
+# ((n+1) div 2 and (n+2) div 2, equal when n is odd). The halving is
+# a division by 2 in doubles (exact in binary), after the exact
+# decimal sum of the two middle values.
+@query(
+    "orders_median_by_priority",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT priority, v, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM h)
+    SELECT priority, CAST(MAX(n) AS BIGINT) AS orders,
+           CAST(CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+                     + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END)
+                     AS DOUBLE) / 2 AS DOUBLE) AS median_price
+    FROM c GROUP BY priority
+    """,
+)
+def orders_median_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.partitionBy("priority").orderBy("v")
+    wn = Window.partitionBy("priority")
+    c = h.select(
+        "priority",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    p1 = F.expr("(n + 1) div 2")
+    p2 = F.expr("(n + 2) div 2")
+    return c.groupBy("priority").agg(
+        F.max("n").cast("long").alias("orders"),
+        (
+            (
+                F.min(F.when(F.col("cum") >= p1, F.col("v")))
+                + F.min(F.when(F.col("cum") >= p2, F.col("v")))
+            ).cast("double")
+            / 2
+        )
+        .cast("double")
+        .alias("median_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (the Deequ/Great-Expectations summary an engine
+# owes its users): one scan of orders producing per-column row count,
+# null count, distinct count, and min/max rendered through
+# decimal/ISO casts (the only cross-engine-stable string forms for
+# numerics and dates). Single aggregate pass; the multiple exact
+# distinct counts expand map-side, and the long-format reshape is a
+# driver-free stack of the one result row.
+@query(
+    "orders_column_profile",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+        COUNT(o_orderkey) AS nn_key, COUNT(DISTINCT o_orderkey) AS d_key,
+        CAST(CAST(MIN(o_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS mn_key,
+        CAST(CAST(MAX(o_orderkey) AS DECIMAL(18,4)) AS VARCHAR) AS mx_key,
+        COUNT(o_totalprice) AS nn_price,
+        COUNT(DISTINCT o_totalprice) AS d_price,
+        CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR) AS mn_price,
+        CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS VARCHAR) AS mx_price,
+        COUNT(o_orderstatus) AS nn_status,
+        COUNT(DISTINCT o_orderstatus) AS d_status,
+        MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+        COUNT(o_orderdate) AS nn_date, COUNT(DISTINCT o_orderdate) AS d_date,
+        CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn_date,
+        CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx_date
+      FROM orders)
+    SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn_key AS nulls,
+           d_key AS distinct_count, mn_key AS min_repr, mx_key AS max_repr
+    FROM a
+    UNION ALL
+    SELECT 'o_totalprice', n, n - nn_price, d_price, mn_price, mx_price FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, d_status, mn_status, mx_status
+    FROM a
+    UNION ALL
+    SELECT 'o_orderdate', n, n - nn_date, d_date, mn_date, mx_date FROM a
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    def dec_s(c: F.Column) -> F.Column:
+        # numeric extremum first, THEN the stable string rendering
+        return c.cast("decimal(18,4)").cast("string")
+
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("d_key"),
+        dec_s(F.min("o_orderkey")).alias("mn_key"),
+        dec_s(F.max("o_orderkey")).alias("mx_key"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("d_price"),
+        dec_s(F.min("o_totalprice")).alias("mn_price"),
+        dec_s(F.max("o_totalprice")).alias("mx_price"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("d_date"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_date"),
+    )
+    stacked = a.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderkey', n - nn_key, d_key, mn_key, mx_key,"
+            " 'o_totalprice', n - nn_price, d_price, mn_price, mx_price,"
+            " 'o_orderstatus', n - nn_status, d_status, mn_status, mx_status,"
+            " 'o_orderdate', n - nn_date, d_date, mn_date, mx_date)"
+            " AS (column_name, nulls, distinct_count, min_repr, max_repr)"
+        ),
+        F.col("n").alias("n_rows"),
+    )
+    return stacked.select(
+        "column_name", "n_rows", "nulls", "distinct_count", "min_repr", "max_repr"
+    )

@@ -330,3 +330,21 @@ def test_posting_lists_single_term_shuffle(spark, registry):
     plan = _plan(spark, registry["docs_posting_lists"].fn(spark, SF))
     assert "Generate explode" in plan
     assert "hashpartitioning(term" in plan
+
+
+def test_median_window_on_price_histogram(spark, registry):
+    """The median CDF window must consume the (priority, price)
+    histogram — its exchange partitions on the priority key and a
+    HashAggregate sits below it (never a raw-row sort of 1/5 of the
+    table per partition)."""
+    plan = _plan(spark, registry["orders_median_by_priority"].fn(spark, SF))
+    assert "hashpartitioning(priority" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_column_profile_single_scan(spark, registry):
+    """The whole profile comes from ONE pass over orders (multiple
+    exact distincts expand, they don't rescan)."""
+    plan = _plan(spark, registry["orders_column_profile"].fn(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
