@@ -170,6 +170,7 @@ GATE_PRIORITY: list[str] = [
     "docs_posting_lists",
     "orders_median_by_priority",
     "orders_column_profile",
+    "docs_dup_span_fraction",
     "approx_aggregates",
 ]
 

@@ -1196,3 +1196,69 @@ def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.where(F.col("df") <= _POSTINGS_MAX_DF).select(
         "term", "df", "postings"
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level duplication fraction — for every document, what share of
+# its distinct word 8-grams appears in at least one OTHER document
+# (the per-doc signal behind exact-substring train-set dedup, Lee et
+# al., "Deduplicating Training Data Makes Language Models Better",
+# ACL'22 — rendered Spark-shaped: no suffix array, one gram-keyed
+# window). Purely linear: explode distinct 8-grams, count gram
+# occurrences with a window over the 60-bit md5 gram key (hashing
+# shrinks the shuffle payload from gram text to one int64; both
+# engines hash identically so the oracle stays exact), then one
+# per-doc aggregate. No pair space at all — this is the dedup METRIC,
+# while minhash/jaccard/winnow produce the pairs.
+@query(
+    "docs_dup_span_fraction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS g
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM t)),
+    df AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY g) AS df FROM dg)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_fraction
+    FROM df GROUP BY doc_id
+    """,
+)
+def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 8))).alias(
+            "gram"
+        ),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+    wdf = Window.partitionBy("g")
+    dfed = dg.select("doc_id", F.count(F.lit(1)).over(wdf).alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return dfed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        dup.cast("long").alias("dup_grams"),
+        F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_fraction"
+        ),
+    )

@@ -348,3 +348,13 @@ def test_column_profile_single_scan(spark, registry):
     plan = _plan(spark, registry["orders_column_profile"].fn(spark, SF))
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_dup_span_fraction_hashed_gram_shuffle_no_join(spark, registry):
+    """Span-dup is LINEAR: gram frequencies come from a window keyed
+    on the hashed gram (int64 shuffle payload, not gram text), and
+    there is no join anywhere — this is the metric, not a pair
+    generator."""
+    plan = _plan(spark, registry["docs_dup_span_fraction"].fn(spark, SF))
+    assert "hashpartitioning(g#" in plan
+    assert "Join" not in plan
