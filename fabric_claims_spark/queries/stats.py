@@ -198,18 +198,29 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     oracle="""
     WITH g AS (
-      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+      -- two subtleties pinned by an sf0.1 boundary case (user 511,
+      -- events second-truncated to exactly 1800 s apart):
+      -- (1) Spark's session_window gap boundary is INCLUSIVE — an
+      --     event arriving exactly `gap` after the previous one
+      --     still merges — so the new-session test is strict
+      --     (diff > 1800), not >= 1800;
+      -- (2) the cumulative sum must reuse the lag's (ts, event_id)
+      --     total order: ordering by the truncated ts_s leaves
+      --     same-second ties arbitrary, and a flipped (0,1) pair
+      --     splits a session.
+      SELECT user_id, ts, event_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
              CASE WHEN LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
                     OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR date_diff('second',
                        LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                       CAST(date_trunc('second', ts) AS TIMESTAMP)) >= 1800
+                       CAST(date_trunc('second', ts) AS TIMESTAMP)) > 1800
                   THEN 1 ELSE 0 END AS new_s
       FROM events),
     s AS (
       SELECT user_id, ts_s,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM g)
     SELECT user_id, MIN(ts_s) AS session_start, COUNT(*) AS events_in_session
