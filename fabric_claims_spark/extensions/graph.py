@@ -77,10 +77,15 @@ def connected_components(
     sym = _ckpt(  # reused every round — never re-derive
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
+    # Seeded init: label = min(node, min neighbor). This IS round 1 of
+    # propagation, folded into the init aggregate — one groupBy
+    # instead of a full join + checkpoint + convergence probe, so
+    # diameter-d components converge in d-1 loop rounds (dedup
+    # near-cliques: usually 1-2).
     labels = _ckpt(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("cluster", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nbr"))
+        .select("node", F.least(F.col("node"), F.col("nbr")).alias("cluster"))
     )
     changed = 0
     for _ in range(max_iter):
