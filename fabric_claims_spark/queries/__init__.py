@@ -171,6 +171,7 @@ GATE_PRIORITY: list[str] = [
     "orders_median_by_priority",
     "orders_column_profile",
     "docs_dup_span_fraction",
+    "customers_masked_rls_view",
     "approx_aggregates",
 ]
 

@@ -604,3 +604,58 @@ def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.sha2(F.concat(F.col("c_name"), F.lit(SALT)), 256).alias("name_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Governance masked view as a gate-checked query (SURVEY.md §2.12 —
+# the reference documents DDM/RLS without shipping code; here the
+# masking view factory + RLS predicate run as one projection+filter,
+# so the masking semantics themselves are oracle-verified, not just
+# unit-tested). mask_partial keeps the last 4 chars behind a '*' fill;
+# mask_hash is the join-stable SHA-256 pseudonym; the RLS predicate
+# (AUTOMOBILE segment analog of the provider filter) pushes to the
+# scan.
+@query(
+    "customers_masked_rls_view",
+    oracle="""
+    SELECT c_custkey,
+           repeat('*', greatest(length(c_name) - 4, 0))
+             || substr(c_name, greatest(length(c_name) - 3, 1), 4) AS c_name,
+           sha256(c_address || 'governance-salt') AS c_address,
+           '****' AS c_phone,
+           c_mktsegment
+    FROM (SELECT c_custkey, c_name,
+                 CAST(c_custkey AS VARCHAR) AS c_address,
+                 CAST(c_custkey AS VARCHAR) AS c_phone,
+                 c_mktsegment
+          FROM customer)
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def customers_masked_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.plans.governance import (
+        mask_full,
+        mask_hash,
+        mask_partial,
+        masked_view,
+        row_filtered_view,
+    )
+
+    # the test table has no address/phone columns; derive deterministic
+    # stand-ins from the key so the masking chain has real inputs
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_custkey").cast("string").alias("c_address"),
+        F.col("c_custkey").cast("string").alias("c_phone"),
+        "c_mktsegment",
+    )
+    masked = masked_view(
+        c,
+        {
+            "c_name": lambda col: mask_partial(col, keep_last=4),
+            "c_address": lambda col: mask_hash(col, "governance-salt"),
+            "c_phone": mask_full,
+        },
+    )
+    return row_filtered_view(masked, F.col("c_mktsegment") == "AUTOMOBILE")

@@ -358,3 +358,11 @@ def test_dup_span_fraction_hashed_gram_shuffle_no_join(spark, registry):
     plan = _plan(spark, registry["docs_dup_span_fraction"].fn(spark, SF))
     assert "hashpartitioning(g#" in plan
     assert "Join" not in plan
+
+
+def test_masked_view_rls_predicate_pushes_down(spark, registry):
+    """The RLS predicate must reach the parquet scan even through the
+    masking projection (masking is projection-only, so Catalyst can
+    push the untouched segment filter past it)."""
+    plan = _plan(spark, registry["customers_masked_rls_view"].fn(spark, SF), "formatted")
+    assert "EqualTo(c_mktsegment,AUTOMOBILE)" in plan
