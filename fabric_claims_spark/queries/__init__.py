@@ -172,6 +172,7 @@ GATE_PRIORITY: list[str] = [
     "orders_column_profile",
     "docs_dup_span_fraction",
     "customers_masked_rls_view",
+    "incremental_rollup_equivalence",
     "approx_aggregates",
 ]
 

@@ -659,3 +659,77 @@ def customers_masked_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return row_filtered_view(masked, F.col("c_mktsegment") == "AUTOMOBILE")
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance equivalence — orders arrive as
+# three disjoint batches (o_orderkey mod 3), each folded into a
+# stored rollup by operators/rollup.maintain_additive_rollup; the
+# final state must hash-match the one-shot aggregate the oracle
+# computes. This is the gate proof that the engine's incremental gold
+# path (fold batch partials into domain-bounded state, never re-scan
+# history) is exact, not approximate: count and decimal-sum are
+# commutative-monoid measures, min/max are semilattice measures, so
+# batch order and batch count cannot change the result.
+@query(
+    "incremental_rollup_equivalence",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS revenue,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE)
+             AS min_price,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE)
+             AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fabric_claims_spark.operators.rollup import maintain_additive_rollup
+    from fabric_claims_spark.sources.merge import TableStore
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    work = tempfile.mkdtemp(prefix="rollup_maint_")
+    try:
+        store = TableStore(spark, work)
+        state = None
+        for i in range(3):
+            batch = o.where(F.col("o_orderkey") % 3 == i).select(
+                "o_orderstatus",
+                "o_orderpriority",
+                "price",
+                F.col("price").alias("price_min"),
+                F.col("price").alias("price_max"),
+            )
+            state = maintain_additive_rollup(
+                store,
+                "status_rollup",
+                batch,
+                keys=["o_orderstatus", "o_orderpriority"],
+                sum_cols=["price"],
+                min_cols=["price_min"],
+                max_cols=["price_max"],
+            )
+        out = state.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.col("n"),
+            F.round(F.col("price"), 4).cast("double").alias("revenue"),
+            F.col("price_min").cast("double").alias("min_price"),
+            F.col("price_max").cast("double").alias("max_price"),
+        )
+        # materialize before the workspace disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

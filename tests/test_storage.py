@@ -198,3 +198,41 @@ def test_watermark_store(tmp_path):
     assert not WatermarkStore.is_newer("2024-04-01T00:00:00Z", wm.read("bronze"))
     # datetime input formats to UTC ISO-8601 seconds
     assert wm.write("silver") == "2024-05-01T00:00:00Z"
+
+
+def test_additive_rollup_batch_order_invariant(spark, tmp_path):
+    """Folding batches in any order yields the identical rollup —
+    the monoid/semilattice property incremental gold rests on."""
+    from fabric_claims_spark.operators.rollup import (
+        maintain_additive_rollup,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("A", 10.0), ("A", 5.0), ("B", 7.0), ("B", 1.0), ("A", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").select(
+        "k",
+        F.col("v").cast("decimal(18,4)").alias("v"),
+        F.col("v").cast("decimal(18,4)").alias("v_min"),
+        F.col("v").cast("decimal(18,4)").alias("v_max"),
+    )
+    batches = [df.where(F.col("v") >= 5), df.where(F.col("v") < 5)]
+
+    def run(order, name):
+        store = TableStore(spark, str(tmp_path / name))
+        state = None
+        for b in order:
+            state = maintain_additive_rollup(
+                store, "r", b, keys=["k"], sum_cols=["v"],
+                min_cols=["v_min"], max_cols=["v_max"],
+            )
+        return sorted(map(tuple, state.collect()))
+
+    fwd = run(batches, "fwd")
+    rev = run(list(reversed(batches)), "rev")
+    assert fwd == rev
+    got = {r[0]: r for r in fwd}
+    assert got["A"][1] == 3 and float(got["A"][2]) == 17.0
+    assert float(got["A"][3]) == 2.0 and float(got["A"][4]) == 10.0
