@@ -288,3 +288,57 @@ def views_with_recent_purchase_stream(
         .awaitTermination()
     )
     return spark.table(query_name)
+
+
+def rollup_maintenance_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_rollup",
+) -> DataFrame:
+    """Streaming incremental-gold: every micro-batch folds its partial
+    aggregates into the stored rollup via
+    operators/rollup.maintain_additive_rollup — the foreachBatch twin
+    of the batch maintenance path, and the shape a production gold
+    layer uses to stay current without re-scanning history. Because
+    count/sum are monoids and min/max semilattices, micro-batch
+    boundaries (and AvailableNow restarts, via the checkpoint) cannot
+    change the result; the equivalence test pins stream == one-shot
+    batch aggregate."""
+    from pyspark.sql import functions as F2
+
+    from fabric_claims_spark.operators.rollup import (
+        maintain_additive_rollup,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    stream = _read_events_stream(spark, events_dir).select(
+        "event_type",
+        F2.col("value").cast("decimal(18,4)").alias("v"),
+        F2.col("value").cast("decimal(18,4)").alias("v_min"),
+        F2.col("value").cast("decimal(18,4)").alias("v_max"),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup(
+            store,
+            query_name,
+            batch_df,
+            keys=["event_type"],
+            sum_cols=["v"],
+            min_cols=["v_min"],
+            max_cols=["v_max"],
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):  # zero-batch stream
+        raise ValueError("no batches processed")
+    return store.read(query_name)

@@ -124,3 +124,26 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     g = {(r["view_id"], r["purchase_id"]) for r in got.collect()}
     w = {(r["view_id"], r["purchase_id"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_rollup_matches_batch_aggregate(spark, events_dir, tmp_path):
+    """foreachBatch incremental-gold: the maintained rollup after the
+    stream drains must equal the one-shot batch aggregate (monoid /
+    semilattice measures are micro-batch-boundary invariant)."""
+    from fabric_claims_spark.streaming.events_stream import (
+        rollup_maintenance_stream,
+    )
+
+    got = rollup_maintenance_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_rollup"), "t_rollup"
+    )
+    e = spark.read.parquet(str(events_dir))
+    want = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
+        F.min(F.col("value").cast("decimal(18,4)")).alias("v_min"),
+        F.max(F.col("value").cast("decimal(18,4)")).alias("v_max"),
+    )
+    g = {r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"]) for r in got.collect()}
+    w = {r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"]) for r in want.collect()}
+    assert g == w and len(g) > 0
