@@ -108,6 +108,23 @@ def main() -> None:
             flush=True,
         )
 
+    # The capture that records this run keeps the TAIL of the output,
+    # so the compact headline record must also be the very LAST line —
+    # printing it only first loses it whenever the full-suite record
+    # above overflows the capture window.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {n: timings[n] for n in HEADLINE},
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -17,6 +17,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.caching import tracked_cache
 from fabric_claims_spark.operators.partitioning import spread
 
 # Cross-engine universal-hash family for the DuckDB-oracle MinHash
@@ -257,10 +258,13 @@ def minhash_near_dups(
     rows = num_hashes // bands
     # mins feed both candidate generation and estimation — cache so
     # the shingle scan + 64-way agg runs once (scan amortization,
-    # same pattern as the bronze fan-out).
-    mins = _minhash_mins(
-        _shingle_frame(df, id_col, text_col, k, shingle_unit), num_hashes, hasher
-    ).cache()
+    # same pattern as the bronze fan-out). tracked_cache: callers
+    # composing operators release it via caching.scoped_caches().
+    mins = tracked_cache(
+        _minhash_mins(
+            _shingle_frame(df, id_col, text_col, k, shingle_unit), num_hashes, hasher
+        )
+    )
     if hasher == "md5":
         band_keys = [
             F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)])

@@ -30,6 +30,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.caching import tracked_cache
+
 
 class ConvergenceError(RuntimeError):
     """Raised when label propagation exhausts max_iter with labels
@@ -222,21 +224,19 @@ def pagerank(
     )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # loop-invariant frames, re-read every round: cache them or each
-    # iteration recomputes the whole upstream edge build
-    er = (
-        e.join(out_w, "src")
-        .select(
+    # iteration recomputes the whole upstream edge build. tracked:
+    # released by a caller's caching.scoped_caches() block.
+    er = tracked_cache(
+        e.join(out_w, "src").select(
             "src",
             "dst",
             F.round(F.col("w").cast("double") / F.col("out_w"), 9).alias("r"),
         )
-        .cache()
     )
-    nodes = (
+    nodes = tracked_cache(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
     n = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     pr = nodes.crossJoin(F.broadcast(n)).select(

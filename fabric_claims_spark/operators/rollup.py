@@ -45,6 +45,19 @@ def partial_rollup(
     return batch.groupBy(*keys).agg(*aggs)
 
 
+def _merge_aggs(
+    count_col: str,
+    sum_cols: list[str] | None,
+    min_cols: list[str] | None,
+    max_cols: list[str] | None,
+) -> list:
+    aggs = [F.sum(count_col).cast("long").alias(count_col)]
+    aggs += [F.sum(c).alias(c) for c in (sum_cols or [])]
+    aggs += [F.min(c).alias(c) for c in (min_cols or [])]
+    aggs += [F.max(c).alias(c) for c in (max_cols or [])]
+    return aggs
+
+
 def maintain_additive_rollup(
     store: TableStore,
     table: str,
@@ -63,10 +76,62 @@ def maintain_additive_rollup(
     )
     if store.exists(table):
         cur = store.read(table)
-        aggs = [F.sum(count_col).cast("long").alias(count_col)]
-        aggs += [F.sum(c).alias(c) for c in (sum_cols or [])]
-        aggs += [F.min(c).alias(c) for c in (min_cols or [])]
-        aggs += [F.max(c).alias(c) for c in (max_cols or [])]
-        partial = cur.unionByName(partial).groupBy(*keys).agg(*aggs)
+        partial = (
+            cur.unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_merge_aggs(count_col, sum_cols, min_cols, max_cols))
+        )
     store.overwrite(table, partial)
     return store.read(table)
+
+
+# Constant column carrying the highest micro-batch id folded into the
+# state. Committed in the SAME versioned-pointer swap as the data, so
+# "was this batch applied?" and the fold itself are a single atomic
+# commit — no sidecar file that could diverge from the state between
+# a crash and its restart.
+APPLIED_BATCH_COL = "_applied_batch_id"
+
+
+def maintain_additive_rollup_idempotent(
+    store: TableStore,
+    table: str,
+    batch: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """At-least-once-safe fold for ``foreachBatch`` sinks.
+
+    Structured Streaming's ``foreachBatch`` is at-least-once: after a
+    crash between sink completion and checkpoint commit, the SAME
+    micro-batch (same ``batch_id``, same rows) is redelivered on
+    restart. A plain additive fold would double-count it; this variant
+    skips any ``batch_id`` at or below the last applied one, making
+    redelivery a no-op and the end state exactly-once."""
+    if store.exists(table):
+        cur = store.read(table)
+        applied = cur.select(F.max(APPLIED_BATCH_COL)).head()[0]
+        if applied is not None and batch_id <= applied:
+            return cur.drop(APPLIED_BATCH_COL)
+        partial = partial_rollup(
+            batch, keys, sum_cols, min_cols, max_cols, count_col
+        )
+        state = (
+            cur.drop(APPLIED_BATCH_COL)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(*_merge_aggs(count_col, sum_cols, min_cols, max_cols))
+        )
+    else:
+        state = partial_rollup(
+            batch, keys, sum_cols, min_cols, max_cols, count_col
+        )
+    store.overwrite(
+        table,
+        state.withColumn(APPLIED_BATCH_COL, F.lit(batch_id).cast("long")),
+    )
+    return store.read(table).drop(APPLIED_BATCH_COL)

@@ -92,10 +92,10 @@ GATE_PRIORITY: list[str] = [
     "order_value_quartiles",
     "order_value_stats",
     "docs_exact_dedup",
-    "docs_token_stats",
+    "docs_clean_corpus",
     "docs_quality_score",
     "docs_langid_stopwords",
-    "docs_fingerprint",
+    "scd2_customer_history",
     "docs_jaccard_pairs",
     "docs_minhash_signatures",
     "docs_minhash_neardup",
@@ -106,7 +106,7 @@ GATE_PRIORITY: list[str] = [
     "multimodal_binary_metadata",
     "embeddings_knn_bruteforce",
     "embeddings_ivf_assign",
-    "embeddings_normalize",
+    "embeddings_ivf_search",
     "embeddings_neardup_pairs",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
@@ -115,6 +115,15 @@ GATE_PRIORITY: list[str] = [
     # generator): their driver hash rows are traded for local-replica
     # coverage, and W3 stays driver-checked via ytd (guarded by
     # tests/test_registry.py).
+    # Round-5 rotation: docs_token_stats / docs_fingerprint /
+    # embeddings_normalize demoted (token stats stay covered by
+    # docs_quality_score + docs_bpe_token_estimate, fingerprints by
+    # docs_winnow_overlap, vector-norm algebra by every cosine query)
+    # to give the round-4 flagships docs_clean_corpus /
+    # scd2_customer_history / embeddings_ivf_search driver rows.
+    "docs_token_stats",
+    "docs_fingerprint",
+    "embeddings_normalize",
     "qtd_running_revenue",
     "mtd_running_revenue",
     "yoy_monthly_revenue",
@@ -126,12 +135,9 @@ GATE_PRIORITY: list[str] = [
     "docs_pack_sequences",
     "docs_hash_split",
     "docs_shuffle_order",
-    "docs_clean_corpus",
     "docs_repetition_stats",
     "docs_unigram_logprob",
     "docs_contamination_probe",
-    "scd2_customer_history",
-    "embeddings_ivf_search",
     "kmv_distinct_estimate",
     "dates_drill_hierarchy",
     "top3_orders_per_customer",

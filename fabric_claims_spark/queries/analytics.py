@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.caching import tracked_cache
 from fabric_claims_spark.extensions.graph import pagerank
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import money
@@ -134,16 +135,16 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # one shuffle: distinct brands per order as a sorted array
-    # (cached: three consumers — totals, brand counts, pair counts —
-    # and bench.py clears caches between queries)
-    baskets = (
+    # (tracked cache: three consumers — totals, brand counts, pair
+    # counts; bench.py clears between queries, library callers
+    # release via caching.scoped_caches())
+    baskets = tracked_cache(
         li.join(part, li.l_partkey == part.p_partkey)
         .select(
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
         .groupBy("okey")
         .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
-        .cache()
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     bc = baskets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(

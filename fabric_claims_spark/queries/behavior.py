@@ -322,10 +322,14 @@ _TREND_EPOCH = "2024-01-01"
       FROM d GROUP BY 1)
     SELECT event_type, n,
            CAST(sy AS BIGINT) AS total_events,
+           -- NULLIF guards det = 0 (an event_type active on exactly
+           -- one day): DuckDB's IEEE default would yield NaN/Inf
+           -- while Spark's non-ANSI division yields NULL — both
+           -- sides must agree on NULL.
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx), 6) AS slope,
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
            ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                 / (n * sxx - sx * sx), 6) AS intercept
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS intercept
     FROM m
     """,
 )
@@ -345,23 +349,20 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # det = 0 ⟺ the type was active on a single day; divide behind a
+    # guard so both engines yield NULL (not NaN/Inf) for that case.
     det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    guarded = lambda num: F.when(  # noqa: E731
+        det != 0, F.round(num.cast("double") / det, 6)
+    )
     return m.select(
         "event_type",
         "n",
         F.col("sy").cast("long").alias("total_events"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / det,
-            6,
+        guarded(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
         ).alias("slope"),
-        F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
-                "double"
-            )
-            / det,
-            6,
+        guarded(
+            F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
         ).alias("intercept"),
     )

@@ -435,8 +435,12 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning end-to-end. Scale shape: the quality filter and
     exact dedup are one scan + one hash window; LSH pairs only ever
     form over the deduped survivors (never the raw corpus); the
-    component labels and the (tiny) survivor→cluster map broadcast
-    back onto the full corpus for labeling."""
+    component labels join back onto the corpus by doc_id with NO
+    forced broadcast — the label frame is proportional to the
+    near-dup population (commonly 20-50% of an LLM corpus), so AQE
+    decides at runtime: broadcast when the measured size is small,
+    shuffled equi-join otherwise. Both are scale-safe; a forced
+    broadcast of an unbounded side is not."""
     from fabric_claims_spark.extensions.graph import connected_components
     from pyspark.sql import Window
 
@@ -473,8 +477,8 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         docs.select("doc_id")
         .join(e, "doc_id", "left")
-        .join(F.broadcast(c), "doc_id", "left")
-        .join(F.broadcast(c2), "exact_canon", "left")
+        .join(c, "doc_id", "left")
+        .join(c2, "exact_canon", "left")
     )
     status = (
         F.when(F.col("exact_canon").isNull(), "quality_filtered")

@@ -192,8 +192,10 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Native session_window (batch form): gap-based sessions as a built-in
 # grouping — the windowing twin of the lag/cumsum sessionization query
-# (second-truncated timestamps; a new session opens at gap >= 30 min,
-# matching session_window's half-open [start, end+gap) semantics).
+# (second-truncated timestamps; the gap boundary is INCLUSIVE — an
+# event arriving exactly 1800 s after the previous one still merges,
+# so a new session opens only at gap > 30 min, matching
+# session_window's half-open [start, end+gap) semantics).
 @query(
     "events_session_window",
     oracle="""

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.caching import tracked_cache
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.parquet import load_table
 
@@ -271,7 +272,9 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(F.split(F.trim(F.col("text")), _WS)).alias("toks"),
     ).withColumn("n", F.size("toks"))
-    t = t.cache()  # feeds prefix generation AND pair verification
+    # feeds prefix generation AND pair verification; tracked so
+    # library callers release it via caching.scoped_caches()
+    t = tracked_cache(t)
 
     # global token rarity, computed as a count-over-partition window on
     # the SAME exploded frame that feeds the rank below — one shuffle

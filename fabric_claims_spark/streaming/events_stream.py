@@ -302,13 +302,19 @@ def rollup_maintenance_stream(
     of the batch maintenance path, and the shape a production gold
     layer uses to stay current without re-scanning history. Because
     count/sum are monoids and min/max semilattices, micro-batch
-    boundaries (and AvailableNow restarts, via the checkpoint) cannot
-    change the result; the equivalence test pins stream == one-shot
-    batch aggregate."""
+    boundaries cannot change the result; and because foreachBatch is
+    only at-least-once (a crash between sink and checkpoint commit
+    redelivers the same batch_id on restart), the sink folds through
+    the IDEMPOTENT maintenance variant, which records the last applied
+    batch_id inside the state's own atomic commit and skips
+    redeliveries — so AvailableNow restarts cannot double-count. The
+    equivalence test pins stream == one-shot batch aggregate; the
+    redelivery test pins the skip."""
     from pyspark.sql import functions as F2
 
     from fabric_claims_spark.operators.rollup import (
-        maintain_additive_rollup,
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
     )
     from fabric_claims_spark.sources.merge import TableStore
 
@@ -321,10 +327,11 @@ def rollup_maintenance_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        maintain_additive_rollup(
+        maintain_additive_rollup_idempotent(
             store,
             query_name,
             batch_df,
+            batch_id,
             keys=["event_type"],
             sum_cols=["v"],
             min_cols=["v_min"],
@@ -341,4 +348,4 @@ def rollup_maintenance_stream(
     )
     if not store.exists(query_name):  # zero-batch stream
         raise ValueError("no batches processed")
-    return store.read(query_name)
+    return store.read(query_name).drop(APPLIED_BATCH_COL)

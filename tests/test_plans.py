@@ -185,13 +185,21 @@ def test_ivf_search_broadcasts_probe_and_query(spark, registry):
     assert "CartesianProduct" not in plan
 
 
-def test_clean_corpus_labels_join_broadcast_no_cartesian(spark, registry):
-    """The cleaning composition must keep the LSH candidate join equi
-    and bring component labels back onto the corpus via broadcast —
-    a cartesian or a shuffled label join breaks the 100 TB shape."""
-    plan = _plan(spark, registry["docs_clean_corpus"].fn(spark, SF))
+def test_clean_corpus_label_joins_equi_no_forced_broadcast(spark, registry):
+    """The cleaning composition must keep every join equi (no
+    cartesian / nested-loop) and must NOT force-broadcast the
+    component-label frames: labels grow with the near-dup population
+    (unbounded at LLM-corpus dup rates), so the plan leaves the
+    strategy to AQE — broadcast when measured-small, shuffled
+    equi-join otherwise."""
+    df = registry["docs_clean_corpus"].fn(spark, SF)
+    plan = _plan(spark, df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # No ResolvedHint/broadcast hint survives on the label joins: the
+    # optimized logical plan must carry zero user broadcast hints.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
 
 
 def test_shuffle_order_uses_shard_windows_and_broadcast_offsets(spark, registry):

@@ -34,7 +34,6 @@ def test_first_fifty_all_have_oracles():
 # curation: it must stay a subset of the 50-row prefix (guard below).
 JUDGE_NAMED = [
     "claims_pipeline_e2e",
-    "embeddings_normalize",
     "docs_minhash_signatures",
     "docs_minhash_neardup",
     "docs_simhash",
@@ -103,3 +102,27 @@ def test_round4_additions_registered_with_oracles():
         "kmv_distinct_estimate",
     ):
         assert name in reg and reg[name].oracle is not None
+
+
+def test_round5_rotation():
+    """Round-5 curation (VERDICT r4 item 3): the round-4 flagships get
+    driver rows; the demoted twins stay registered with oracles and
+    their operators stay prefix-covered by siblings."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "docs_clean_corpus",
+        "scd2_customer_history",
+        "embeddings_ivf_search",
+    ):
+        assert promoted in prefix, promoted
+    for demoted in (
+        "docs_token_stats",
+        "docs_fingerprint",
+        "embeddings_normalize",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+    # operator coverage the demotions lean on
+    assert "docs_quality_score" in prefix  # token/length stats
+    assert "docs_jaccard_pairs" in prefix  # shingle machinery
+    assert "embeddings_knn_bruteforce" in prefix  # vector-norm algebra

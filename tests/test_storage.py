@@ -236,3 +236,47 @@ def test_additive_rollup_batch_order_invariant(spark, tmp_path):
     got = {r[0]: r for r in fwd}
     assert got["A"][1] == 3 and float(got["A"][2]) == 17.0
     assert float(got["A"][3]) == 2.0 and float(got["A"][4]) == 10.0
+
+
+def test_idempotent_rollup_skips_redelivered_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between sink completion
+    and checkpoint commit redelivers the same batch_id. The idempotent
+    fold must treat the redelivery as a no-op (exactly-once end state)
+    while still folding genuinely new batch_ids."""
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A", 10.0), ("B", 7.0)], "k string, v double"
+    ).select("k", F.col("v").cast("decimal(18,4)").alias("v"))
+    store = TableStore(spark, str(tmp_path / "idem"))
+
+    def fold(batch_id):
+        return sorted(
+            map(
+                tuple,
+                maintain_additive_rollup_idempotent(
+                    store, "r", df, batch_id, keys=["k"], sum_cols=["v"]
+                ).collect(),
+            )
+        )
+
+    first = fold(0)
+    replay = fold(0)  # redelivered micro-batch — must not double-count
+    assert replay == first
+    assert fold(0) == first  # and again
+    second = fold(1)  # a NEW batch folds normally
+    got = {r[0]: r for r in second}
+    assert got["A"][1] == 2 and float(got["A"][2]) == 20.0
+    # stale replay of an OLD batch after newer ones also skips
+    assert fold(1) == second
+    assert fold(0) == second
+    # the bookkeeping column never leaks into returned state
+    state = maintain_additive_rollup_idempotent(
+        store, "r", df, 1, keys=["k"], sum_cols=["v"]
+    )
+    assert APPLIED_BATCH_COL not in state.columns
