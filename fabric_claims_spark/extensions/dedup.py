@@ -139,6 +139,24 @@ def _shingle_frame(
     )
 
 
+def _band_key_cols(rows: int, bands: int, hasher: str) -> list[Column]:
+    """One blocking-key expression per band over the wide h0..h{n-1}
+    layout. md5 mode keeps the raw comma-joined slot values (the form
+    DuckDB can rebuild); xxhash64 mode folds them to one long."""
+    if hasher == "md5":
+        return [
+            F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            for b in range(bands)
+        ]
+    return [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)]),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ]
+
+
 def _minhash_mins(sh: DataFrame, num_hashes: int, hasher: str) -> DataFrame:
     """Wide form of the signature matrix: (doc, h0..h{n-1}) — one row,
     one column per slot. The wide layout keeps every downstream
@@ -265,19 +283,7 @@ def minhash_near_dups(
             _shingle_frame(df, id_col, text_col, k, shingle_unit), num_hashes, hasher
         )
     )
-    if hasher == "md5":
-        band_keys = [
-            F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)])
-            for b in range(bands)
-        ]
-    else:
-        band_keys = [
-            F.xxhash64(
-                F.concat_ws(",", *[F.col(f"h{b * rows + i}") for i in range(rows)]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    band_keys = _band_key_cols(rows, bands, hasher)
     banded = mins.select(
         "doc", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash")
     )
@@ -317,6 +323,136 @@ def minhash_near_dups(
             (eq_sum.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    shingle_unit: str = "char",
+    hasher: str = "xxhash64",
+    bucket_cap: int | None = 64,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an EXISTING corpus —
+    the daily-increment shape of a training-data pipeline, where
+    re-running all-corpus dedup per crawl batch is corpus-sized work
+    that incremental maintenance does in batch-sized work.
+
+    Returns one row per batch doc: ``(doc_id, status, match_id)`` with
+    ``status ∈ {'exact_dup','near_dup','new'}`` and ``match_id`` the
+    smallest matching corpus id (NULL for new). Intra-batch duplicates
+    are out of scope here — run ``minhash_near_dups`` on the batch for
+    those; the two compose.
+
+    Scale shape (100 TB corpus, GB-scale batch):
+
+    * exact: content-hash equi-join batch→corpus. The corpus side is
+      a (hash, id) projection — in production a STORED table bucketed
+      on the hash, so the join is batch-side shuffle only.
+    * near: the batch's band keys join the corpus's band table (again:
+      stored + bucketed on (band_idx, band_key) in production — see
+      operators/bucketing.py — so only the batch shuffles). The
+      ``bucket_cap`` guard drops corpus band buckets above the cap
+      exactly as in ``minhash_near_dups``: a bucket shared by
+      thousands of corpus docs carries no discriminative signal and
+      would multiply every colliding batch doc by its size.
+    * verify: candidate (batch, corpus) pairs — bounded by
+      bands × cap per batch doc — join both wide signatures and keep
+      est_jaccard ≥ threshold.
+
+    Nothing in the plan scans the corpus per batch doc; the corpus
+    appears only behind equi-joins on precomputable keys.
+    """
+    rows = num_hashes // bands
+    cid, bid = F.col(id_col).alias("_cid"), F.col(id_col).alias("doc")
+
+    # exact: smallest corpus id per identical content
+    ex = (
+        batch.select(bid, F.md5(F.col(text_col)).alias("_h"))
+        .join(corpus.select(F.md5(F.col(text_col)).alias("_h"), cid), "_h")
+        .groupBy("doc")
+        .agg(F.min("_cid").alias("exact_match"))
+    )
+
+    mins_c = tracked_cache(
+        _minhash_mins(
+            _shingle_frame(corpus, id_col, text_col, k, shingle_unit),
+            num_hashes,
+            hasher,
+        )
+    )
+    mins_b = tracked_cache(
+        _minhash_mins(
+            _shingle_frame(batch, id_col, text_col, k, shingle_unit),
+            num_hashes,
+            hasher,
+        )
+    )
+    band_keys = _band_key_cols(rows, bands, hasher)
+
+    def banded(mins: DataFrame) -> DataFrame:
+        return mins.select(
+            "doc", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash")
+        )
+
+    bc = banded(mins_c)
+    if bucket_cap is not None:
+        w_bucket = Window.partitionBy("band_idx", "band_hash")
+        bc = (
+            bc.withColumn("_bs", F.count(F.lit(1)).over(w_bucket))
+            .where(F.col("_bs") <= bucket_cap)
+            .drop("_bs")
+        )
+    cand = (
+        banded(mins_b)
+        .join(
+            bc.select(
+                "band_idx", "band_hash", F.col("doc").alias("_cdoc")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc", "_cdoc")
+        .distinct()
+    )
+    ma = mins_b.select(
+        "doc", *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)]
+    )
+    mb = mins_c.select(
+        F.col("doc").alias("_cdoc"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    eq_sum = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
+    )
+    near = (
+        cand.join(ma, "doc")
+        .join(mb, "_cdoc")
+        .where(
+            (eq_sum.cast("double") / F.lit(num_hashes)) >= F.lit(threshold)
+        )
+        .groupBy("doc")
+        .agg(F.min("_cdoc").alias("near_match"))
+    )
+    status = (
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("new")
+    )
+    return (
+        batch.select(bid)
+        .join(ex, "doc", "left")
+        .join(near, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            status.alias("status"),
+            F.coalesce("exact_match", "near_match").cast("long").alias("match_id"),
+        )
     )
 
 

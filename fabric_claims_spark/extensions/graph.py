@@ -197,6 +197,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     teleport: float = 0.15,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list: (node, pr) after ``iters``
     synchronous rounds. Each round is one co-partitioned equi-join of
@@ -212,11 +213,17 @@ def pagerank(
     independent constants (never derived from each other — ``1 - 0.85``
     is not ``0.15`` in IEEE doubles).
 
-    Dangling nodes (no out-edges) leak their mass — acceptable for the
-    symmetric co-occurrence graphs this engine builds, where every
-    node with an in-edge has the reverse out-edge. Lineage grows
-    linearly in ``iters``; for long runs wrap with the checkpointing
-    used by connected_components.
+    Dangling nodes (no out-edges): with the default
+    ``redistribute_dangling=False`` their mass leaks — acceptable for
+    the symmetric co-occurrence graphs this engine builds, where every
+    node with an in-edge has the reverse out-edge (and bit-compatible
+    with the unrolled SQL oracle). For general DIRECTED graphs pass
+    ``redistribute_dangling=True``: each round the summed rank of
+    dangling nodes is split uniformly across all nodes before damping
+    (the standard power-iteration correction), at the cost of one
+    extra tiny aggregate + broadcast per round over the loop-invariant
+    dangling-node set. Lineage grows linearly in ``iters``; for long
+    runs wrap with the checkpointing used by connected_components.
     """
     w = F.col(weight) if weight else F.lit(1)
     e = edges.select(
@@ -245,6 +252,13 @@ def pagerank(
         F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("pr"),
     )
     zero = F.lit(0).cast("decimal(20,12)")
+    # loop-invariant: the set of dangling nodes (no out-edges); only
+    # their MASS changes per round. Bounded by |nodes|.
+    dangling = (
+        nodes.join(out_w.select(F.col("src").alias("node")), "node", "left_anti")
+        if redistribute_dangling
+        else None
+    )
     for _ in range(iters):
         contrib = er.join(
             pr.select(F.col("node").alias("src"), "pr"), "src"
@@ -255,18 +269,28 @@ def pagerank(
             .alias("c"),
         )
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (
-            pr.select("node", "n_nodes")
-            .join(s, pr["node"] == s["dst"], "left")
-            .select(
-                "node",
-                "n_nodes",
-                F.round(
-                    F.lit(teleport) / F.col("n_nodes")
-                    + F.lit(damping)
-                    * F.coalesce(F.col("s"), zero).cast("double"),
-                    12,
-                ).alias("pr"),
+        nxt = pr.select("node", "n_nodes").join(
+            s, pr["node"] == s["dst"], "left"
+        )
+        recv = F.coalesce(F.col("s"), zero).cast("double")
+        if dangling is not None:
+            # one scalar per round: total rank sitting on dangling
+            # nodes, split uniformly — the standard power-iteration
+            # correction. Broadcast (single row), never a shuffle of
+            # the rank frame.
+            dm = pr.join(dangling, "node").agg(
+                F.coalesce(
+                    F.sum(F.col("pr").cast("decimal(20,12)")), zero
+                ).alias("dm")
             )
+            nxt = nxt.crossJoin(F.broadcast(dm))
+            recv = recv + F.col("dm").cast("double") / F.col("n_nodes")
+        pr = nxt.select(
+            "node",
+            "n_nodes",
+            F.round(
+                F.lit(teleport) / F.col("n_nodes") + F.lit(damping) * recv,
+                12,
+            ).alias("pr"),
         )
     return pr.select("node", "pr")

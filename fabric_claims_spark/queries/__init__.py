@@ -124,6 +124,8 @@ GATE_PRIORITY: list[str] = [
     "docs_token_stats",
     "docs_fingerprint",
     "embeddings_normalize",
+    # round-5 addition: batch-vs-corpus incremental dedup
+    "docs_incremental_dedup",
     "qtd_running_revenue",
     "mtd_running_revenue",
     "yoy_monthly_revenue",

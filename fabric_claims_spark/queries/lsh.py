@@ -47,24 +47,26 @@ _K = 5
 _SQL_BASE = "(('0x' || substr(md5(shingle),1,15))::BIGINT % 2147483647)"
 
 
-def _sql_shingles_cte(src: str = "documents") -> str:
+def _sql_shingles_cte(src: str = "documents", name: str = "sh") -> str:
     """Char 5-gram generator matching extensions.dedup
     minhash_signatures (1-indexed substr over exploded positions).
     ``src`` lets callers point the chain at a prior CTE (e.g. the
-    quality/exact-dedup survivors in the clean-corpus query)."""
-    return f"""sh AS (
+    quality/exact-dedup survivors in the clean-corpus query);
+    ``name`` disambiguates when one query needs two chains (the
+    incremental corpus/batch split)."""
+    return f"""{name} AS (
       SELECT doc, substr(text, pos, {_K}) AS shingle FROM (
         SELECT doc_id AS doc, text,
                unnest(generate_series(1, greatest(length(text) - {_K - 1}, 1))) AS pos
         FROM {src}))"""
 
 
-def _sql_mins_cte() -> str:
+def _sql_mins_cte(shsrc: str = "sh", name: str = "mins") -> str:
     terms = ",\n        ".join(
         f"MIN(({MH_A[i]} * {_SQL_BASE} + {MH_B[i]}) % {MH_PRIME}) AS h{i}"
         for i in range(_NUM_HASHES)
     )
-    return f"mins AS (\n      SELECT doc,\n        {terms}\n      FROM sh GROUP BY doc)"
+    return f"{name} AS (\n      SELECT doc,\n        {terms}\n      FROM {shsrc} GROUP BY doc)"
 
 
 def _signatures_oracle() -> str:
@@ -501,4 +503,100 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", status.alias("status"), canonical.alias("canonical_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a new crawl batch against the existing corpus —
+# batch-sized work against precomputable corpus keys (content hash,
+# band table), never a corpus rescan. The gate fixture splits the
+# documents table by doc_id mod: ~4/5 plays the stored corpus, ~1/5
+# the arriving batch.
+_INC_MOD = 5
+_INC_THRESHOLD = 0.5
+
+
+def _incremental_oracle(threshold: float = _INC_THRESHOLD, cap: int = 64) -> str:
+    rows = _NUM_HASHES // _BANDS
+
+    def band_sel(mins: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk FROM {m}".format(
+                b=b,
+                cols=", ".join(f"h{b * rows + i}" for i in range(rows)),
+                m=mins,
+            )
+            for b in range(_BANDS)
+        )
+
+    eq_sum = " + ".join(
+        f"CAST(ma.h{i} = mb.h{i} AS INT)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} = 0),
+    ex AS (
+      SELECT b.doc_id AS doc, MIN(c.doc_id) AS m
+      FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+      GROUP BY 1),
+    {_sql_shingles_cte("corpus", "shc")},
+    {_sql_mins_cte("shc", "minsc")},
+    {_sql_shingles_cte("batch", "shb")},
+    {_sql_mins_cte("shb", "minsb")},
+    bandsc AS (
+      {band_sel("minsc")}),
+    bandsc_capped AS (
+      SELECT doc, band_idx, bk FROM (
+        SELECT doc, band_idx, bk,
+               COUNT(*) OVER (PARTITION BY band_idx, bk) AS bs
+        FROM bandsc)
+      WHERE bs <= {cap}),
+    bandsb AS (
+      {band_sel("minsb")}),
+    cand AS (
+      SELECT DISTINCT b.doc AS doc, c.doc AS cdoc
+      FROM bandsb b JOIN bandsc_capped c
+        ON b.band_idx = c.band_idx AND b.bk = c.bk),
+    nr AS (
+      SELECT cand.doc, MIN(cand.cdoc) AS m
+      FROM cand
+      JOIN minsb ma ON ma.doc = cand.doc
+      JOIN minsc mb ON mb.doc = cand.cdoc
+      WHERE CAST({eq_sum} AS DOUBLE) / {_NUM_HASHES} >= {threshold}
+      GROUP BY 1)
+    SELECT b.doc_id,
+      CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+           WHEN n.m IS NOT NULL THEN 'near_dup'
+           ELSE 'new' END AS status,
+      CAST(COALESCE(e.m, n.m) AS BIGINT) AS match_id
+    FROM batch b
+    LEFT JOIN ex e ON e.doc = b.doc_id
+    LEFT JOIN nr n ON n.doc = b.doc_id
+    """
+
+
+@query("docs_incremental_dedup", oracle=_incremental_oracle())
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup (extensions/dedup.py:incremental_dedup):
+    exact via content-hash equi-join, near via the batch band keys
+    joined against the (capped) corpus band table — batch-sized work;
+    at 100 TB the corpus sides are stored tables bucketed on their
+    join keys, so only the batch shuffles. md5 hasher for the DuckDB
+    twin."""
+    from fabric_claims_spark.extensions.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.pmod("doc_id", _INC_MOD) != 0)
+    batch = docs.where(F.pmod("doc_id", _INC_MOD) == 0)
+    return incremental_dedup(
+        corpus,
+        batch,
+        "doc_id",
+        "text",
+        threshold=_INC_THRESHOLD,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
     )

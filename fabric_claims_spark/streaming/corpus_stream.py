@@ -1,0 +1,134 @@
+"""Continuous corpus ingestion with incremental dedup — the streaming
+twin of ``extensions/dedup.py:incremental_dedup``.
+
+A training-data pipeline at 100 TB doesn't re-dedup the corpus per
+crawl; it dedups each arriving micro-batch against the stored corpus
+and appends only the genuinely new documents. This module is that
+loop: ``readStream`` over a document directory → ``foreachBatch`` →
+batch-vs-store incremental dedup → append survivors.
+
+Delivery semantics: ``foreachBatch`` is at-least-once, and a blind
+append would duplicate a redelivered batch — so every appended row
+carries the micro-batch id (``_ingest_batch_id``), committed in the
+SAME atomic TableStore version as the data, and the sink skips any
+batch id at or below the stored maximum (same discipline as
+``operators/rollup.maintain_additive_rollup_idempotent``).
+
+Intra-batch semantics: exact duplicates WITHIN a batch collapse to
+the min-id canonical before the store check; near-dup relations
+within one batch are not chased (both docs store — the documented
+``incremental_dedup`` scope; a periodic compaction with
+``minhash_near_dups`` over the store handles drift).
+
+Scale: per micro-batch the work is batch-sized (signatures for the
+batch; equi-joins against the store's content-hash and band keys —
+stored tables bucketed on those keys in production). The fallback
+TableStore append is read+union+commit (O(store) I/O, atomic); on
+Delta the same sink is an O(batch) transactional append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from fabric_claims_spark.extensions.dedup import incremental_dedup
+from fabric_claims_spark.sources.merge import TableStore
+
+INGEST_BATCH_COL = "_ingest_batch_id"
+
+
+def ingest_batch(
+    store: TableStore,
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hasher: str = "xxhash64",
+) -> bool:
+    """Fold one micro-batch into the corpus store; returns False if
+    the batch id was already committed (redelivery no-op). The
+    foreachBatch sink below is exactly this function."""
+    if store.exists(table):
+        cur = store.read(table)
+        applied = cur.select(F.max(INGEST_BATCH_COL)).head()[0]
+        if applied is not None and batch_id <= applied:
+            return False  # redelivered micro-batch — already committed
+        corpus = cur.drop(INGEST_BATCH_COL)
+    else:
+        corpus = None
+
+    # intra-batch exact collapse: min-id canonical per content
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    batch = (
+        batch_df.withColumn("_canon", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_canon"))
+        .drop("_canon")
+    )
+    if corpus is not None:
+        verdict = incremental_dedup(
+            corpus,
+            batch,
+            id_col,
+            text_col,
+            threshold=threshold,
+            hasher=hasher,
+        )
+        batch = batch.join(
+            verdict.where(F.col("status") == "new").select(id_col),
+            id_col,
+        )
+    store.append(
+        table, batch.withColumn(INGEST_BATCH_COL, F.lit(batch_id).cast("long"))
+    )
+    return True
+
+
+def corpus_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    table: str = "corpus",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hasher: str = "xxhash64",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain ``docs_dir`` (AvailableNow) into a deduped corpus store;
+    returns the stored corpus (bookkeeping column dropped)."""
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch(
+            store,
+            table,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hasher=hasher,
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(table):
+        raise ValueError("no batches processed")
+    return store.read(table).drop(INGEST_BATCH_COL)

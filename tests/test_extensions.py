@@ -586,3 +586,82 @@ def test_triangles_matches_bruteforce_on_random_graph(spark):
     got = {r["node"]: r["triangles"] for r in triangles(df).collect()}
     assert got == want
     assert sum(want.values()) > 0  # the seed actually produced triangles
+
+
+def test_pagerank_redistribute_dangling_matches_reference(spark):
+    """General directed graph with a dangling node: with
+    redistribute_dangling=True the ranks must match a straightforward
+    power-iteration reference (teleport/N + d*(recv + dangling/N))
+    and conserve total mass; the default (False) leaks the dangling
+    mass and must NOT conserve it (documented limitation)."""
+    from fabric_claims_spark.extensions.graph import pagerank
+
+    out = {1: [2, 3], 2: [3], 3: [1, 4], 4: []}
+    edges = spark.createDataFrame(
+        [(u, v) for u, vs in out.items() for v in vs], "src long, dst long"
+    )
+    n, iters, d, t = 4, 6, 0.85, 0.15
+
+    # reference: same update rule, plain floats
+    pr = {v: 1.0 / n for v in out}
+    for _ in range(iters):
+        recv = {v: 0.0 for v in out}
+        for u, vs in out.items():
+            for v in vs:
+                recv[v] += pr[u] / len(vs)
+        dm = sum(pr[u] for u, vs in out.items() if not vs)
+        pr = {v: t / n + d * (recv[v] + dm / n) for v in out}
+
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iters=iters, redistribute_dangling=True).collect()
+    }
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-6, (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+    leaked = {
+        r["node"]: r["pr"] for r in pagerank(edges, iters=iters).collect()
+    }
+    assert sum(leaked.values()) < 1.0 - 1e-3  # default leaks as documented
+
+
+def test_incremental_dedup_statuses(spark):
+    """Batch-vs-corpus dedup: exact copy → exact_dup (smallest corpus
+    match), high-overlap text → near_dup, unrelated text → new; and
+    the operator never reports intra-batch duplicates (out of scope,
+    composes with minhash_near_dups on the batch)."""
+    from fabric_claims_spark.extensions.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [
+            (10, base * 4),
+            (11, base * 4),  # corpus-internal dup; match must be min id 10
+            (12, "completely different corpus content about spark engines "
+                 * 4),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base * 4),                       # exact copy of 10/11
+            (101, base * 4 + "with a tiny suffix"),  # near dup of 10/11
+            (102, "nothing like anything stored here at all zzz qqq www "
+                  * 4),                             # new
+            (103, "nothing like anything stored here at all zzz qqq www "
+                  * 4),                             # intra-batch dup of 102 — still 'new'
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(
+            corpus, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got[100] == ("exact_dup", 10)
+    assert got[101][0] == "near_dup" and got[101][1] in (10, 11)
+    assert got[102] == ("new", None)
+    assert got[103] == ("new", None)

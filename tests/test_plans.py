@@ -374,3 +374,13 @@ def test_masked_view_rls_predicate_pushes_down(spark, registry):
     push the untouched segment filter past it)."""
     plan = _plan(spark, registry["customers_masked_rls_view"].fn(spark, SF), "formatted")
     assert "EqualTo(c_mktsegment,AUTOMOBILE)" in plan
+
+
+def test_incremental_dedup_joins_equi_no_cartesian(spark, registry):
+    """Batch-vs-corpus dedup must reach the corpus only through
+    equi-joins on precomputable keys (content hash, band keys) — a
+    cartesian or nested-loop anywhere means a corpus rescan per
+    batch doc at 100 TB."""
+    plan = _plan(spark, registry["docs_incremental_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
