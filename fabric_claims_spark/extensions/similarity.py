@@ -195,3 +195,98 @@ def hyperplane_neardup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# -- distributed k-means (Lloyd) ---------------------------------------------
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the
+    trainer for the IVF coarse quantizer (``ivf_assign`` consumes the
+    centroids this loop converges to). Returns the final assignment
+    ``(vec_id, cluster, dist)`` after ``iters`` update rounds.
+
+    Scale shape — MLlib's discipline: centroids are DRIVER state
+    (k·dim doubles, bounded), never a joined frame:
+
+    * assignment: a pure PROJECTION — per row, ``array_min`` over k
+      literal (dist, cid) structs built from the driver-held
+      centroids. ZERO shuffle; the vectors never move.
+    * update: posexplode to (cluster, dim) micro-units — n·dim rows,
+      linear, map-side combined down to ≤ k·dim partials; the shuffle
+      is k·dim rows, and only those k·dim means come back to the
+      driver for the next round.
+    * empty clusters keep their previous centroid, so k is stable.
+
+    Cross-engine determinism (the oracle unrolls this loop in SQL):
+    distances are ``dot(v,v) − 2·dot(v,c) + dot(c,c)`` — sequential
+    zip_with folds matching DuckDB's list_dot_product op order
+    bit-exactly (centroid literals round-trip through the driver
+    exactly: binary64 in, binary64 out); component sums use integer
+    MICRO-UNITS (round(x·1e6) as long — exact, order-independent
+    addition, the text_docs entropy pattern); means divide once in
+    IEEE doubles and ROUND to 9 dp IN SPARK (never Python's
+    banker's rounding); argmin ties break on the smaller centroid id.
+    Seeds are the k smallest ids' vectors (deterministic, no RNG).
+    """
+    ev = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
+    ]
+
+    def dist_struct(cid: int, cv: list[float]):
+        ca = F.array(*[F.lit(x) for x in cv])
+        d = (
+            dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * dot(F.col("v"), ca)
+            + dot(ca, ca)
+        )
+        return F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid"))
+
+    def assign() -> DataFrame:
+        m = F.array_min(F.array(*[dist_struct(cid, cv) for cid, cv in cents]))
+        return ev.select(
+            "vec_id",
+            F.col("v"),
+            m.getField("cid").alias("cluster"),
+            m.getField("d").alias("d"),
+        )
+
+    for _ in range(iters):
+        micro = assign().select(
+            "cluster",
+            F.posexplode(
+                F.transform("v", lambda x: F.round(x * 1e6, 0).cast("long"))
+            ).alias("dim", "micro"),
+        )
+        means = (
+            micro.groupBy("cluster", "dim")
+            .agg(F.sum("micro").alias("s"), F.count(F.lit(1)).alias("c"))
+            .select(
+                "cluster",
+                "dim",
+                F.round(
+                    F.col("s").cast("double") / (F.col("c") * F.lit(1e6)), 9
+                ).alias("m"),
+            )
+        )
+        got: dict[int, list[tuple[int, float]]] = {}
+        for r in means.collect():  # ≤ k·dim rows — bounded driver state
+            got.setdefault(r["cluster"], []).append((r["dim"], r["m"]))
+        cents = [
+            (
+                cid,
+                [m for _, m in sorted(got[cid])] if cid in got else cv,
+            )
+            for cid, cv in cents
+        ]
+
+    return assign().select(
+        "vec_id", "cluster", F.round(F.col("d"), 6).alias("dist")
+    )

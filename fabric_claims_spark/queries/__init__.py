@@ -124,8 +124,10 @@ GATE_PRIORITY: list[str] = [
     "docs_token_stats",
     "docs_fingerprint",
     "embeddings_normalize",
-    # round-5 addition: batch-vs-corpus incremental dedup
+    # round-5 additions: batch-vs-corpus incremental dedup, Lloyd
+    # k-means (IVF centroid trainer)
     "docs_incremental_dedup",
+    "embeddings_kmeans",
     "qtd_running_revenue",
     "mtd_running_revenue",
     "yoy_monthly_revenue",

@@ -343,3 +343,75 @@ def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(_IVF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd k-means (the IVF centroid trainer) — the oracle
+# unrolls the whole loop in SQL: per round, an argmin assignment over
+# the CROSS JOIN with the k current centroids (dist as three
+# list_dot_product terms, matching the Spark zip_with folds
+# bit-exactly), then a centroid update from integer micro-unit sums
+# (exact, order-independent) divided once in doubles and rounded to
+# 9 dp. Empty clusters COALESCE to their previous centroid. Seeds =
+# the k smallest vec_ids.
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    dist = (
+        "list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    ctes = [
+        "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (
+      SELECT vec_id AS cid, v AS cv FROM ev ORDER BY vec_id LIMIT {k})""",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""asg{r} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vec_id, e.v, c.cid, {dist} AS dist
+              FROM ev e CROSS JOIN cent{r} c))
+      WHERE rn = 1)""")
+        ctes.append(
+            f"""mu{r} AS (
+      SELECT cluster, dim,
+             ROUND(CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * 1000000.0), 9) AS m
+      FROM (SELECT cid AS cluster, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS dim
+            FROM asg{r})
+      GROUP BY 1, 2)""")
+        ctes.append(
+            f"""newc{r} AS (
+      SELECT cluster AS cid, list(m ORDER BY dim) AS cv
+      FROM mu{r} GROUP BY 1)""")
+        ctes.append(
+            f"""cent{r + 1} AS (
+      SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+      FROM cent{r} c LEFT JOIN newc{r} n ON n.cid = c.cid)""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM (SELECT e.vec_id, c.cid, {dist} AS dist
+            FROM ev e CROSS JOIN cent{iters} c))
+    WHERE rn = 1
+    """
+
+
+@query("embeddings_kmeans", oracle=_kmeans_oracle())
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignment after 3 broadcast-centroid rounds
+    (extensions/similarity.py:kmeans_assignments) — vectors never
+    shuffle; each update shuffles k·dim partial sums."""
+    from fabric_claims_spark.extensions.similarity import kmeans_assignments
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(e, k=_KM_K, iters=_KM_ITERS)

@@ -665,3 +665,28 @@ def test_incremental_dedup_statuses(spark):
     assert got[101][0] == "near_dup" and got[101][1] in (10, 11)
     assert got[102] == ("new", None)
     assert got[103] == ("new", None)
+
+
+def test_kmeans_separates_two_blobs(spark):
+    """Two well-separated blobs, k=2: every member of a blob lands in
+    the same cluster, blobs land in different clusters, and the
+    reported dist is the squared euclidean to the final centroid."""
+    from fabric_claims_spark.extensions.similarity import kmeans_assignments
+
+    rows = []
+    for i in range(20):
+        off = (i % 5) * 0.01
+        rows.append((i, [1.0 + off, 1.0, 0.0]))          # blob A
+        rows.append((100 + i, [-1.0 - off, -1.0, 0.0]))  # blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assignments(df, k=2, iters=3).collect()
+    }
+    a_clusters = {got[i][0] for i in range(20)}
+    b_clusters = {got[100 + i][0] for i in range(20)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # converged centroids sit inside each blob: dist far below the
+    # inter-blob squared distance (~8)
+    assert all(d < 0.1 for _, d in got.values())

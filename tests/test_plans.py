@@ -384,3 +384,13 @@ def test_incremental_dedup_joins_equi_no_cartesian(spark, registry):
     plan = _plan(spark, registry["docs_incremental_dedup"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, registry):
+    """Lloyd assignment must be a pure projection over the vector
+    scan (array_min over driver-literal centroid structs) — any
+    Exchange means the vectors are being moved to meet the centroids,
+    which is backwards at 100 TB."""
+    plan = _plan(spark, registry["embeddings_kmeans"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
