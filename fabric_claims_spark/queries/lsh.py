@@ -439,10 +439,13 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     form over the deduped survivors (never the raw corpus); the
     component labels join back onto the corpus by doc_id with NO
     forced broadcast — the label frame is proportional to the
-    near-dup population (commonly 20-50% of an LLM corpus), so AQE
-    decides at runtime: broadcast when the measured size is small,
-    shuffled equi-join otherwise. Both are scale-safe; a forced
-    broadcast of an unbounded side is not."""
+    near-dup population (commonly 20-50% of an LLM corpus), so it is
+    localCheckpoint-materialized (distributed, once — it feeds BOTH
+    label joins, and the iterative lineage would otherwise recompute
+    per join) and the planner/AQE picks the strategy from its REAL
+    size: broadcast when genuinely small, shuffled equi-join
+    otherwise. Both are scale-safe; a forced broadcast of an
+    unbounded side is not."""
     from fabric_claims_spark.extensions.graph import connected_components
     from pyspark.sql import Window
 
@@ -469,7 +472,7 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         hasher="md5",
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").localCheckpoint()
 
     e = ex.select("doc_id", "exact_canon")
     c = comp.select(F.col("node").alias("doc_id"), "cluster")

@@ -141,6 +141,41 @@ def minhash_lsh_space(
     return int(out or 0)
 
 
+def incremental_space(
+    docs: DataFrame,
+    mod: int = 5,
+    bands: int = 16,
+    rows: int = 4,
+    bucket_cap: int = 64,
+) -> int:
+    """Candidate pair space of the batch-vs-corpus incremental dedup
+    (extensions/dedup.py:incremental_dedup over a doc_id%mod split):
+    Σ over (band, key) of n_batch × n_corpus-capped — the rows the
+    batch→corpus band join materializes. Per batch doc this is at
+    most bands × bucket_cap regardless of corpus size."""
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=bands * rows)
+    band_keys = [
+        F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows).cast("string"), F.lit(b))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash")
+    )
+    cnt = lambda side: (  # noqa: E731
+        side.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    )
+    corpus = cnt(banded.where(F.pmod("doc", mod) != 0)).where(
+        F.col("n") <= bucket_cap
+    )
+    batch = cnt(banded.where(F.pmod("doc", mod) == 0)).withColumnRenamed("n", "nb")
+    out = (
+        batch.join(corpus, ["band_idx", "band_hash"])
+        .agg(F.sum(F.col("nb") * F.col("n")).alias("p"))
+        .first()["p"]
+    )
+    return int(out or 0)
+
+
 def jaccard_prefix_space(docs: DataFrame, tau_num: int = 4, tau_den: int = 5) -> int:
     """PPJoin prefix-key pair space (mirrors queries/text_docs.py
     docs_jaccard_pairs: rarest-⌈n−τn⌉+1 tokens per doc, keys
@@ -266,11 +301,12 @@ def main() -> None:
         jac = jaccard_prefix_space(docs)
         win = winnow_space(docs)
         sh_cap = simhash_space(docs, bucket_cap=64)  # prod default
-        rows.append((label, n, allpairs, mh, mh_cap, jac, win, sh_cap))
+        inc = incremental_space(docs)
+        rows.append((label, n, allpairs, mh, mh_cap, jac, win, sh_cap, inc))
         print(
             f"{label}: docs={n} allpairs={allpairs} minhash_lsh={mh} "
             f"minhash_capped={mh_cap} jaccard_prefix={jac} winnow={win} "
-            f"simhash_capped={sh_cap}",
+            f"simhash_capped={sh_cap} incremental={inc}",
             flush=True,
         )
         docs.unpersist()
@@ -297,13 +333,13 @@ def main() -> None:
             f.write(
                 "| corpus | docs | all-pairs | minhash-LSH (uncapped) "
                 "| minhash-LSH (cap 64) | jaccard-prefix | winnow "
-                "| simhash (cap 64) |\n"
+                "| simhash (cap 64) | incremental (batch×corpus) |\n"
             )
-            f.write("|---|---|---|---|---|---|---|---|\n")
-            for label, n, ap, mh, mhc, jac, win, shc in rows:
+            f.write("|---|---|---|---|---|---|---|---|---|\n")
+            for label, n, ap, mh, mhc, jac, win, shc, inc in rows:
                 f.write(
                     f"| {label} | {n:,} | {ap:,} | {mh:,} | {mhc:,} "
-                    f"| {jac:,} | {win:,} | {shc:,} |\n"
+                    f"| {jac:,} | {win:,} | {shc:,} | {inc:,} |\n"
                 )
             f.write(
                 "\n| corpus | vectors | all-pairs | hyperplane-LSH (8-bit) "
