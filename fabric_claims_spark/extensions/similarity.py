@@ -236,9 +236,17 @@ def kmeans_assignments(
     ev = vectors.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
-    cents: list[tuple[int, list[float]]] = [
-        (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
-    ]
+    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col)
+    return _lloyd_assign(ev, cents).select(
+        "vec_id", "cluster", F.round(F.col("d"), 6).alias("dist")
+    )
+
+
+def _lloyd_assign(
+    ev: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Zero-shuffle argmin assignment: array_min over k literal
+    (dist, cid) structs. ``ev`` must expose (vec_id, v: array<double>)."""
 
     def dist_struct(cid: int, cv: list[float]):
         ca = F.array(*[F.lit(x) for x in cv])
@@ -249,17 +257,33 @@ def kmeans_assignments(
         )
         return F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid"))
 
-    def assign() -> DataFrame:
-        m = F.array_min(F.array(*[dist_struct(cid, cv) for cid, cv in cents]))
-        return ev.select(
-            "vec_id",
-            F.col("v"),
-            m.getField("cid").alias("cluster"),
-            m.getField("d").alias("d"),
-        )
+    m = F.array_min(F.array(*[dist_struct(cid, cv) for cid, cv in cents]))
+    return ev.select(
+        "vec_id",
+        F.col("v"),
+        m.getField("cid").alias("cluster"),
+        m.getField("d").alias("d"),
+    )
 
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd loop itself; returns the trained centroids as driver
+    state [(cid, vector)] — the form ``_lloyd_assign`` embeds as
+    literals and ``ivf_index_build`` persists alongside the index."""
+    ev = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
+    ]
     for _ in range(iters):
-        micro = assign().select(
+        micro = _lloyd_assign(ev, cents).select(
             "cluster",
             F.posexplode(
                 F.transform("v", lambda x: F.round(x * 1e6, 0).cast("long"))
@@ -286,7 +310,96 @@ def kmeans_assignments(
             )
             for cid, cv in cents
         ]
+    return cents
 
-    return assign().select(
-        "vec_id", "cluster", F.round(F.col("d"), 6).alias("dist")
+
+# -- persisted IVF index (bucketed layout) -----------------------------------
+def ivf_index_build(
+    spark,
+    vectors: DataFrame,
+    table: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    path: str | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train centroids (Lloyd) and persist the vectors BUCKETED on
+    ``assigned_centroid`` — the write-once layout that makes every
+    probe a bucket-pruned scan: Spark's bucket pruning turns an
+    equality/IN filter on the bucket column into reading only the
+    matching files (``SelectedBucketsCount: nprobe out of k`` in the
+    plan), so a query touches 1/k of a 100 TB index per probed
+    centroid with no shuffle and no index-wide scan. Returns the
+    trained centroids (persist them beside the table in production).
+    """
+    from fabric_claims_spark.operators.bucketing import write_bucketed
+
+    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col)
+    ev = vectors.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
+    indexed = vectors.join(
+        _lloyd_assign(ev, cents).select(
+            F.col("vec_id").alias(id_col),
+            F.col("cluster").alias("assigned_centroid"),
+        ),
+        id_col,
+    )
+    write_bucketed(indexed, table, "assigned_centroid", buckets=k, path=path)
+    return cents
+
+
+def ivf_index_probe(
+    spark,
+    table: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors from the ``nprobe`` nearest buckets of a
+    persisted IVF index. Centroid routing is driver-side arithmetic
+    over the k-row centroid list; the scan reads ONLY the probed
+    buckets (``SelectedBucketsCount: nprobe out of k``) and finishes
+    with TakeOrderedAndProject — no exchange anywhere.
+
+    Planning note: Spark's auto-bucketed-scan heuristic drops the
+    bucketed read (and with it bucket pruning) when no join/agg wants
+    the hash distribution — a pure filter+top-k probe is exactly that
+    case. The probe plans under
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    and pins its physical plan before restoring the conf, so only
+    this Dataset is affected."""
+    from fabric_claims_spark.operators.bucketing import read_bucketed
+
+    def sq(c):  # squared euclidean, driver-side routing only
+        return sum((a - b) * (a - b) for a, b in zip(c, query_vec))
+
+    probed = [cid for cid, cv in sorted(cents, key=lambda t: (sq(t[1]), t[0]))][
+        :nprobe
+    ]
+    qv = F.array(*[F.lit(x) for x in query_vec])
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        df = (
+            read_bucketed(spark, table)
+            .where(F.col("assigned_centroid").isin(probed))
+            .select(
+                id_col,
+                F.round(cosine(as_double_array(vec_col), qv), 6).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(topk)
+        )
+        # QueryExecution.executedPlan is a once-per-Dataset lazy val:
+        # touching it here pins the bucket-pruned plan for all later
+        # actions on this frame, regardless of the restored conf.
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set(conf_key, prev)
+    return df
