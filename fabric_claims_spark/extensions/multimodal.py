@@ -116,3 +116,90 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, resized boolean"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Resize stage: payload → fixed-``width``×``height`` payload (the
+    training-set normalization step). With PIL present it resizes for
+    real; without, it emits a deterministic fake payload of the
+    canonical byte size (3·w·h, as an RGB raster would be) derived
+    from the content hash — or raises if ``strict``. Either way the
+    Spark side is identical: Arrow-batched mapInPandas, bounded by
+    maxRecordsPerBatch × payload size."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                if _HAS_PIL:
+                    with Image.open(io.BytesIO(data)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format=im.format)
+                        out.append(buf.getvalue())
+                elif strict:
+                    raise NotImplementedError(
+                        "image resize requires PIL; not available in this environment"
+                    )
+                else:
+                    seed = hashlib.sha256(data).digest()
+                    reps = (3 * width * height) // len(seed) + 1
+                    out.append((seed * reps)[: 3 * width * height])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": pd.array([width] * len(pdf), dtype="int32"),
+                    "height": pd.array([height] * len(pdf), dtype="int32"),
+                    "resized": [True] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, embedding array<float>"
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, strict: bool = False
+) -> DataFrame:
+    """Feature-extraction stage: payload → ``dim``-float embedding.
+    The real model (CLIP/ViT/wav2vec) is NOT in this environment, so
+    the stub derives a deterministic unit-norm vector from the
+    content hash (identical content → identical embedding, so the
+    downstream dedup/ANN operators behave like they would on real
+    features) — or raises if ``strict``. Output feeds the similarity
+    suite directly (kmeans_assignments, ivf_index_build,
+    hyperplane_neardup_pairs)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                if strict:
+                    raise NotImplementedError(
+                        "feature extraction requires a model runtime; "
+                        "not available in this environment"
+                    )
+                h = hashlib.sha256(bytes(payload)).digest()
+                raw = [
+                    int.from_bytes(h[(4 * i) % 28 : (4 * i) % 28 + 4], "big")
+                    / 2**32
+                    - 0.5
+                    for i in range(dim)
+                ]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                vecs.append([float(x / norm) for x in raw])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)

@@ -125,9 +125,10 @@ GATE_PRIORITY: list[str] = [
     "docs_fingerprint",
     "embeddings_normalize",
     # round-5 additions: batch-vs-corpus incremental dedup, Lloyd
-    # k-means (IVF centroid trainer)
+    # k-means (IVF centroid trainer), Arrow feature extraction
     "docs_incremental_dedup",
     "embeddings_kmeans",
+    "multimodal_feature_extract",
     "qtd_running_revenue",
     "mtd_running_revenue",
     "yoy_monthly_revenue",

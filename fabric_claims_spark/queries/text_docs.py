@@ -1265,3 +1265,70 @@ def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal feature extraction (gate twin of
+# extensions/multimodal.py:extract_features): payload → deterministic
+# unit-norm embedding, here emitted as exact INTEGER micro-units so
+# the DuckDB oracle can replicate the arithmetic bit-for-bit:
+# components are hash-slice/2^32 − 0.5 (exact binary64), the norm is
+# the same left-to-right sum of squares in both engines, and
+# floor(x/norm·1e6) is unambiguous — no fractional rounding mode in
+# play anywhere.
+_MMF_DIM = 8
+
+
+def _mmfeat_oracle() -> str:
+    comps = ",\n           ".join(
+        f"(('0x' || substr(hx, {((4 * i) % 28) * 2 + 1}, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5) AS r{i}"
+        for i in range(_MMF_DIM)
+    )
+    sumsq = " + ".join(f"r{i}*r{i}" for i in range(_MMF_DIM))
+    micros = ", ".join(
+        f"CAST(FLOOR(r{i}/nrm*1000000) AS BIGINT)" for i in range(_MMF_DIM)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    r AS (SELECT doc_id,
+           {comps}
+          FROM h),
+    n AS (SELECT *, sqrt({sumsq}) AS nrm FROM r)
+    SELECT doc_id, concat_ws(',', {micros}) AS emb_micro FROM n
+    """
+
+
+@query("multimodal_feature_extract", oracle=_mmfeat_oracle())
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads — the
+    gate-checkable form of extensions.multimodal.extract_features
+    (same derivation; micro-unit output because the driver compare
+    cannot hash float arrays)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                h = hashlib.sha256(bytes(payload)).digest()
+                raw = [
+                    int.from_bytes(h[(4 * i) % 28 : (4 * i) % 28 + 4], "big")
+                    / 2**32
+                    - 0.5
+                    for i in range(_MMF_DIM)
+                ]
+                nrm = math.sqrt(sum(x * x for x in raw))
+                embs.append(
+                    ",".join(
+                        str(math.floor(x / nrm * 1000000)) for x in raw
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb_micro": embs})
+
+    return d.mapInPandas(feat, schema="doc_id long, emb_micro string")

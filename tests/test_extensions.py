@@ -690,3 +690,47 @@ def test_kmeans_separates_two_blobs(spark):
     # converged centroids sit inside each blob: dist far below the
     # inter-blob squared distance (~8)
     assert all(d < 0.1 for _, d in got.values())
+
+
+def test_multimodal_resize_stub_shapes(docs):
+    from fabric_claims_spark.extensions.multimodal import resize_images
+
+    media = wrap_as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    out = resize_images(media, width=32, height=16).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r["width"] == 32 and r["height"] == 16 and r["resized"]
+        assert len(bytes(r["payload"])) == 3 * 32 * 16  # canonical raster size
+    # identical payloads → identical resized bytes (docs 0 and 4)
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in out}
+    assert by_id[0] == by_id[4]
+
+
+def test_multimodal_features_feed_ann_suite(docs):
+    """extract_features output is a real embedding column: unit-norm,
+    content-deterministic (identical payloads → identical vectors),
+    and consumable by the similarity operators (kmeans) unchanged."""
+    from fabric_claims_spark.extensions.multimodal import extract_features
+    from fabric_claims_spark.extensions.similarity import kmeans_assignments
+
+    media = wrap_as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "image",
+    )
+    feats = extract_features(media, dim=8)
+    rows = {r["media_id"]: list(r["embedding"]) for r in feats.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    for v in rows.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
+    assert rows[0] == rows[4]  # identical content → identical features
+    asg = kmeans_assignments(
+        feats.withColumnRenamed("media_id", "vec_id"), k=2, iters=2
+    )
+    assert asg.count() == len(rows)
