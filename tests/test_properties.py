@@ -153,3 +153,97 @@ def test_simhash_band_pairs_pigeonhole_property(spark, case):
     for (a, b), d in got.items():
         full = dict(sigs)
         assert bin(full[a] ^ full[b]).count("1") == d <= 3
+
+
+# --------------------------------------------------------------------------
+# Round-5 operators: batch-vs-corpus incremental dedup and Lloyd
+# k-means. Small word-pool texts make exact cross-side duplicates
+# frequent, exercising the status precedence.
+_WORDS = ["alpha", "beta", "gamma", "delta"]
+doc_st = st.lists(
+    st.sampled_from(_WORDS), min_size=8, max_size=16
+).map(" ".join)
+corpus_batch_st = st.tuples(
+    st.lists(doc_st, min_size=1, max_size=6, unique=False),
+    st.lists(doc_st, min_size=1, max_size=6, unique=False),
+)
+
+
+@given(cb=corpus_batch_st)
+@settings(**_SETTINGS)
+def test_incremental_dedup_status_laws(spark, cb):
+    """One verdict per batch doc; statuses from the 3-set; match_id
+    null iff new; a batch text present verbatim in the corpus is
+    ALWAYS exact_dup with the smallest matching corpus id."""
+    from fabric_claims_spark.extensions.dedup import incremental_dedup
+
+    corpus_rows = [(i, t) for i, t in enumerate(cb[0])]
+    batch_rows = [(100 + i, t) for i, t in enumerate(cb[1])]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(
+            corpus, batch, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {i for i, _ in batch_rows}
+    by_text: dict[str, int] = {}
+    for i, t in corpus_rows:
+        by_text.setdefault(t, i)
+    for i, t in batch_rows:
+        status, match = out[i]
+        assert status in ("exact_dup", "near_dup", "new")
+        assert (match is None) == (status == "new")
+        if t in by_text:
+            assert status == "exact_dup" and match == by_text[t]
+
+
+vec_st = st.lists(
+    st.lists(
+        st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=vec_st)
+@settings(**_SETTINGS)
+def test_kmeans_assigns_true_nearest_centroid(spark, vecs):
+    """Every vector lands on the genuinely nearest of the trained
+    centroids (ties → smaller cid), with the correct squared
+    distance — checked against a driver-side recomputation from
+    kmeans_centroids' returned state."""
+    from fabric_claims_spark.extensions.similarity import (
+        kmeans_assignments,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = min(3, len(vecs))
+    cents = kmeans_centroids(df, k=k, iters=2)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assignments(df, k=k, iters=2).collect()
+    }
+    assert set(got) == set(range(len(vecs)))
+    for i, v in enumerate(vecs):
+        v = [float(x) for x in v]
+        best = min(
+            (
+                (
+                    sum((a - b) * (a - b) for a, b in zip(v, cv)),
+                    cid,
+                )
+                for cid, cv in cents
+            )
+        )
+        cluster, dist = got[i]
+        assert cluster == best[1]
+        assert abs(dist - best[0]) < 1e-5
