@@ -184,6 +184,16 @@ GATE_PRIORITY: list[str] = [
     "docs_dup_span_fraction",
     "customers_masked_rls_view",
     "incremental_rollup_equivalence",
+    # round-5 additions: hopping windows (batch twin of the streaming
+    # sliding aggregation), integer-exact EWMA smoothing, last-touch
+    # attribution, Misra–Gries two-pass heavy hitters, per-segment
+    # revenue Gini, blocked fuzzy entity matching.
+    "events_hopping_windows",
+    "events_ewma_daily",
+    "events_attribution_last_touch",
+    "events_heavy_hitters",
+    "segment_revenue_gini",
+    "customers_fuzzy_blocked_match",
     "approx_aggregates",
 ]
 

@@ -642,3 +642,135 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(_ES_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer revenue per market segment — the
+# single-number complement to customers_pareto_bands' Lorenz bands.
+# Exact rank formula G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i) with
+# ranks ascending by (revenue, custkey); every term is exact decimal
+# or integer arithmetic and only the final quotient runs in IEEE
+# doubles, so both engines agree bit-for-bit. Tie order is pinned by
+# custkey, and a tie block's contribution to Σ i·x_i is independent
+# of intra-block order anyway (constant x over consecutive ranks).
+#
+# Scale notes (100 TB): the input to the rank window is the
+# per-customer rollup, not raw orders — but the window partitions by
+# segment, so one task sorts each segment's customer list. At
+# hundreds of millions of customers per segment the exact-rank sort
+# becomes the bottleneck; the scale path is the banded Lorenz
+# approximation (customers_pareto_bands' aggregate-then-analyze
+# shape, trapezoid-summed), or a two-phase global rank
+# (operators/ranking.with_global_rank) per segment. The exact form
+# stays here because it is the oracle-checkable ground truth.
+@query(
+    "segment_revenue_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT c.c_mktsegment, r.rev,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY r.rev, r.o_custkey) AS i
+      FROM r JOIN customer c ON r.o_custkey = c.c_custkey),
+    g AS (
+      SELECT c_mktsegment, COUNT(*) AS n,
+             SUM(rev) AS sx, SUM(i * rev) AS six
+      FROM s GROUP BY 1)
+    SELECT c_mktsegment, n AS customers,
+           CAST(ROUND(sx, 4) AS DOUBLE) AS segment_revenue,
+           ROUND(CAST(ROUND(2 * six - (n + 1) * sx, 4) AS DOUBLE)
+                 / CAST(ROUND(n * sx, 4) AS DOUBLE), 6) AS gini
+    FROM g
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ranked = rev.join(
+        cust, rev["o_custkey"] == cust["c_custkey"]
+    ).withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("rev", "o_custkey")
+        ),
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("i") * F.col("rev")).alias("six"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("n").alias("customers"),
+        F.round(F.col("sx"), 4).cast("double").alias("segment_revenue"),
+        F.round(
+            F.round(
+                2 * F.col("six") - (F.col("n") + 1) * F.col("sx"), 4
+            ).cast("double")
+            / F.round(F.col("n") * F.col("sx"), 4).cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching — entity resolution's standard
+# block-then-compare shape over customer names: candidate pairs share
+# a blocking key (here the 17-char name prefix), and only
+# within-block pairs pay the edit-distance comparison. Spark and
+# DuckDB both implement classic Levenshtein, so the pair set and
+# distances agree exactly.
+#
+# Scale notes (100 TB): the block join is a hash equi-join on the
+# blocking key — never a cross join — and the comparison cost is
+# Σ_blocks C(|block|, 2), governed by the blocking key's granularity
+# exactly like the LSH band buckets in extensions/dedup.py (a hot
+# block would get the same bucket-cap treatment). The a<b predicate
+# halves the pair space and dedups symmetric matches.
+@query(
+    "customers_fuzzy_blocked_match",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY 1, 2
+    """,
+)
+def customers_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (a["block"] == b["block"])
+            & (F.col("custkey_a") < F.col("custkey_b")),
+        )
+        .where(dist <= 1)
+        .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
+        .orderBy("custkey_a", "custkey_b")
+    )

@@ -366,3 +366,204 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
         ).alias("intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows — 1-hour windows advancing every 15
+# minutes, so each event lands in 4 overlapping windows. Spark's
+# F.window(ts, "1 hour", "15 minutes") expands the overlap natively
+# (a generator inside whole-stage codegen — no join); the oracle
+# reproduces the same expansion with an explicit 4-row offset cross
+# join. Boundaries agree because 15 min divides 1 h and both engines
+# align buckets to epoch-aligned origins (DuckDB's 2000-01-01
+# time_bucket origin is :00/:15/:30/:45-aligned too).
+#
+# Scale notes (100 TB): the ×4 row expansion happens map-side inside
+# the scan stage and feeds straight into hash aggregation with
+# map-side partial combine — one shuffle keyed on (window, type),
+# identical shape to the tumbling query. The streaming twin
+# (streaming/events_stream.hopping_counts_stream) runs the same plan
+# under a watermark.
+@query(
+    "events_hopping_windows",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+      FROM events),
+    w AS (
+      SELECT e.event_type, e.value,
+             time_bucket(INTERVAL 15 MINUTE, e.ts_s)
+               - o.k * INTERVAL 15 MINUTE AS window_start
+      FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) o(k))
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM w
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window(F.col("ts_s"), "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast(MONEY))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA smoothing of the per-type daily count series, bit-identical
+# across engines by construction: with α = 1/2 the weight for a lag-i
+# term is 2^(29-i) — an exact BIGINT — so the bounded 30-term weighted
+# sum is pure integer arithmetic (max term ≈ 2^29·10^4 < 2^43, 30
+# terms < 2^48, no overflow) and only the FINAL division runs in IEEE
+# doubles. No pow(), no float accumulation order to disagree on.
+#
+# Scale notes (100 TB): the EWMA consumes the per-(type, day) rollup
+# — bounded by |types| × date-domain, thousands of rows at any corpus
+# size — never raw events. The 30-row self-expansion via a bounded
+# range join multiplies that small rollup by ≤30; the raw-event scan
+# remains a single hash aggregate with map-side combine.
+@query(
+    "events_ewma_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn
+      FROM d)
+    SELECT a.event_type, a.day, a.y AS raw_count,
+           ROUND(
+             CAST(SUM(b.y * (1::BIGINT << (29 - (a.rn - b.rn))))
+                  AS DOUBLE)
+             / SUM(1::BIGINT << (29 - (a.rn - b.rn))), 6) AS ewma
+    FROM r a JOIN r b
+      ON a.event_type = b.event_type
+     AND b.rn BETWEEN a.rn - 29 AND a.rn
+    GROUP BY a.event_type, a.day, a.y
+    ORDER BY a.event_type, a.day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    r = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    # F.shiftleft takes a Python-int bit count; the per-row bit count
+    # needs the SQL form, which accepts an expression.
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(29 - (a.rn - b.rn) AS INT))")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & F.col("b.rn").between(F.col("a.rn") - 29, F.col("a.rn")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.y").alias("raw_count"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("b.y") * w).cast("double") / F.sum(w), 6
+            ).alias("ewma")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the latest
+# view/click strictly before it in the same user's stream. One
+# user-partitioned window (last non-null touch over ROWS UNBOUNDED
+# PRECEDING .. 1 PRECEDING, ordered by (ts, event_id) for tie
+# determinism), then a small aggregate per touch type. "direct" =
+# purchases with no prior touch.
+#
+# Scale notes (100 TB): a single shuffle on user_id (user event
+# streams are short and numerous — no skew), the window scans each
+# user's partition once, and the final aggregate is 3 rows. No joins,
+# no driver state.
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+      FROM events),
+    t AS (
+      SELECT *,
+             last_value(
+               CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e)
+    SELECT COALESCE(touch, 'direct') AS touch_type,
+           COUNT(*) AS purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             AS attributed_value
+    FROM t
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(win)
+    return (
+        e.withColumn("touch", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(F.col("value").cast(MONEY))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

@@ -578,3 +578,34 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "column_name", "n_rows", "nulls", "distinct_count", "min_repr", "max_repr"
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters — exact two-pass frequent-key detection with
+# Misra–Gries candidate pruning (extensions/sketches.py). Pass 1 runs
+# a bounded-memory per-partition sketch (no shuffle, one of the two
+# sanctioned Arrow map passes); pass 2 recounts only the broadcast
+# candidate set exactly, so the result is identical to the plain SQL
+# frequency filter the oracle runs — partitioning- and order-
+# independent. The point at 100 TB: the full key domain never enters
+# a shuffle; only ≤ ceil(1/s)·partitions candidate keys do.
+@query(
+    "events_heavy_hitters",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM events)
+    SELECT e.event_type,
+           COUNT(*) AS exact_count,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n.total), 6) AS share
+    FROM events e CROSS JOIN n
+    GROUP BY 1
+    HAVING COUNT(*) >= CEIL(0.05 * MAX(n.total))
+    ORDER BY exact_count DESC, event_type
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.sketches import heavy_hitters_2pass
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters_2pass(e, "event_type", support=0.05).orderBy(
+        F.col("exact_count").desc(), "event_type"
+    )

@@ -111,6 +111,55 @@ def hourly_counts_stream(
     return spark.table(query_name)
 
 
+def hopping_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "hopping_counts",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Hopping (sliding) window aggregation — the streaming twin of the
+    batch ``events_hopping_windows`` query: 1-hour windows advancing
+    every 15 minutes under a 2-hour watermark, so each event feeds 4
+    overlapping windows. The ×4 expansion happens inside the stateful
+    aggregation operator, not as a join — state holds one row per
+    (open window, type), evicted by the watermark in append mode. The
+    output-mode semantics are exactly those documented on
+    ``hourly_counts_stream``.
+    """
+    stream = _read_events_stream(spark, events_dir)
+    agg = (
+        stream.withWatermark("event_ts", "2 hours")
+        .groupBy(
+            F.window("event_ts", "1 hour", "15 minutes"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(query_name)
+
+
 _STATE_SCHEMA = "last_ts timestamp, n long, total double"
 _OUTPUT_SCHEMA = StructType(
     [

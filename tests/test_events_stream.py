@@ -147,3 +147,26 @@ def test_streaming_rollup_matches_batch_aggregate(spark, events_dir, tmp_path):
     g = {r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"]) for r in got.collect()}
     w = {r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"]) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_hopping_window_matches_batch(spark, events_dir, tmp_path):
+    from fabric_claims_spark.streaming.events_stream import (
+        hopping_counts_stream,
+    )
+
+    got = hopping_counts_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_hop"), query_name="t_hop"
+    )
+    batch = load_all_queries()["events_hopping_windows"].fn(spark, SF)
+    g = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+        for r in batch.collect()
+    }
+    assert g == b
+    # every event lands in exactly 4 overlapping windows
+    n_events = spark.read.parquet(str(events_dir)).count()
+    assert sum(c for c, _ in g.values()) == 4 * n_events

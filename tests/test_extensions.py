@@ -734,3 +734,61 @@ def test_multimodal_features_feed_ann_suite(docs):
         feats.withColumnRenamed("media_id", "vec_id"), k=2, iters=2
     )
     assert asg.count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (extensions/sketches.py)
+
+
+def test_heavy_hitters_exact_on_skewed_fixture(spark):
+    from fabric_claims_spark.extensions.sketches import heavy_hitters_2pass
+
+    # 60% 'a', 25% 'b', 10% 'c', 5 singletons — support 0.2 keeps a+b
+    rows = (
+        [("a",)] * 60 + [("b",)] * 25 + [("c",)] * 10
+        + [(x,) for x in "vwxyz"]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {
+        r["k"]: (r["exact_count"], r["share"])
+        for r in heavy_hitters_2pass(df, "k", support=0.2).collect()
+    }
+    assert got == {"a": (60, 0.6), "b": (25, 0.25)}
+
+
+def test_misra_gries_recall_guarantee(spark):
+    """Every key with global frequency > n/(k+1) must survive pass 1
+    regardless of partitioning — the pigeonhole recall property the
+    exact second pass relies on."""
+    import random
+
+    from fabric_claims_spark.extensions.sketches import (
+        misra_gries_candidates,
+    )
+
+    rng = random.Random(5)
+    # heavy keys hidden in a long tail of near-unique noise
+    pool = ["hot1"] * 300 + ["hot2"] * 200 + [
+        f"noise{rng.randrange(10_000)}" for _ in range(500)
+    ]
+    rng.shuffle(pool)
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame([(x,) for x in pool], "k string")
+        cand = {
+            r["k"]
+            for r in misra_gries_candidates(
+                df.repartition(parts), "k", k=9
+            ).collect()
+        }
+        # n/(k+1) = 100: both hot keys clear it
+        assert {"hot1", "hot2"} <= cand
+
+
+def test_heavy_hitters_rejects_bad_support(spark):
+    from fabric_claims_spark.extensions.sketches import heavy_hitters_2pass
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        heavy_hitters_2pass(df, "k", support=0.0)
+    with pytest.raises(ValueError):
+        heavy_hitters_2pass(df, "k", support=1.5)

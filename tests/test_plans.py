@@ -394,3 +394,44 @@ def test_kmeans_assignment_is_shuffle_free(spark, registry):
     plan = _plan(spark, registry["embeddings_kmeans"].fn(spark, SF))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_fuzzy_match_is_hash_equi_join(spark, registry):
+    """Blocked fuzzy matching must join on the blocking key (hash
+    equi-join) with the edit-distance predicate applied after — never
+    a cartesian/BNLJ over all name pairs."""
+    plan = _plan(spark, registry["customers_fuzzy_blocked_match"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, registry):
+    """Pass 2's semi-join must broadcast the bounded candidate set so
+    the full key domain never shuffles."""
+    plan = _plan(spark, registry["events_heavy_hitters"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hopping_window_no_join_expansion(spark, registry):
+    """The ×4 hopping-window expansion is the native window generator
+    feeding one hash aggregate — no self-join, no cartesian."""
+    plan = _plan(spark, registry["events_hopping_windows"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ewma_consumes_day_rollup_not_raw_events(spark, registry):
+    """The 30-term EWMA self-join runs over the per-(type, day)
+    aggregate: both join inputs must sit above HashAggregates of the
+    raw scan (aggregate-then-analyze), and the weighted fold is one
+    more aggregate — bounded by 30 × day-domain rows."""
+    plan = _plan(spark, registry["events_ewma_daily"].fn(spark, SF), "formatted")
+    assert "CartesianProduct" not in plan
+    # two logical scans (one per join branch), each mentioned twice in
+    # formatted mode (tree + detail); each must aggregate before joining
+    assert plan.count("Scan parquet") <= 4
+    # the bounded day-rollup side ships broadcast — the range self-join
+    # never shuffles raw events
+    assert "BroadcastHashJoin" in plan

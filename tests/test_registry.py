@@ -126,3 +126,19 @@ def test_round5_rotation():
     assert "docs_quality_score" in prefix  # token/length stats
     assert "docs_jaccard_pairs" in prefix  # shingle machinery
     assert "embeddings_knn_bruteforce" in prefix  # vector-norm algebra
+
+
+def test_round5_additions_registered_with_oracles():
+    """Round-5 queries (tail, hash-checked by the local replica):
+    hopping windows, EWMA, attribution, heavy hitters, Gini, fuzzy
+    blocked matching."""
+    reg = load_all_queries()
+    for name in (
+        "events_hopping_windows",
+        "events_ewma_daily",
+        "events_attribution_last_touch",
+        "events_heavy_hitters",
+        "segment_revenue_gini",
+        "customers_fuzzy_blocked_match",
+    ):
+        assert name in reg and reg[name].oracle is not None
