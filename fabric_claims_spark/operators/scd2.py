@@ -119,3 +119,38 @@ def as_of_view(store: TableStore, name: str, ts: datetime) -> DataFrame:
         (F.col(VALID_FROM) <= t)
         & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > t))
     )
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension version valid AT THAT ROW'S
+    timestamp — the feature-store "as-of correctness" join that
+    prevents dimension leakage from the future (``as_of_view`` fixes
+    one global timestamp; this resolves a per-row one).
+
+    Because SCD2 validity intervals are non-overlapping per key, at
+    most one history row satisfies ``valid_from <= fact_ts < valid_to``
+    (open ``valid_to`` = NULL), so the join never fans out. With
+    ``how='left'``, facts predating the member's first version (the
+    late-arriving-dimension case) survive with NULL attributes for the
+    caller to bucket explicitly.
+
+    Scale notes (100 TB): the equi component (``fact.key ==
+    history.key``) drives a hash join — co-partitioned shuffle on the
+    key, history side broadcast when it is a bounded dimension — and
+    the validity range predicates apply as post-join filters on the
+    matched pairs (per key there are only as many pairs as versions,
+    typically 1-3). No range explosion, no cartesian.
+    """
+    h = history
+    cond = (
+        (fact[key] == h[key])
+        & (h[VALID_FROM] <= fact[fact_ts])
+        & (h[VALID_TO].isNull() | (fact[fact_ts] < h[VALID_TO]))
+    )
+    return fact.join(h, cond, how).drop(h[key])

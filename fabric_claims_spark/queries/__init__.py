@@ -194,6 +194,10 @@ GATE_PRIORITY: list[str] = [
     "events_heavy_hitters",
     "segment_revenue_gini",
     "customers_fuzzy_blocked_match",
+    # round-5 compositions: per-row as-of dimension resolution over
+    # SCD2 history, and fuzzy pairs → components → golden records.
+    "orders_pit_segment_revenue",
+    "customers_golden_records",
     "approx_aggregates",
 ]
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from fabric_claims_spark.caching import tracked_cache
 from fabric_claims_spark.extensions.graph import pagerank
 from fabric_claims_spark.queries import query
-from fabric_claims_spark.queries._util import money
+from fabric_claims_spark.queries._util import MONEY, money
 from fabric_claims_spark.sources.parquet import load_table
 
 # Band width for the Pareto rollup: wide enough that the band domain
@@ -773,4 +773,88 @@ def customers_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(dist <= 1)
         .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
         .orderBy("custkey_a", "custkey_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end: blocked fuzzy pairs → connected
+# components → one golden record per entity cluster (survivorship:
+# the minimum custkey is the canonical member and contributes the
+# canonical name; balances aggregate exactly). Composes the
+# customers_fuzzy_blocked_match pair generator with
+# extensions/graph.connected_components, plus a union of unpaired
+# customers as singleton clusters.
+#
+# Oracle derivation: within a 17-char-prefix block every pair of
+# 18-char names differs in exactly the final character, so Levenshtein
+# is always 1 and the match graph restricted to a block is COMPLETE —
+# components are precisely the blocks, by construction rather than
+# data luck. The oracle therefore computes the same golden records by
+# grouping on the blocking prefix directly — independent ground truth
+# for the pairs→components→survivorship pipeline.
+#
+# Scale notes (100 TB): pair generation is the blocked hash equi-join
+# (never cartesian), components run the bounded label-propagation
+# loop (near-clique blocks converge in 2 rounds), and survivorship is
+# one hash aggregate on the cluster label. Nothing driver-side.
+@query(
+    "customers_golden_records",
+    oracle="""
+    SELECT MIN(c_custkey) AS canonical_custkey,
+           MIN(c_name) AS canonical_name,
+           COUNT(*) AS cluster_size,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY substring(c_name, 1, 17)
+    ORDER BY canonical_custkey
+    """,
+)
+def customers_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["block"] == b["block"])
+            & (F.col("custkey_a") < F.col("custkey_b")),
+        )
+        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select("custkey_a", "custkey_b")
+    )
+    comp = connected_components(pairs, "custkey_a", "custkey_b")
+    # unpaired customers are their own (singleton) cluster
+    labels = comp.select(
+        F.col("node").alias("c_custkey"), F.col("cluster")
+    ).unionByName(
+        c.join(comp, c["c_custkey"] == comp["node"], "left_anti").select(
+            "c_custkey", F.col("c_custkey").alias("cluster")
+        )
+    )
+    return (
+        c.join(labels, "c_custkey")
+        .groupBy("cluster")
+        .agg(
+            F.min("c_custkey").alias("canonical_custkey"),
+            F.min("c_name").alias("canonical_name"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.round(F.sum(F.col("c_acctbal").cast(MONEY)), 4)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .drop("cluster")
+        .orderBy("canonical_custkey")
     )

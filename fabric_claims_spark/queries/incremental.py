@@ -259,3 +259,114 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col(IS_CURRENT).cast("long").alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (feature-store) join: revenue attributed to the
+# customer segment AS OF EACH ORDER'S DATE, against an SCD2 history
+# whose segment migration lands mid-range (1998-07-01) — orders
+# before the flip aggregate under the original segment, orders after
+# under 'MIGRATED', and orders from members whose first dimension
+# version postdates them (the late-arriving 10%) bucket as 'UNKNOWN'
+# instead of silently leaking the future version. The oracle
+# reconstructs the identical history declaratively and joins with the
+# same validity predicate.
+_PIT_T0 = "1995-01-01 00:00:00"
+_PIT_T1 = "1998-07-01 00:00:00"
+
+
+@query(
+    "orders_pit_segment_revenue",
+    oracle=f"""
+    WITH h AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '{_PIT_T0}' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal >= 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '{_PIT_T0}', TIMESTAMP '{_PIT_T1}'
+      FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey, 'MIGRATED',
+             TIMESTAMP '{_PIT_T1}', CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 10 != 0 AND c_acctbal < 0
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'MIGRATED'
+                  ELSE c_mktsegment END,
+             TIMESTAMP '{_PIT_T1}', CAST(NULL AS TIMESTAMP)
+      FROM customer WHERE c_custkey % 10 = 0),
+    j AS (
+      SELECT o.o_totalprice, o.o_orderdate, h.c_mktsegment
+      FROM orders o
+      LEFT JOIN h ON o.o_custkey = h.c_custkey
+        AND h.valid_from <= o.o_orderdate
+        AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to))
+    SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment_at_order,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS revenue
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def orders_pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from fabric_claims_spark.operators.scd2 import (
+        point_in_time_join,
+        scd2_apply,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    cust = load_table(spark, sf_dir, "customer")
+    snap1 = cust.where(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    snap2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    work = tempfile.mkdtemp(prefix="pit_history_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = TableStore(spark, work)
+    scd2_apply(
+        store, "dim_customer", snap1, "c_custkey", ["c_mktsegment"],
+        datetime.fromisoformat(_PIT_T0),
+    )
+    scd2_apply(
+        store, "dim_customer", snap2, "c_custkey", ["c_mktsegment"],
+        datetime.fromisoformat(_PIT_T1),
+    )
+    # align the history key's name with the fact's join key
+    hist = store.read("dim_customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = point_in_time_join(orders, hist, "o_custkey", "o_orderdate")
+    return (
+        j.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment_at_order"
+            ),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum(money("o_totalprice")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment_at_order", "order_year")
+    )

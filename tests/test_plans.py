@@ -435,3 +435,13 @@ def test_ewma_consumes_day_rollup_not_raw_events(spark, registry):
     # the bounded day-rollup side ships broadcast — the range self-join
     # never shuffles raw events
     assert "BroadcastHashJoin" in plan
+
+
+def test_pit_join_is_hash_join_on_key(spark, registry):
+    """The point-in-time join must hash-join on the equi key with the
+    validity range as a post-join filter — never a nested-loop over
+    fact × history."""
+    plan = _plan(spark, registry["orders_pit_segment_revenue"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan

@@ -142,3 +142,12 @@ def test_round5_additions_registered_with_oracles():
         "customers_fuzzy_blocked_match",
     ):
         assert name in reg and reg[name].oracle is not None
+
+
+def test_round5_compositions_registered_with_oracles():
+    reg = load_all_queries()
+    for name in (
+        "orders_pit_segment_revenue",
+        "customers_golden_records",
+    ):
+        assert name in reg and reg[name].oracle is not None

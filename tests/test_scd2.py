@@ -63,3 +63,42 @@ def test_scd2_lifecycle(spark, tmp_path):
     )
     assert (s3.new_members, s3.changed_members) == (0, 0)
     assert store.read("dim").count() == 4
+
+
+def test_point_in_time_join_resolves_per_row_versions(spark, tmp_path):
+    from datetime import datetime
+
+    from fabric_claims_spark.operators.scd2 import (
+        point_in_time_join,
+        scd2_apply,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, str(tmp_path / "pit"))
+    snap1 = spark.createDataFrame([(1, "A"), (2, "B")], "k long, seg string")
+    snap2 = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (3, "C")], "k long, seg string"
+    )
+    t0, t1 = datetime(2020, 1, 1), datetime(2020, 6, 1)
+    scd2_apply(store, "dim", snap1, "k", ["seg"], t0)
+    scd2_apply(store, "dim", snap2, "k", ["seg"], t1)
+    hist = store.read("dim")
+
+    facts = spark.createDataFrame(
+        [
+            (10, 1, datetime(2020, 3, 1)),   # before flip -> A
+            (11, 1, datetime(2020, 7, 1)),   # after flip -> A2
+            (12, 1, datetime(2020, 6, 1)),   # exactly at flip -> A2
+            (13, 2, datetime(2020, 7, 1)),   # unchanged member -> B
+            (14, 3, datetime(2020, 3, 1)),   # before member existed -> NULL
+            (15, 3, datetime(2020, 8, 1)),   # late-arriving member -> C
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    got = {
+        r["fid"]: r["seg"]
+        for r in point_in_time_join(facts, hist, "k", "ts").collect()
+    }
+    assert got == {10: "A", 11: "A2", 12: "A2", 13: "B", 14: None, 15: "C"}
+    # at most one version matches per fact row (no fan-out)
+    assert point_in_time_join(facts, hist, "k", "ts").count() == 6
