@@ -198,6 +198,7 @@ GATE_PRIORITY: list[str] = [
     # SCD2 history, and fuzzy pairs → components → golden records.
     "orders_pit_segment_revenue",
     "customers_golden_records",
+    "customers_snapshot_diff",
     "approx_aggregates",
 ]
 

@@ -370,3 +370,82 @@ def orders_pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order", "order_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Change data feed between two RETAINED TABLE VERSIONS: snapshot v1
+# loads 90% of customers with their original segments; snapshot v2
+# drops every custkey % 100 == 7 member (deletes), adds the held-out
+# 10% (inserts), and migrates negative-balance members to 'MIGRATED'
+# (update pre+post image pairs). The diff runs operators/cdc.table_diff
+# over TableStore.versions/read_version time travel — the Delta CDF
+# analog on the versioned-parquet store — and aggregates the feed by
+# (change_type, segment-as-seen-in-the-image). The oracle rebuilds
+# both snapshots declaratively and reconciles them with the same
+# full-outer semantics.
+@query(
+    "customers_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 10 != 0),
+    v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'MIGRATED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 100 != 7),
+    feed AS (
+      SELECT 'insert' AS change_type, v2.c_mktsegment AS segment
+      FROM v2 LEFT JOIN v1 USING (c_custkey) WHERE v1.c_custkey IS NULL
+      UNION ALL
+      SELECT 'delete', v1.c_mktsegment
+      FROM v1 LEFT JOIN v2 USING (c_custkey) WHERE v2.c_custkey IS NULL
+      UNION ALL
+      SELECT 'update_preimage', v1.c_mktsegment
+      FROM v1 JOIN v2 USING (c_custkey)
+      WHERE v1.c_mktsegment != v2.c_mktsegment
+      UNION ALL
+      SELECT 'update_postimage', v2.c_mktsegment
+      FROM v1 JOIN v2 USING (c_custkey)
+      WHERE v1.c_mktsegment != v2.c_mktsegment)
+    SELECT change_type, segment, COUNT(*) AS rows
+    FROM feed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customers_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from fabric_claims_spark.operators.cdc import table_diff
+    from fabric_claims_spark.sources.merge import TableStore
+
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.where(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    v2 = cust.where(F.col("c_custkey") % 100 != 7).select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    work = tempfile.mkdtemp(prefix="cdf_snapshots_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    store = TableStore(spark, work)
+    store.overwrite("customers", v1)
+    store.overwrite("customers", v2)
+    old_v, new_v = store.versions("customers")[-2:]
+    feed = table_diff(
+        store.read_version("customers", old_v),
+        store.read_version("customers", new_v),
+        keys=["c_custkey"],
+    )
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("change_type", "segment")
+    )

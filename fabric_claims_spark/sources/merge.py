@@ -94,6 +94,51 @@ class TableStore:
             raise FileNotFoundError(f"table {name} does not exist under {self.root}")
         return self.spark.read.parquet(os.path.join(self._dir(name), version))
 
+    def versions(self, name: str) -> list[str]:
+        """Retained version ids, oldest → newest (current last) — the
+        time-travel index. Parquet mode orders the ``_vacuum``-retained
+        version dirs by mtime (ids are random hex; lexicographic order
+        is meaningless); Delta mode lists the commit history.
+        """
+        if self.use_delta:
+            hist = (
+                DeltaTable.forPath(self.spark, self._dir(name))
+                .history()
+                .select("version")
+                .collect()
+            )
+            return [str(r["version"]) for r in sorted(hist, key=lambda r: r["version"])]
+        table_dir = self._dir(name)
+        if self._current_version(name) is None:
+            raise FileNotFoundError(f"table {name} does not exist under {self.root}")
+
+        def _mtime(d: str) -> float:
+            try:
+                return os.stat(os.path.join(table_dir, d)).st_mtime
+            except OSError:
+                return 0.0
+
+        return sorted(
+            (d for d in os.listdir(table_dir) if d.startswith("v_")),
+            key=_mtime,
+        )
+
+    def read_version(self, name: str, version: str) -> DataFrame:
+        """Time-travel read of a retained version (Delta ``versionAsOf``
+        analog). Raises if the version was vacuumed."""
+        if self.use_delta:
+            return (
+                self.spark.read.format("delta")
+                .option("versionAsOf", version)
+                .load(self._dir(name))
+            )
+        path = os.path.join(self._dir(name), version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version} of table {name} is not retained"
+            )
+        return self.spark.read.parquet(path)
+
     def overwrite(self, name: str, df: DataFrame) -> None:
         """S9 — overwrite sink incl. schema change (NB_BRONZE:243-248)."""
         if self.use_delta:

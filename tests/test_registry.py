@@ -149,5 +149,6 @@ def test_round5_compositions_registered_with_oracles():
     for name in (
         "orders_pit_segment_revenue",
         "customers_golden_records",
+        "customers_snapshot_diff",
     ):
         assert name in reg and reg[name].oracle is not None

@@ -280,3 +280,51 @@ def test_idempotent_rollup_skips_redelivered_batch(spark, tmp_path):
         store, "r", df, 1, keys=["k"], sum_cols=["v"]
     )
     assert APPLIED_BATCH_COL not in state.columns
+
+
+def test_versions_and_read_version_time_travel(spark, tmp_path):
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, str(tmp_path / "tt"))
+    store.overwrite("t", spark.createDataFrame([(1, "a")], "k long, v string"))
+    store.overwrite("t", spark.createDataFrame([(1, "b")], "k long, v string"))
+    vs = store.versions("t")
+    assert len(vs) == 2
+    assert store.read_version("t", vs[0]).collect()[0]["v"] == "a"
+    assert store.read_version("t", vs[1]).collect()[0]["v"] == "b"
+    # current pointer reads the newest version
+    assert store.read("t").collect()[0]["v"] == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_version("t", "v_nonexistent")
+
+
+def test_table_diff_change_types(spark):
+    from fabric_claims_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c2", 3.0), (4, "d", 9.0), (5, "e", 5.0)],
+        "k long, s string, x double",
+    )
+    feed = {
+        (r["k"], r["_change_type"]): (r["s"], r["x"])
+        for r in table_diff(old, new, keys=["k"]).collect()
+    }
+    assert feed == {
+        (1, "delete"): ("a", 1.0),
+        (3, "update_preimage"): ("c", 3.0),
+        (3, "update_postimage"): ("c2", 3.0),
+        (4, "update_preimage"): ("d", 4.0),
+        (4, "update_postimage"): ("d", 9.0),
+        (5, "insert"): ("e", 5.0),
+    }
+    # null-safe: key 2's NULL x is NOT a change; schema mismatch raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_diff(old.drop("x"), new, keys=["k"])
