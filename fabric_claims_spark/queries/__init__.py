@@ -199,6 +199,13 @@ GATE_PRIORITY: list[str] = [
     "orders_pit_segment_revenue",
     "customers_golden_records",
     "customers_snapshot_diff",
+    # round-5 analytics additions: grouped mergeable distinct sketch,
+    # join-key skew diagnostic, leakage-safe temporal CV folds, and
+    # session path mining.
+    "events_kmv_users_per_type",
+    "orders_key_skew_profile",
+    "events_walkforward_folds",
+    "events_top_session_paths",
     "approx_aggregates",
 ]
 

@@ -449,3 +449,69 @@ def customers_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("rows"))
         .orderBy("change_type", "segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Walk-forward (time-series) cross-validation folds — the
+# leakage-safe split a temporal model needs: fold i trains on all
+# events before cutoff_i and validates on [cutoff_i, cutoff_{i+1}).
+# Random/hash splits (docs_hash_split) leak future information into
+# training for temporal data; this is the temporal complement. Pure
+# projection + aggregate (each event classifies into every fold
+# independently — a static ×|folds| expansion like the hopping
+# window, fused into the scan stage).
+@query(
+    "events_walkforward_folds",
+    oracle="""
+    WITH f AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '2024-01-08 00:00:00', TIMESTAMP '2024-01-15 00:00:00'),
+        (2, TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-22 00:00:00'),
+        (3, TIMESTAMP '2024-01-22 00:00:00', TIMESTAMP '2024-01-29 00:00:00')
+      ) t(fold, train_end, valid_end))
+    SELECT f.fold,
+           COUNT(CASE WHEN e.ts < f.train_end THEN 1 END) AS train_events,
+           COUNT(CASE WHEN e.ts >= f.train_end AND e.ts < f.valid_end
+                 THEN 1 END) AS valid_events,
+           CAST(COUNT(DISTINCT CASE WHEN e.ts < f.train_end
+                      THEN e.user_id END) AS BIGINT) AS train_users,
+           CAST(COUNT(DISTINCT CASE WHEN e.ts >= f.train_end
+                       AND e.ts < f.valid_end
+                      THEN e.user_id END) AS BIGINT) AS valid_users
+    FROM events e CROSS JOIN f
+    GROUP BY f.fold ORDER BY f.fold
+    """,
+)
+def events_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    folds = [
+        (1, "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+        (2, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+        (3, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+    ]
+    fdf = spark.createDataFrame(
+        folds, "fold int, train_end string, valid_end string"
+    ).select(
+        "fold",
+        F.col("train_end").cast("timestamp").alias("train_end"),
+        F.col("valid_end").cast("timestamp").alias("valid_end"),
+    )
+    j = e.crossJoin(F.broadcast(fdf))
+    in_train = F.col("ts") < F.col("train_end")
+    in_valid = (F.col("ts") >= F.col("train_end")) & (
+        F.col("ts") < F.col("valid_end")
+    )
+    return (
+        j.groupBy("fold")
+        .agg(
+            F.count(F.when(in_train, 1)).alias("train_events"),
+            F.count(F.when(in_valid, 1)).alias("valid_events"),
+            F.countDistinct(F.when(in_train, F.col("user_id"))).alias(
+                "train_users"
+            ),
+            F.countDistinct(F.when(in_valid, F.col("user_id"))).alias(
+                "valid_users"
+            ),
+        )
+        .orderBy("fold")
+    )

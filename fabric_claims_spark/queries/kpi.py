@@ -121,3 +121,87 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("events_in_session")
     )
+
+
+# --------------------------------------------------------------------------
+# Top session paths — the most frequent event-type trigrams WITHIN a
+# session (events_sessionization's gap>1800 s sessions, (ts, event_id)
+# total order). Path mining over sessions, not raw streams: the
+# session boundary stops trigrams from spanning unrelated visits.
+# Global top-15 with a deterministic (count desc, path) tiebreak via
+# TakeOrdered — no global sort.
+@query(
+    "events_top_session_paths",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+             CASE WHEN date_diff('second',
+                    LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(date_trunc('second', ts) AS TIMESTAMP)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM gaps),
+    tri AS (
+      SELECT event_type
+             || '>' || LEAD(event_type, 1) OVER w
+             || '>' || LEAD(event_type, 2) OVER w AS path,
+             LEAD(session_id, 2) OVER w AS end_session,
+             session_id
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_id
+                   ORDER BY ts_s, event_id))
+    SELECT path, COUNT(*) AS occurrences
+    FROM tri
+    WHERE path IS NOT NULL AND end_session = session_id
+    GROUP BY 1
+    ORDER BY occurrences DESC, path
+    LIMIT 15
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("ts_s").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts_s").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    w_cum = Window.partitionBy("user_id").orderBy("ts_s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(w_cum).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts_s"), F.col("event_id")
+    )
+    tri = s.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        (F.lead("event_type", 2).over(ws).isNotNull()).alias("complete"),
+    )
+    return (
+        tri.where(F.col("complete"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "path")
+        .limit(15)
+    )

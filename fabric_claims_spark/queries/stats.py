@@ -609,3 +609,149 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_2pass(e, "event_type", support=0.05).orderBy(
         F.col("exact_count").desc(), "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group KMV distinct sketch — the grouped form of
+# kmv_distinct_estimate: bottom-k hash sketch PER event_type, so
+# per-group distinct-user estimates merge across partitions/batches
+# (union the hash sets, re-take bottom k) without ever holding a
+# group's full key set. When a group has fewer than k distinct hashes
+# the sketch IS the exact set (k_seen < k ⇒ estimate = k_seen) — both
+# branches deterministic, so the estimate itself hash-checks.
+#
+# Scale notes (100 TB): one (type, hash) distinct aggregate (map-side
+# partial), then a per-group window over at most the distinct-hash
+# domain to take bottom-k; the final frame is |groups| rows. The rank
+# window partitions by group — skew-safe for any group count; a
+# single pathological group degenerates to the global-KMV TakeOrdered
+# shape, which is the intended fallback.
+_GKMV_K = 64
+
+
+@query(
+    "events_kmv_users_per_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM h),
+    b AS (
+      SELECT event_type, MAX(h) AS kth_min,
+             COUNT(*) AS k_seen
+      FROM r WHERE rn <= {_GKMV_K} GROUP BY 1),
+    e AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1)
+    SELECT b.event_type,
+           CAST(b.k_seen AS BIGINT) AS k_seen,
+           CASE WHEN b.k_seen < {_GKMV_K} THEN CAST(b.k_seen AS DOUBLE)
+                ELSE ({_GKMV_K}.0 - 1.0) * {float(1 << 60)!r} / b.kth_min
+           END AS est_distinct,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct
+    FROM b JOIN e ON b.event_type = e.event_type
+    ORDER BY b.event_type
+    """,
+)
+def events_kmv_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    b = (
+        h.withColumn("rn", rn)
+        .where(F.col("rn") <= _GKMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_min"), F.count(F.lit(1)).alias("k_seen"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("k_seen") < _GKMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        F.lit(_GKMV_K - 1.0) * F.lit(float(1 << 60)) / F.col("kth_min")
+    )
+    return (
+        b.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("k_seen").cast("long").alias("k_seen"),
+            est.alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew profile — the diagnostic that decides between a plain
+# hash join and the salted/AQE path (operators/joins.py): per
+# candidate key, distinct values, top-1 and top-10 key concentration,
+# and rows-per-key max/avg ratio. Consumes only per-key counts
+# (aggregate-then-analyze); the top-k window runs over the bounded
+# per-key rollup ordered by count.
+@query(
+    "orders_key_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY 1),
+    s AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rn FROM k)
+    SELECT 'o_custkey' AS key_col,
+           CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS distinct_keys,
+           CAST((SELECT SUM(c) FROM k) AS BIGINT) AS total_rows,
+           CAST((SELECT MAX(c) FROM k) AS BIGINT) AS max_rows_per_key,
+           ROUND((SELECT MAX(c) FROM k)
+                 / ((SELECT SUM(c) FROM k) * 1.0 / (SELECT COUNT(*) FROM k)),
+                 6) AS skew_ratio,
+           ROUND((SELECT SUM(c) FROM s WHERE rn <= 1) * 1.0
+                 / (SELECT SUM(c) FROM k), 6) AS top1_share,
+           ROUND((SELECT SUM(c) FROM s WHERE rn <= 10) * 1.0
+                 / (SELECT SUM(c) FROM k), 6) AS top10_share
+    """,
+)
+def orders_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("key")))
+    s = k.withColumn("rn", rn)
+    agg = k.agg(
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_rows_per_key"),
+    )
+    tops = s.agg(
+        F.sum(F.when(F.col("rn") <= 1, F.col("c"))).alias("t1"),
+        F.sum(F.when(F.col("rn") <= 10, F.col("c"))).alias("t10"),
+    )
+    return agg.crossJoin(tops).select(
+        F.lit("o_custkey").alias("key_col"),
+        "distinct_keys",
+        "total_rows",
+        "max_rows_per_key",
+        F.round(
+            F.col("max_rows_per_key")
+            / (F.col("total_rows") * F.lit(1.0) / F.col("distinct_keys")),
+            6,
+        ).alias("skew_ratio"),
+        F.round(F.col("t1") * F.lit(1.0) / F.col("total_rows"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("t10") * F.lit(1.0) / F.col("total_rows"), 6).alias(
+            "top10_share"
+        ),
+    )

@@ -150,5 +150,9 @@ def test_round5_compositions_registered_with_oracles():
         "orders_pit_segment_revenue",
         "customers_golden_records",
         "customers_snapshot_diff",
+        "events_kmv_users_per_type",
+        "orders_key_skew_profile",
+        "events_walkforward_folds",
+        "events_top_session_paths",
     ):
         assert name in reg and reg[name].oracle is not None
