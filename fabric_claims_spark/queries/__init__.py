@@ -206,6 +206,8 @@ GATE_PRIORITY: list[str] = [
     "orders_key_skew_profile",
     "events_walkforward_folds",
     "events_top_session_paths",
+    # round-5 layout: Morton interleave gate for write_zordered
+    "lineitem_zorder_keys",
     "approx_aggregates",
 ]
 

@@ -755,3 +755,45 @@ def orders_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) keys — the bit-interleave at the heart of
+# operators/layout.py (Delta OPTIMIZE ZORDER BY analog), hash-checked
+# against the identical shift/mask/or expression in DuckDB. The
+# domain is folded to 8 bits per column here purely so the oracle
+# exercises every bit position; write_zordered + rank_normalize apply
+# the same key to full domains. Pure codegen projection — the layout
+# write's only extra cost is its range partition (test_layout proves
+# the pruning payoff from parquet footer stats).
+@query(
+    "lineitem_zorder_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ((((px >> 0) & 1) << 0) | (((sx >> 0) & 1) << 1) | (((px >> 1) & 1) << 2) | (((sx >> 1) & 1) << 3) | (((px >> 2) & 1) << 4) | (((sx >> 2) & 1) << 5) | (((px >> 3) & 1) << 6) | (((sx >> 3) & 1) << 7) | (((px >> 4) & 1) << 8) | (((sx >> 4) & 1) << 9) | (((px >> 5) & 1) << 10) | (((sx >> 5) & 1) << 11) | (((px >> 6) & 1) << 12) | (((sx >> 6) & 1) << 13) | (((px >> 7) & 1) << 14) | (((sx >> 7) & 1) << 15)) AS zval
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS px, l_suppkey % 256 AS sx
+      FROM lineitem)
+    ORDER BY zval DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 256).alias("px"),
+        (F.col("l_suppkey") % 256).alias("sx"),
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key(["px", "sx"], bits=8).alias("zval"),
+        )
+        .orderBy(F.col("zval").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )

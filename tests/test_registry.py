@@ -154,5 +154,6 @@ def test_round5_compositions_registered_with_oracles():
         "orders_key_skew_profile",
         "events_walkforward_folds",
         "events_top_session_paths",
+        "lineitem_zorder_keys",
     ):
         assert name in reg and reg[name].oracle is not None
