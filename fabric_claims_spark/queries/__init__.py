@@ -208,6 +208,9 @@ GATE_PRIORITY: list[str] = [
     "events_top_session_paths",
     # round-5 layout: Morton interleave gate for write_zordered
     "lineitem_zorder_keys",
+    # round-5 ANN compression: int8 scalar quantization (scale cancels
+    # in cosine → rank on codes, re-score exactly)
+    "embeddings_sq8_knn",
     "approx_aggregates",
 ]
 

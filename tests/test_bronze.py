@@ -93,3 +93,40 @@ def test_rerun_is_idempotent(spark, tmp_path):
     # reject tables are append sinks — they accumulate (reference
     # behavior: append mode, NB_BRONZE:221-223)
     assert store.read(DUPES_TABLE).count() == 2 * expected["duplicates"]
+
+
+def test_jsonl_permissive_captures_corrupt_lines(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from fabric_claims_spark.schemas import CORRUPT_COL
+    from fabric_claims_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "not json at all\n"
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r[CORRUPT_COL] is None]
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line AND the schema-violating doc
+    assert any("not json" in r[CORRUPT_COL] for r in bad)
+    # caller's schema object was not mutated by the corrupt-col append
+    assert CORRUPT_COL not in schema.names
