@@ -209,8 +209,10 @@ GATE_PRIORITY: list[str] = [
     # round-5 layout: Morton interleave gate for write_zordered
     "lineitem_zorder_keys",
     # round-5 ANN compression: int8 scalar quantization (scale cancels
-    # in cosine → rank on codes, re-score exactly)
+    # in cosine → rank on codes, re-score exactly) and product
+    # quantization with asymmetric-distance search (4-byte codes).
     "embeddings_sq8_knn",
+    "embeddings_pq_adc_knn",
     "approx_aggregates",
 ]
 

@@ -482,3 +482,138 @@ def embeddings_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sq8_cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the fine-quantizer that completes
+# the FAISS-style stack (IVF coarse buckets → PQ codes → exact
+# re-score) [Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011]: the 64-dim vector splits into M=4
+# 16-dim subvectors, each encoded as its nearest of K=16 codewords
+# (here a deterministic data-derived codebook: the subvectors of
+# vec_id 1..16), so a vector stores as 4 nibbles — 64× smaller than
+# float32. Search is asymmetric (ADC): the query's dot product with
+# every codeword is a 64-entry broadcast table, and a vector's
+# approximate dot is the sum of its M table lookups.
+#
+# Determinism: nearest-codeword ranking uses the expanded key
+# |c|² − 2·(sv·c) (same order statistics as L2², computed via the
+# already-verified list-dot machinery), ties break on codeword id via
+# a row_number window; the M-part ADC sum is written as M conditional
+# sums added in a FIXED order (m=0..3) — never a hash-agg float sum.
+#
+# Scale notes (100 TB): codebook and query table are O(M·K) — always
+# broadcast; encoding is a linear (vector, subspace) × K comparison
+# with no shuffle wider than the (vec_id, m) re-group; stored codes
+# are 4 bytes/vector, the difference between RAM-resident and spilled
+# at billion-vector scale. Exact dot rides along only for the
+# top-k output (re-scoring).
+@query(
+    "embeddings_pq_adc_knn",
+    oracle="""
+    WITH cb AS (
+      SELECT vec_id AS j, m,
+             (embedding::DOUBLE[])[m*16+1 : m*16+16] AS cw
+      FROM embeddings, (VALUES (0), (1), (2), (3)) t(m)
+      WHERE vec_id BETWEEN 1 AND 16),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qt AS (
+      SELECT cb.m, cb.j,
+             list_dot_product((q.qv)[cb.m*16+1 : cb.m*16+16], cb.cw) AS qdot
+      FROM cb, q),
+    sv AS (
+      SELECT vec_id, label, m,
+             (embedding::DOUBLE[])[m*16+1 : m*16+16] AS sub
+      FROM embeddings, (VALUES (0), (1), (2), (3)) t(m)
+      WHERE vec_id > 16),
+    ranked AS (
+      SELECT sv.vec_id, sv.label, sv.m, cb.j,
+             ROW_NUMBER() OVER (
+               PARTITION BY sv.vec_id, sv.m
+               ORDER BY list_dot_product(cb.cw, cb.cw)
+                        - 2 * list_dot_product(sv.sub, cb.cw), cb.j)
+               AS rn
+      FROM sv JOIN cb ON sv.m = cb.m),
+    codes AS (SELECT vec_id, label, m, j FROM ranked WHERE rn = 1),
+    adc AS (
+      SELECT c.vec_id, c.label,
+             SUM(CASE WHEN c.m = 0 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 1 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 2 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 3 THEN qt.qdot END) AS adc_dot
+      FROM codes c JOIN qt ON c.m = qt.m AND c.j = qt.j
+      GROUP BY c.vec_id, c.label)
+    SELECT a.vec_id, a.label,
+           ROUND(a.adc_dot, 6) AS adc_dot,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6)
+             AS exact_dot
+    FROM adc a
+    JOIN embeddings e ON a.vec_id = e.vec_id
+    CROSS JOIN q
+    ORDER BY adc_dot DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def embeddings_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    M, K, SD = 4, 16, 16
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    ms = F.array(*[F.lit(m) for m in range(M)])
+    sub = F.slice(F.col("v"), F.col("m") * SD + 1, SD)
+
+    def with_subspaces(df):
+        return df.select(
+            "*", F.explode(ms).alias("m")
+        ).select("*", sub.alias("sub"))
+
+    cb = with_subspaces(
+        emb.where(F.col("vec_id").between(1, K))
+    ).select(F.col("vec_id").alias("j"), "m", F.col("sub").alias("cw"))
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qsub = F.slice(F.col("qv"), F.col("m") * SD + 1, SD)
+    qt = (
+        F.broadcast(cb)
+        .crossJoin(F.broadcast(q))
+        .select("m", "j", _dot(qsub, F.col("cw")).alias("qdot"))
+    )
+    sv = with_subspaces(emb.where(F.col("vec_id") > K)).select(
+        "vec_id", "label", "m", "sub"
+    )
+    dist_key = _dot(F.col("cw"), F.col("cw")) - 2 * _dot(
+        F.col("sub"), F.col("cw")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(dist_key, F.col("j"))
+    )
+    codes = (
+        sv.join(F.broadcast(cb), "m")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "j")
+    )
+    part = lambda m: F.sum(F.when(F.col("m") == m, F.col("qdot")))  # noqa: E731
+    adc = (
+        codes.join(F.broadcast(qt), ["m", "j"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (part(0) + part(1) + part(2) + part(3)).alias("adc_dot")
+        )
+    )
+    exact = emb.select("vec_id", "v").crossJoin(F.broadcast(q)).select(
+        "vec_id", _dot(F.col("v"), F.col("qv")).alias("exact_dot")
+    )
+    return (
+        adc.join(exact, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("adc_dot"), 6).alias("adc_dot"),
+            F.round(F.col("exact_dot"), 6).alias("exact_dot"),
+        )
+        .orderBy(F.col("adc_dot").desc(), "vec_id")
+        .limit(10)
+    )

@@ -156,5 +156,6 @@ def test_round5_compositions_registered_with_oracles():
         "events_top_session_paths",
         "lineitem_zorder_keys",
         "embeddings_sq8_knn",
+        "embeddings_pq_adc_knn",
     ):
         assert name in reg and reg[name].oracle is not None
