@@ -213,6 +213,9 @@ GATE_PRIORITY: list[str] = [
     # quantization with asymmetric-distance search (4-byte codes).
     "embeddings_sq8_knn",
     "embeddings_pq_adc_knn",
+    # round-5 corpus/time-series diagnostics
+    "docs_source_js_drift",
+    "events_dow_anomaly",
     "approx_aggregates",
 ]
 

@@ -567,3 +567,71 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("touch_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal (day-of-week) anomaly scores — the seasonal-adjustment
+# upgrade of events_anomaly_zscore: each (type, day) residual is
+# measured against that type's SAME-WEEKDAY baseline, so a quiet
+# Sunday no longer flags as anomalous just for being a Sunday.
+# Baselines come from exact integer moments (n, Σy, Σy²) over the
+# per-day rollup; each z-score is one deterministic double chain, so
+# both engines agree bit-for-bit. σ = 0 (constant weekday) yields
+# NULL in both engines via the same guard.
+#
+# Scale notes (100 TB): raw events reduce to the (type, day) rollup
+# in one map-side-combined aggregate; the weekday baseline join is
+# |types|×7 rows broadcast. Nothing bigger than the date domain ever
+# shuffles again.
+@query(
+    "events_dow_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, isodow(day) - 1 AS wd,
+             COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+      FROM d GROUP BY 1, 2)
+    SELECT d.event_type, d.day, CAST(d.y AS BIGINT) AS daily_events,
+           ROUND(b.sy * 1.0 / b.n, 6) AS weekday_mean,
+           ROUND((d.y - b.sy * 1.0 / b.n)
+                 / NULLIF(sqrt((b.n * b.syy - b.sy * b.sy) * 1.0)
+                          / b.n, 0), 6) AS seasonal_z
+    FROM d JOIN b
+      ON d.event_type = b.event_type AND isodow(d.day) - 1 = b.wd
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = d.groupBy(
+        "event_type", F.weekday("day").alias("wd")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    joined = d.join(
+        F.broadcast(b),
+        (d["event_type"] == b["event_type"])
+        & (F.weekday(d["day"]) == b["wd"]),
+    ).drop(b["event_type"])
+    mean = F.col("sy") * 1.0 / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) * 1.0
+    ) / F.col("n")
+    return joined.select(
+        "event_type",
+        "day",
+        F.col("y").cast("long").alias("daily_events"),
+        F.round(mean, 6).alias("weekday_mean"),
+        F.round(
+            (F.col("y") - mean) / F.when(sd != 0, sd), 6
+        ).alias("seasonal_z"),
+    ).orderBy("event_type", "day")

@@ -1332,3 +1332,101 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "emb_micro": embs})
 
     return d.mapInPandas(feat, schema="doc_id long, emb_micro string")
+
+
+# --------------------------------------------------------------------------
+# Corpus drift — Jensen–Shannon divergence of each source's term
+# distribution against the REST of the corpus: the mixture-health
+# diagnostic a training pipeline runs when deciding whether a source
+# has drifted from (or duplicates) the blend it feeds
+# (docs_mixture_weights' distributional complement).
+#
+# Absent-term closed form: a term missing from the source contributes
+# 0.5·q·ln2 to JS (p = 0 ⇒ m = q/2), so summing 0.5·ln2·Q(absent) in
+# one exact-integer expression avoids materializing the full
+# |sources| × |vocab| grid — only (source, present-term) rows exist.
+# Determinism follows docs_unigram_logprob's convention: each
+# per-term contribution is ln-rounded and summed as integer
+# nano-nats (partition-order independent); the absent-mass remainder
+# is exact-integer counts with two IEEE ops and a literal ln 2.
+#
+# Scale notes (100 TB): two hash aggregates over the token stream
+# (per-(source, term) and per-term) joined on term — co-partitioned,
+# map-side combined; output is |sources| rows. No windows, no grids,
+# no driver state beyond the one corpus-total scalar.
+_LN2 = 0.6931471805599453
+
+
+@query(
+    "docs_source_js_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    st AS (SELECT source, tok, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+    ts AS (SELECT source, SUM(cs) AS t_s FROM st GROUP BY 1),
+    ct AS (SELECT tok, SUM(cs) AS c FROM st GROUP BY 1),
+    tot AS (SELECT SUM(cs) AS t FROM st),
+    scored AS (
+      SELECT st.source,
+             st.cs, ct.c - st.cs AS qn, ts.t_s, tot.t - ts.t_s AS qd,
+             CAST(ROUND(ROUND(
+               0.5 * (st.cs * 1.0 / ts.t_s)
+                   * ln((st.cs * 1.0 / ts.t_s)
+                        / ((st.cs * 1.0 / ts.t_s)
+                           + ((ct.c - st.cs) * 1.0 / (tot.t - ts.t_s))) * 2)
+               + CASE WHEN ct.c - st.cs > 0 THEN
+                   0.5 * ((ct.c - st.cs) * 1.0 / (tot.t - ts.t_s))
+                       * ln(((ct.c - st.cs) * 1.0 / (tot.t - ts.t_s))
+                            / ((st.cs * 1.0 / ts.t_s)
+                               + ((ct.c - st.cs) * 1.0 / (tot.t - ts.t_s))) * 2)
+                 ELSE 0 END, 9) * 1000000000, 0) AS BIGINT) AS nano
+      FROM st JOIN ts USING (source) JOIN ct USING (tok) CROSS JOIN tot)
+    SELECT source,
+           CAST(MAX(t_s) AS BIGINT) AS source_tokens,
+           ROUND(CAST(SUM(nano) AS DOUBLE) / 1000000000.0
+                 + 0.5 * {_LN2!r}
+                   * (MAX(qd) - SUM(qn)) * 1.0 / MAX(qd), 6)
+             AS js_divergence
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def docs_source_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    ts = st.groupBy("source").agg(F.sum("cs").alias("t_s"))
+    ct = st.groupBy("tok").agg(F.sum("cs").alias("c"))
+    t = int(st.agg(F.sum("cs")).collect()[0][0])  # one corpus scalar
+
+    j = st.join(ts, "source").join(ct, "tok")
+    p = F.col("cs") * 1.0 / F.col("t_s")
+    qn = F.col("c") - F.col("cs")
+    qd = F.lit(t) - F.col("t_s")
+    q = qn * 1.0 / qd
+    two_m_inv = (p + q)  # contributions use ln(x / m) = ln(x/(p+q) * 2)
+    contrib = 0.5 * p * F.log(p / two_m_inv * 2) + F.when(
+        qn > 0, 0.5 * q * F.log(q / two_m_inv * 2)
+    ).otherwise(0.0)
+    nano = F.round(F.round(contrib, 9) * 1_000_000_000, 0).cast("long")
+    return (
+        j.select("source", "t_s", qn.alias("qn"), qd.alias("qd"), nano.alias("nano"))
+        .groupBy("source")
+        .agg(
+            F.max("t_s").cast("long").alias("source_tokens"),
+            F.round(
+                F.sum("nano").cast("double") / F.lit(1e9)
+                + 0.5
+                * F.lit(_LN2)
+                * (F.max("qd") - F.sum("qn"))
+                * 1.0
+                / F.max("qd"),
+                6,
+            ).alias("js_divergence"),
+        )
+        .orderBy("source")
+    )

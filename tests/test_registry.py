@@ -157,5 +157,7 @@ def test_round5_compositions_registered_with_oracles():
         "lineitem_zorder_keys",
         "embeddings_sq8_knn",
         "embeddings_pq_adc_knn",
+        "docs_source_js_drift",
+        "events_dow_anomaly",
     ):
         assert name in reg and reg[name].oracle is not None
