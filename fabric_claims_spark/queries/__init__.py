@@ -64,7 +64,12 @@ GATE_PRIORITY: list[str] = [
     "quality_split_buckets",
     "predicate_rule_counts",
     "dq_reasons_orders",
-    "change_detection_nullsafe",
+    # round-5 swap: the CDC feed's update rows ARE null-safe change
+    # detection (operators/cdc.table_diff eqNullSafe classify), so the
+    # P10 semantics stay prefix-checked while the snapshot-diff
+    # composition gains a driver row; change_detection_nullsafe moves
+    # to the tail (still oracle-checked by the local replica).
+    "customers_snapshot_diff",
     "conditional_status_aggregates",
     "customers_without_urgent_orders",
     "distinct_customer_profile",
@@ -104,7 +109,11 @@ GATE_PRIORITY: list[str] = [
     "docs_simhash",
     "docs_simhash_neardup",
     "multimodal_binary_metadata",
-    "embeddings_knn_bruteforce",
+    # round-5 swap: PQ/ADC exercises the cosine/top-k machinery the
+    # brute-force baseline did (ivf_search keeps TakeOrdered + dot in
+    # the prefix) plus codebook encode + broadcast distance tables;
+    # knn_bruteforce moves to the tail.
+    "embeddings_pq_adc_knn",
     "embeddings_ivf_assign",
     "embeddings_ivf_search",
     "embeddings_neardup_pairs",
@@ -198,7 +207,9 @@ GATE_PRIORITY: list[str] = [
     # SCD2 history, and fuzzy pairs → components → golden records.
     "orders_pit_segment_revenue",
     "customers_golden_records",
-    "customers_snapshot_diff",
+    # demoted by the round-5 swaps (still locally hash-checked):
+    "change_detection_nullsafe",
+    "embeddings_knn_bruteforce",
     # round-5 analytics additions: grouped mergeable distinct sketch,
     # join-key skew diagnostic, leakage-safe temporal CV folds, and
     # session path mining.
@@ -212,7 +223,6 @@ GATE_PRIORITY: list[str] = [
     # in cosine → rank on codes, re-score exactly) and product
     # quantization with asymmetric-distance search (4-byte codes).
     "embeddings_sq8_knn",
-    "embeddings_pq_adc_knn",
     # round-5 corpus/time-series diagnostics
     "docs_source_js_drift",
     "events_dow_anomaly",

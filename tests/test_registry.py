@@ -125,7 +125,30 @@ def test_round5_rotation():
     # operator coverage the demotions lean on
     assert "docs_quality_score" in prefix  # token/length stats
     assert "docs_jaccard_pairs" in prefix  # shingle machinery
-    assert "embeddings_knn_bruteforce" in prefix  # vector-norm algebra
+    # vector-norm/cosine algebra (knn_bruteforce was itself demoted by
+    # the second round-5 swap below; ivf_search + pq keep it covered)
+    assert "embeddings_ivf_search" in prefix
+
+
+def test_round5_flagship_swaps():
+    """Second round-5 rotation: the CDC snapshot diff and PQ/ADC
+    search take driver rows; their demoted twins stay registered with
+    oracles and their operators stay prefix-covered.
+
+    * change_detection_nullsafe -> tail: P10 null-safe change
+      detection stays prefix-checked via customers_snapshot_diff,
+      whose update_pre/postimage rows are exactly the eqNullSafe
+      attribute comparison (operators/cdc.table_diff).
+    * embeddings_knn_bruteforce -> tail: cosine/top-k stays
+      prefix-checked via embeddings_ivf_search (TakeOrdered + dot)
+      and embeddings_pq_adc_knn adds codebook encode + ADC."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    assert "customers_snapshot_diff" in prefix
+    assert "embeddings_pq_adc_knn" in prefix
+    for demoted in ("change_detection_nullsafe", "embeddings_knn_bruteforce"):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix
 
 
 def test_round5_additions_registered_with_oracles():
