@@ -445,3 +445,24 @@ def test_pit_join_is_hash_join_on_key(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_quantized_ann_plans_take_ordered(spark, registry):
+    """SQ8 and PQ searches must end in TakeOrderedAndProject (per-
+    partition top-k + k-row driver merge), with broadcast-only support
+    frames — no global sort, no unintended shuffle joins."""
+    for name in ("embeddings_sq8_knn", "embeddings_pq_adc_knn"):
+        plan = _plan(spark, registry[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_snapshot_diff_single_full_outer_join(spark, registry):
+    """The CDC feed is ONE co-partitioned full-outer join plus a
+    generate/explode projection — no second pass over the snapshots,
+    no cache."""
+    df = registry["customers_snapshot_diff"].fn(spark, SF)
+    plan = _plan(spark, df)
+    assert plan.count("FullOuter") == 1
+    assert plan.count("Join") == 1  # nothing besides the full-outer
+    assert "Generate explode" in plan
