@@ -398,3 +398,91 @@ def rollup_maintenance_stream(
     if not store.exists(query_name):  # zero-batch stream
         raise ValueError("no batches processed")
     return store.read(query_name).drop(APPLIED_BATCH_COL)
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    k: int = 20,
+    query_name: str = "stream_heavy_hitters",
+) -> DataFrame:
+    """Streaming Misra–Gries — the unbounded-key-domain frequent-items
+    twin of extensions/sketches.heavy_hitters_2pass: each micro-batch's
+    per-key counts fold into a stored k-counter summary under the
+    mergeable-summaries rule [Agarwal et al., PODS 2012] (add counts,
+    then subtract the (k+1)-th largest and drop non-positive), so
+    state NEVER exceeds k rows no matter how many distinct keys the
+    stream carries. Guarantee after any prefix: every key with true
+    frequency > n/(k+1) is present, with a stored lower bound within
+    n/(k+1) of its true count.
+
+    foreachBatch is at-least-once, so the summary row set carries the
+    applied batch_id and total-row count as columns in the SAME
+    atomically-committed table (one pointer swap — no cross-table
+    torn state); redelivered batch_ids are skipped exactly like
+    rollup_maintenance_stream.
+
+    Returns (key, lower_bound, total_rows) — candidates for an exact
+    confirmation pass (the batch twin's pass 2).
+    """
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    stream = _read_events_stream(spark, events_dir).select(key_col)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists(query_name):
+            cur = store.read(query_name)
+            head = cur.select(
+                F.max("_applied_batch_id"), F.max("_total_rows")
+            ).head()
+            applied, prev_total = head[0], head[1] or 0
+            if applied is not None and batch_id <= applied:
+                return
+            prev = cur.select(key_col, "lower_bound")
+        else:
+            prev, prev_total = None, 0
+
+        counts = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("lower_bound")
+        )
+        batch_rows = batch_df.count()
+        merged = (
+            prev.unionByName(counts) if prev is not None else counts
+        ).groupBy(key_col).agg(F.sum("lower_bound").alias("lower_bound"))
+        # cap to k counters: subtract the (k+1)-th largest (0 if none)
+        top = merged.orderBy(
+            F.col("lower_bound").desc(), F.col(key_col)
+        ).limit(k + 1).collect()
+        cut = top[k]["lower_bound"] if len(top) > k else 0
+        summary = (
+            merged.select(
+                key_col,
+                (F.col("lower_bound") - F.lit(cut)).alias("lower_bound"),
+            )
+            .where(F.col("lower_bound") > 0)
+            .withColumn("_applied_batch_id", F.lit(batch_id).cast("long"))
+            .withColumn(
+                "_total_rows",
+                F.lit(int(prev_total) + batch_rows).cast("long"),
+            )
+        )
+        store.overwrite(query_name, summary)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    return store.read(query_name).select(
+        key_col,
+        "lower_bound",
+        F.col("_total_rows").alias("total_rows"),
+    )

@@ -170,3 +170,58 @@ def test_hopping_window_matches_batch(spark, events_dir, tmp_path):
     # every event lands in exactly 4 overlapping windows
     n_events = spark.read.parquet(str(events_dir)).count()
     assert sum(c for c, _ in g.values()) == 4 * n_events
+
+
+def test_heavy_hitters_stream_summary_guarantees(spark, events_dir, tmp_path):
+    from fabric_claims_spark.streaming.events_stream import (
+        heavy_hitters_stream,
+    )
+
+    k = 10
+    got = heavy_hitters_stream(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_hh"),
+        key_col="event_type",
+        k=k,
+        query_name="t_hh",
+    ).collect()
+    assert 0 < len(got) <= k  # state bounded by k counters
+    total = got[0]["total_rows"]
+    events = spark.read.parquet(str(events_dir))
+    assert total == events.count()
+    exact = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    stream_lb = {r["event_type"]: r["lower_bound"] for r in got}
+    for key, cnt in exact.items():
+        # recall: every key above the n/(k+1) error bound must survive
+        if cnt > total / (k + 1):
+            assert key in stream_lb, key
+        # lower-bound property within the MG error
+        if key in stream_lb:
+            assert stream_lb[key] <= cnt
+            assert cnt - stream_lb[key] <= total / (k + 1) + 1
+
+
+def test_heavy_hitters_stream_multi_file_totals(spark, events_dir, tmp_path):
+    import shutil as _sh
+
+    from fabric_claims_spark.streaming.events_stream import (
+        heavy_hitters_stream,
+    )
+
+    _sh.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    got = heavy_hitters_stream(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_hh2"),
+        key_col="event_type",
+        k=10,
+        query_name="t_hh2",
+    ).collect()
+    one = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert got[0]["total_rows"] == 2 * one
+    # doubled corpus, same distribution: all five types stay frequent
+    assert len({r["event_type"] for r in got}) == 5
