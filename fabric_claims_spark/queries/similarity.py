@@ -508,6 +508,104 @@ def embeddings_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are 4 bytes/vector, the difference between RAM-resident and spilled
 # at billion-vector scale. Exact dot rides along only for the
 # top-k output (re-scoring).
+def train_pq_codebook(
+    emb: DataFrame, M: int = 4, K: int = 16, SD: int = 16, iters: int = 2
+) -> DataFrame:
+    """Per-subspace Lloyd-trained PQ codebook as a (j, m, cw) frame.
+
+    Each subspace trains independently with
+    extensions.similarity.kmeans_centroids, INITIALIZED from the same
+    vec_id 1..K seed subvectors the untrained path uses — so by
+    Lloyd's monotonicity the trained codebook's quantization
+    distortion is <= the seeded codebook's, deterministically (the
+    property tests/test_extensions pins). Centroids are driver state
+    (M*K*SD doubles, bounded); the returned frame is broadcast-sized.
+    """
+    from fabric_claims_spark.extensions.similarity import kmeans_centroids
+
+    spark = emb.sparkSession
+    rows = []
+    for m in range(M):
+        subs = emb.where(F.col("vec_id") >= 1).select(
+            "vec_id", F.slice(F.col("v"), m * SD + 1, SD).alias("v")
+        )
+        for cid, vec in kmeans_centroids(
+            subs, k=K, iters=iters, id_col="vec_id", vec_col="v"
+        ):
+            # kmeans cluster ids ARE the seed vec_ids (1..K)
+            rows.append((cid, m, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "j long, m int, cw array<double>")
+
+
+def pq_adc_frame(
+    emb: DataFrame,
+    M: int = 4,
+    K: int = 16,
+    SD: int = 16,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Unlimited PQ/ADC scoring frame: (vec_id, label, adc_dot,
+    exact_dot) for every vector past the codebook range, ranked by the
+    caller. Codebook = the subvectors of vec_id 1..K; query = vec 0.
+    Factored out of the registered query so tests can take top-R
+    candidate sets (the rerank pipeline's real contract) and tune K."""
+    from pyspark.sql import Window
+
+    ms = F.array(*[F.lit(m) for m in range(M)])
+    sub = F.slice(F.col("v"), F.col("m") * SD + 1, SD)
+
+    def with_subspaces(df):
+        return df.select(
+            "*", F.explode(ms).alias("m")
+        ).select("*", sub.alias("sub"))
+
+    if codebook is None:
+        cb = with_subspaces(
+            emb.where(F.col("vec_id").between(1, K))
+        ).select(F.col("vec_id").alias("j"), "m", F.col("sub").alias("cw"))
+    else:
+        cb = codebook.select("j", "m", "cw")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qsub = F.slice(F.col("qv"), F.col("m") * SD + 1, SD)
+    qt = (
+        F.broadcast(cb)
+        .crossJoin(F.broadcast(q))
+        .select("m", "j", _dot(qsub, F.col("cw")).alias("qdot"))
+    )
+    sv = with_subspaces(emb.where(F.col("vec_id") > K)).select(
+        "vec_id", "label", "m", "sub"
+    )
+    dist_key = _dot(F.col("cw"), F.col("cw")) - 2 * _dot(
+        F.col("sub"), F.col("cw")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(dist_key, F.col("j"))
+    )
+    codes = (
+        sv.join(F.broadcast(cb), "m")
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "m", "j")
+    )
+    part = lambda m: F.sum(F.when(F.col("m") == m, F.col("qdot")))  # noqa: E731
+    adc = (
+        codes.join(F.broadcast(qt), ["m", "j"])
+        .groupBy("vec_id", "label")
+        .agg(
+            sum((part(m) for m in range(1, M)), part(0)).alias("adc_dot")
+        )
+    )
+    exact = emb.select("vec_id", "v").crossJoin(F.broadcast(q)).select(
+        "vec_id", _dot(F.col("v"), F.col("qv")).alias("exact_dot")
+    )
+    return adc.join(exact, "vec_id").select(
+        "vec_id",
+        "label",
+        F.round(F.col("adc_dot"), 6).alias("adc_dot"),
+        F.round(F.col("exact_dot"), 6).alias("exact_dot"),
+    )
+
+
 @query(
     "embeddings_pq_adc_knn",
     oracle="""
@@ -556,64 +654,11 @@ def embeddings_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embeddings_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    M, K, SD = 4, 16, 16
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
-    ms = F.array(*[F.lit(m) for m in range(M)])
-    sub = F.slice(F.col("v"), F.col("m") * SD + 1, SD)
-
-    def with_subspaces(df):
-        return df.select(
-            "*", F.explode(ms).alias("m")
-        ).select("*", sub.alias("sub"))
-
-    cb = with_subspaces(
-        emb.where(F.col("vec_id").between(1, K))
-    ).select(F.col("vec_id").alias("j"), "m", F.col("sub").alias("cw"))
-    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    qsub = F.slice(F.col("qv"), F.col("m") * SD + 1, SD)
-    qt = (
-        F.broadcast(cb)
-        .crossJoin(F.broadcast(q))
-        .select("m", "j", _dot(qsub, F.col("cw")).alias("qdot"))
-    )
-    sv = with_subspaces(emb.where(F.col("vec_id") > K)).select(
-        "vec_id", "label", "m", "sub"
-    )
-    dist_key = _dot(F.col("cw"), F.col("cw")) - 2 * _dot(
-        F.col("sub"), F.col("cw")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id", "m").orderBy(dist_key, F.col("j"))
-    )
-    codes = (
-        sv.join(F.broadcast(cb), "m")
-        .withColumn("rn", rn)
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "m", "j")
-    )
-    part = lambda m: F.sum(F.when(F.col("m") == m, F.col("qdot")))  # noqa: E731
-    adc = (
-        codes.join(F.broadcast(qt), ["m", "j"])
-        .groupBy("vec_id", "label")
-        .agg(
-            (part(0) + part(1) + part(2) + part(3)).alias("adc_dot")
-        )
-    )
-    exact = emb.select("vec_id", "v").crossJoin(F.broadcast(q)).select(
-        "vec_id", _dot(F.col("v"), F.col("qv")).alias("exact_dot")
-    )
     return (
-        adc.join(exact, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            F.round(F.col("adc_dot"), 6).alias("adc_dot"),
-            F.round(F.col("exact_dot"), 6).alias("exact_dot"),
-        )
+        pq_adc_frame(emb, M=4, K=16, SD=16)
         .orderBy(F.col("adc_dot").desc(), "vec_id")
         .limit(10)
     )

@@ -792,3 +792,69 @@ def test_heavy_hitters_rejects_bad_support(spark):
         heavy_hitters_2pass(df, "k", support=0.0)
     with pytest.raises(ValueError):
         heavy_hitters_2pass(df, "k", support=1.5)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training (queries/similarity.train_pq_codebook)
+
+
+def test_trained_pq_codebook_never_increases_distortion(spark):
+    """Per-subspace Lloyd training starts FROM the seeded codebook
+    (vec_id 1..K subvectors), so by Lloyd monotonicity total
+    quantization distortion must not increase — deterministic, no
+    tolerance needed. Candidate containment is reported for evidence."""
+    from pyspark.sql import functions as F
+
+    from fabric_claims_spark.queries.similarity import (
+        _as_double,
+        pq_adc_frame,
+        train_pq_codebook,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "label", _as_double("embedding").alias("v"))
+    )
+    M, K, SD = 4, 16, 16
+
+    def distortion(codebook):
+        sv = emb.where(F.col("vec_id") > K).select(
+            "vec_id",
+            F.explode(F.array(*[F.lit(m) for m in range(M)])).alias("m"),
+            "v",
+        ).select(
+            "vec_id", "m", F.slice("v", F.col("m") * SD + 1, SD).alias("sub")
+        )
+        d2 = F.aggregate(
+            F.zip_with("sub", "cw", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per = (
+            sv.join(F.broadcast(codebook), "m")
+            .groupBy("vec_id", "m")
+            .agg(F.min(d2).alias("best"))
+        )
+        return per.agg(F.sum("best")).collect()[0][0]
+
+    seeded = (
+        emb.where(F.col("vec_id").between(1, K))
+        .select(
+            F.col("vec_id").alias("j"),
+            F.explode(F.array(*[F.lit(m) for m in range(M)])).alias("m"),
+            "v",
+        )
+        .select("j", "m", F.slice("v", F.col("m") * SD + 1, SD).alias("cw"))
+    )
+    trained = train_pq_codebook(emb, M=M, K=K, SD=SD, iters=2)
+    d_seed, d_train = distortion(seeded), distortion(trained)
+    assert d_train <= d_seed + 1e-6, (d_train, d_seed)
+
+    # evidence: candidate containment of the exact-dot top-10 in the
+    # ADC top-100 under each codebook (not asserted — data-dependent)
+    def containment(cb):
+        fr = pq_adc_frame(emb, M=M, K=K, SD=SD, codebook=cb)
+        top = [r["vec_id"] for r in fr.orderBy(F.col("adc_dot").desc(), "vec_id").limit(100).collect()]
+        exact = [r["vec_id"] for r in fr.orderBy(F.col("exact_dot").desc(), "vec_id").limit(10).collect()]
+        return len(set(top) & set(exact)) / 10
+    print("pq containment seeded:", containment(seeded), "trained:", containment(trained))
