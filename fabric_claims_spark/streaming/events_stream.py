@@ -486,3 +486,53 @@ def heavy_hitters_stream(
         "lower_bound",
         F.col("_total_rows").alias("total_rows"),
     )
+
+
+def segment_value_stream(
+    spark: SparkSession,
+    events_dir: str,
+    customer_path: str,
+    checkpoint_dir: str,
+    query_name: str = "segment_value",
+) -> DataFrame:
+    """Stream-static enrichment join — the remaining classic streaming
+    shape: each micro-batch of purchase events joins a STATIC
+    dimension (customer → market segment) and folds into a per-segment
+    aggregate. Stream-static joins need no watermark and no stream
+    state for the join itself (the static side is re-planned per
+    micro-batch, so a dimension refresh is picked up between batches);
+    only the downstream aggregate is stateful. The batch twin is the
+    same join + groupBy over the full file — pinned equal by the
+    stream==batch test.
+
+    Scale notes (100 TB/day stream): the dimension side broadcasts
+    under the session's auto-broadcast threshold, so each micro-batch
+    pays a map-side hash join — no stream-side shuffle before the
+    keyed aggregate.
+    """
+    cust = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").cast("decimal(18,4)").alias("v"))
+    )
+    agg = (
+        stream.join(cust, "user_id")  # stream-static inner join
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("v"), 4).cast("double").alias("value_sum"),
+        )
+    )
+    (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(query_name)

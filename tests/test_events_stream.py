@@ -225,3 +225,37 @@ def test_heavy_hitters_stream_multi_file_totals(spark, events_dir, tmp_path):
     assert got[0]["total_rows"] == 2 * one
     # doubled corpus, same distribution: all five types stay frequent
     assert len({r["event_type"] for r in got}) == 5
+
+
+def test_segment_value_stream_matches_batch(spark, events_dir, tmp_path):
+    from fabric_claims_spark.streaming.events_stream import (
+        segment_value_stream,
+    )
+
+    got = {
+        r["c_mktsegment"]: (r["purchases"], r["value_sum"])
+        for r in segment_value_stream(
+            spark,
+            str(events_dir),
+            f"{SF}/customer.parquet",
+            str(tmp_path / "ckpt_seg"),
+            query_name="t_seg",
+        ).collect()
+    }
+    e = spark.read.parquet(str(events_dir)).where(F.col("event_type") == "purchase")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        r["c_mktsegment"]: (r["purchases"], r["value_sum"])
+        for r in e.join(c, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
