@@ -226,6 +226,10 @@ GATE_PRIORITY: list[str] = [
     # round-5 corpus/time-series diagnostics
     "docs_source_js_drift",
     "events_dow_anomaly",
+    # round-5 capstones: composed coarse→fine→exact ANN pipeline and
+    # the multi-touch attribution complement
+    "embeddings_ivf_pq_search",
+    "events_attribution_linear",
     "approx_aggregates",
 ]
 

@@ -635,3 +635,126 @@ def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") - mean) / F.when(sd != 0, sd), 6
         ).alias("seasonal_z"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# Linear (multi-touch) attribution — the equal-credit complement of
+# events_attribution_last_touch: each purchase's value splits evenly
+# across ALL prior view/click touches in the user's stream; purchases
+# with no prior touch credit 'direct'. Per-purchase credits are
+# deterministic (exact 2-dp value × integer touch counts, one IEEE
+# division, rounded to integer tenth-cents) and sum as BIGINTs, so
+# the per-channel totals are partition-order independent.
+#
+# Scale notes (100 TB): one user-partitioned window computing two
+# conditional running counts, then a 3-row aggregate — same single
+# user_id shuffle as the last-touch query.
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+      FROM events),
+    t AS (
+      SELECT *,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_view,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS n_click
+      FROM e),
+    p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT 'view' AS touch_type,
+             COUNT(CASE WHEN n_view > 0 THEN 1 END) AS purchases,
+             SUM(CAST(ROUND(value * 10000.0 * n_view
+                            / NULLIF(n_view + n_click, 0), 0) AS BIGINT))
+               AS micro
+      FROM p
+      UNION ALL
+      SELECT 'click',
+             COUNT(CASE WHEN n_click > 0 THEN 1 END),
+             SUM(CAST(ROUND(value * 10000.0 * n_click
+                            / NULLIF(n_view + n_click, 0), 0) AS BIGINT))
+      FROM p
+      UNION ALL
+      SELECT 'direct',
+             COUNT(CASE WHEN n_view + n_click = 0 THEN 1 END),
+             SUM(CASE WHEN n_view + n_click = 0
+                      THEN CAST(ROUND(value * 10000.0, 0) AS BIGINT) END)
+      FROM p)
+    SELECT touch_type, purchases,
+           ROUND(CAST(COALESCE(micro, 0) AS DOUBLE) / 10000.0, 4)
+             AS attributed_value
+    FROM credits ORDER BY touch_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_view = F.count(
+        F.when(F.col("event_type") == "view", 1)
+    ).over(win)
+    n_click = F.count(
+        F.when(F.col("event_type") == "click", 1)
+    ).over(win)
+    p = (
+        e.withColumn("n_view", n_view)
+        .withColumn("n_click", n_click)
+        .where(F.col("event_type") == "purchase")
+    )
+    tot = F.col("n_view") + F.col("n_click")
+
+    def micro(cnt):
+        return F.round(
+            F.col("value") * 10000.0 * cnt / F.when(tot != 0, tot), 0
+        ).cast("long")
+
+    credits = (
+        p.agg(
+            F.count(F.when(F.col("n_view") > 0, 1)).alias("pv"),
+            F.sum(micro(F.col("n_view"))).alias("mv"),
+            F.count(F.when(F.col("n_click") > 0, 1)).alias("pc"),
+            F.sum(micro(F.col("n_click"))).alias("mc"),
+            F.count(F.when(tot == 0, 1)).alias("pd"),
+            F.sum(
+                F.when(tot == 0, F.round(F.col("value") * 10000.0, 0).cast("long"))
+            ).alias("md"),
+        )
+    )
+    rows = credits.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.col("pv").alias("purchases"),
+                    F.col("mv").alias("micro"),
+                ),
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.col("pc").alias("purchases"),
+                    F.col("mc").alias("micro"),
+                ),
+                F.struct(
+                    F.lit("direct").alias("touch_type"),
+                    F.col("pd").alias("purchases"),
+                    F.col("md").alias("micro"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "touch_type",
+        "purchases",
+        F.round(
+            F.coalesce(F.col("micro"), F.lit(0)).cast("double") / 10000.0, 4
+        ).alias("attributed_value"),
+    ).orderBy("touch_type")

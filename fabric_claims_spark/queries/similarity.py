@@ -662,3 +662,136 @@ def embeddings_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dot").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Composed IVF → PQ → exact search — the full FAISS-style ANN pipeline
+# as ONE hash-checked query: the coarse quantizer (8 cosine centroids,
+# the embeddings_ivf_assign machinery) prunes the corpus to the
+# nprobe=2 buckets nearest the query, the PQ/ADC fine quantizer ranks
+# only those candidates from 4-byte codes, and the exact dot re-score
+# rides on the top-10. Each stage is individually gated elsewhere
+# (embeddings_ivf_assign / embeddings_pq_adc_knn); this query pins
+# their COMPOSITION — bucket pruning must not change the PQ ranking
+# semantics, only restrict its input.
+#
+# Scale notes (100 TB): centroids, probe set, codebook, and the query
+# distance table are all broadcast; the corpus-sized side flows scan →
+# assignment projection → semi-filter → code rank → TakeOrdered with
+# no shuffle wider than the (vec_id, m) regroup on ~nprobe/K_coarse of
+# the data.
+@query(
+    "embeddings_ivf_pq_search",
+    oracle="""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROUND(list_dot_product(q.qv, c.cv)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM centroids c, q)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY sim DESC, centroid_id) <= 2),
+    assigned AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM embeddings e, centroids c WHERE e.vec_id > 16)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+        AND centroid_id IN (SELECT centroid_id FROM probe)),
+    cb AS (
+      SELECT vec_id AS j, m,
+             (embedding::DOUBLE[])[m*16+1 : m*16+16] AS cw
+      FROM embeddings, (VALUES (0), (1), (2), (3)) t(m)
+      WHERE vec_id BETWEEN 1 AND 16),
+    qt AS (
+      SELECT cb.m, cb.j,
+             list_dot_product((q.qv)[cb.m*16+1 : cb.m*16+16], cb.cw) AS qdot
+      FROM cb, q),
+    sv AS (
+      SELECT e.vec_id, e.label, t.m,
+             (e.embedding::DOUBLE[])[t.m*16+1 : t.m*16+16] AS sub
+      FROM embeddings e
+      JOIN assigned a ON e.vec_id = a.vec_id,
+           (VALUES (0), (1), (2), (3)) t(m)),
+    ranked AS (
+      SELECT sv.vec_id, sv.label, sv.m, cb.j,
+             ROW_NUMBER() OVER (
+               PARTITION BY sv.vec_id, sv.m
+               ORDER BY list_dot_product(cb.cw, cb.cw)
+                        - 2 * list_dot_product(sv.sub, cb.cw), cb.j)
+               AS rn
+      FROM sv JOIN cb ON sv.m = cb.m),
+    codes AS (SELECT vec_id, label, m, j FROM ranked WHERE rn = 1),
+    adc AS (
+      SELECT c.vec_id, c.label,
+             SUM(CASE WHEN c.m = 0 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 1 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 2 THEN qt.qdot END)
+             + SUM(CASE WHEN c.m = 3 THEN qt.qdot END) AS adc_dot
+      FROM codes c JOIN qt ON c.m = qt.m AND c.j = qt.j
+      GROUP BY c.vec_id, c.label)
+    SELECT a.vec_id, a.label,
+           ROUND(a.adc_dot, 6) AS adc_dot,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv), 6)
+             AS exact_dot
+    FROM adc a
+    JOIN embeddings e ON a.vec_id = e.vec_id
+    CROSS JOIN q
+    ORDER BY adc_dot DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def embeddings_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K_COARSE, NPROBE, K = 8, 2, 16
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    centroids = emb.where(F.col("vec_id") < K_COARSE).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        F.broadcast(centroids)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "centroid_id")
+        .limit(NPROBE)
+        .select("centroid_id")
+    )
+    scored = (
+        emb.where(F.col("vec_id") > K)
+        .join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(probe), "centroid_id", "left_semi")
+        .select("vec_id")
+    )
+    searchable = emb.where(F.col("vec_id") <= K).unionByName(
+        emb.join(F.broadcast(assigned), "vec_id", "left_semi")
+    )
+    return (
+        pq_adc_frame(searchable, M=4, K=K, SD=16)
+        .orderBy(F.col("adc_dot").desc(), "vec_id")
+        .limit(10)
+    )

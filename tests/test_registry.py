@@ -182,5 +182,7 @@ def test_round5_compositions_registered_with_oracles():
         "embeddings_pq_adc_knn",
         "docs_source_js_drift",
         "events_dow_anomaly",
+        "embeddings_ivf_pq_search",
+        "events_attribution_linear",
     ):
         assert name in reg and reg[name].oracle is not None
