@@ -230,6 +230,11 @@ GATE_PRIORITY: list[str] = [
     # the multi-touch attribution complement
     "embeddings_ivf_pq_search",
     "events_attribution_linear",
+    # round-5 reporting patterns: percent-of-parent hierarchy shares,
+    # semi-additive LASTNONBLANK closing values, growth accounting
+    "nation_share_of_region",
+    "monthly_closing_value",
+    "events_growth_accounting",
     "approx_aggregates",
 ]
 

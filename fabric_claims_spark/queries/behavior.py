@@ -758,3 +758,103 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("micro"), F.lit(0)).cast("double") / 10000.0, 4
         ).alias("attributed_value"),
     ).orderBy("touch_type")
+
+
+# --------------------------------------------------------------------------
+# Growth accounting — the new / retained / resurrected / churned
+# decomposition per ISO week (the standard DAU/MAU ledger): a user is
+# NEW in their first active week, RETAINED when also active the prior
+# week, RESURRECTED when returning after a gap, and counts as CHURNED
+# in the week following their last consecutive activity. Built from
+# the distinct (user, week) activity set with one user-partitioned
+# lag/lead pass — the activity rollup is tiny compared to raw events,
+# and the only raw-event shuffle is the initial distinct.
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    s AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS first_week,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS prev_week,
+             LEAD(week) OVER (PARTITION BY user_id ORDER BY week)
+               AS next_week
+      FROM a),
+    active AS (
+      SELECT week,
+             COUNT(CASE WHEN week = first_week THEN 1 END) AS new_users,
+             COUNT(CASE WHEN prev_week IS NOT NULL
+                         AND date_diff('day', prev_week, week) = 7
+                   THEN 1 END) AS retained_users,
+             COUNT(CASE WHEN prev_week IS NOT NULL
+                         AND date_diff('day', prev_week, week) > 7
+                   THEN 1 END) AS resurrected_users
+      FROM s GROUP BY 1),
+    churn AS (
+      SELECT week + INTERVAL 7 DAY AS week,
+             COUNT(*) AS churned_users
+      FROM s
+      WHERE next_week IS NULL
+         OR date_diff('day', week, next_week) > 7
+      GROUP BY 1)
+    SELECT CAST(COALESCE(a.week, c.week) AS DATE) AS week,
+           COALESCE(a.new_users, 0) AS new_users,
+           COALESCE(a.retained_users, 0) AS retained_users,
+           COALESCE(a.resurrected_users, 0) AS resurrected_users,
+           COALESCE(c.churned_users, 0) AS churned_users
+    FROM active a FULL OUTER JOIN churn c ON a.week = c.week
+    ORDER BY week
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("week")
+    s = a.select(
+        "user_id",
+        "week",
+        F.min("week").over(wu).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+        F.lead("week").over(wo).alias("next_week"),
+    )
+    gap = F.datediff(F.col("week"), F.col("prev_week"))
+    active = s.groupBy("week").agg(
+        F.count(F.when(F.col("week") == F.col("first_week"), 1)).alias(
+            "new_users"
+        ),
+        F.count(
+            F.when(F.col("prev_week").isNotNull() & (gap == 7), 1)
+        ).alias("retained_users"),
+        F.count(
+            F.when(F.col("prev_week").isNotNull() & (gap > 7), 1)
+        ).alias("resurrected_users"),
+    )
+    churn = (
+        s.where(
+            F.col("next_week").isNull()
+            | (F.datediff(F.col("next_week"), F.col("week")) > 7)
+        )
+        .groupBy(F.date_add(F.col("week"), 7).alias("week"))
+        .agg(F.count(F.lit(1)).alias("churned_users"))
+    )
+    return (
+        active.join(churn, "week", "full_outer")
+        .select(
+            "week",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+            F.coalesce("resurrected_users", F.lit(0)).alias(
+                "resurrected_users"
+            ),
+            F.coalesce("churned_users", F.lit(0)).alias("churned_users"),
+        )
+        .orderBy("week")
+    )

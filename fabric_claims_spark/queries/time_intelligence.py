@@ -349,3 +349,106 @@ def dates_drill_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_g_year") == 0)
         .drop("_g_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-parent hierarchy shares — the percent-of-parent report
+# pattern (DAX: DIVIDE([Sales], CALCULATE([Sales], ALLEXCEPT(...)))):
+# each nation's revenue as a share of its region, and each region as
+# a share of the grand total. Window sums run over the nation-level
+# rollup (25 rows) — bounded, shuffle-free beyond the rollup itself;
+# every share is one deterministic IEEE division of decimal-exact
+# sums.
+@query(
+    "nation_share_of_region",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           CAST(ROUND(rev, 4) AS DOUBLE) AS nation_revenue,
+           ROUND(CAST(ROUND(rev, 4) AS DOUBLE)
+                 / CAST(ROUND(SUM(rev) OVER (PARTITION BY region), 4)
+                        AS DOUBLE), 6) AS share_of_region,
+           ROUND(CAST(ROUND(SUM(rev) OVER (PARTITION BY region), 4)
+                      AS DOUBLE)
+                 / CAST(ROUND(SUM(rev) OVER (), 4) AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM rev
+    ORDER BY region, nation
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    region_rev = F.round(F.sum("rev").over(w_region), 4).cast("double")
+    total_rev = F.round(F.sum("rev").over(w_all), 4).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("rev"), 4).cast("double").alias("nation_revenue"),
+        F.round(
+            F.round(F.col("rev"), 4).cast("double") / region_rev, 6
+        ).alias("share_of_region"),
+        F.round(region_rev / total_rev, 6).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+# --------------------------------------------------------------------------
+# Semi-additive measure — LASTNONBLANK closing value: per (event_type,
+# month), the LAST event's value in the month (ordered by ts then
+# event_id for tie determinism). The semi-additive family (closing
+# balance, inventory level) sums over categories but NOT over time —
+# the window runs over the raw stream once, then one per-group filter;
+# at 100 TB this is one shuffle on (type, month), same as any keyed
+# aggregate.
+@query(
+    "monthly_closing_value",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('month', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type, month, value AS closing_value
+    FROM e WHERE rn = 1
+    ORDER BY event_type, month
+    """,
+)
+def monthly_closing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_trunc("month", F.col("ts")).cast("date")
+    w = Window.partitionBy("event_type", month).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            month.alias("month"),
+            F.col("value").alias("closing_value"),
+        )
+        .orderBy("event_type", "month")
+    )

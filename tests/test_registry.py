@@ -184,5 +184,8 @@ def test_round5_compositions_registered_with_oracles():
         "events_dow_anomaly",
         "embeddings_ivf_pq_search",
         "events_attribution_linear",
+        "nation_share_of_region",
+        "monthly_closing_value",
+        "events_growth_accounting",
     ):
         assert name in reg and reg[name].oracle is not None
