@@ -466,3 +466,44 @@ def test_snapshot_diff_single_full_outer_join(spark, registry):
     assert plan.count("FullOuter") == 1
     assert plan.count("Join") == 1  # nothing besides the full-outer
     assert "Generate explode" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime row-level filtering must inject a bloom filter
+    built from the selective dim side into the fact scan when the join
+    shuffles — the AQE-era semi-join reduction that, at 100 TB, drops
+    non-matching fact rows BEFORE the exchange. Pinned here so a
+    session-config regression (bloomFilter.enabled off, or a broadcast
+    threshold that hides the behavior) is caught."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(spark, j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
