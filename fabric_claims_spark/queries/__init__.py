@@ -235,6 +235,9 @@ GATE_PRIORITY: list[str] = [
     "nation_share_of_region",
     "monthly_closing_value",
     "events_growth_accounting",
+    # round-5: count-of-counts distribution + MAD robust outliers
+    "customer_order_count_distribution",
+    "orders_mad_outliers",
     "approx_aggregates",
 ]
 

@@ -797,3 +797,154 @@ def lineitem_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("zval").desc(), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-of-counts distribution (the TPC-H Q13 shape): how many
+# customers placed exactly k orders, including zero via a left join.
+# A histogram OVER a histogram — both levels are hash aggregates with
+# map-side combine; the second operates on the per-customer rollup.
+@query(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+    SELECT n_orders, COUNT(*) AS customers
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY customers DESC, n_orders DESC
+    """,
+)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy(F.col("customers").desc(), F.col("n_orders").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD (median absolute deviation) robust outliers — the outlier
+# detector that survives the outliers it hunts (3σ z-scores inflate σ
+# with the very anomalies being flagged; the median/MAD pair does
+# not). Both medians run the histogram-CDF construction of
+# orders_median_by_priority — value-domain aggregates, never raw-row
+# sorts — and the deviation histogram derives from the first by
+# exact-decimal |v − med|, so every quantity matches DuckDB
+# bit-for-bit. Output: per priority, the median, the MAD, and how
+# many orders sit beyond 3 MADs.
+@query(
+    "orders_mad_outliers",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    c AS (
+      SELECT priority, v, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM h),
+    -- med2 = 2*median, mad4 = 4*MAD: sums of scale-4 decimals stay
+    -- EXACT decimals (engine division by 2 promotes to double in
+    -- DuckDB but stays decimal in Spark -- ulp divergence); the only
+    -- IEEE divisions are the two output casts.
+    med AS (
+      SELECT priority,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+             + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS med2
+      FROM c GROUP BY priority),
+    dh AS (
+      SELECT h.priority, ABS(2 * h.v - m.med2) AS d2, SUM(h.cnt) AS cnt
+      FROM h JOIN med m ON h.priority = m.priority
+      GROUP BY 1, 2),
+    dc AS (
+      SELECT priority, d2, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY d2) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM dh),
+    mad AS (
+      SELECT priority,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN d2 END)
+             + MIN(CASE WHEN cum >= (n + 2) // 2 THEN d2 END) AS mad4
+      FROM dc GROUP BY priority)
+    SELECT m.priority,
+           CAST(m.med2 AS DOUBLE) / 2 AS median_price,
+           CAST(a.mad4 AS DOUBLE) / 4 AS mad,
+           CAST(SUM(CASE WHEN 4 * ABS(2 * h.v - m.med2) > 3 * a.mad4
+                    THEN h.cnt ELSE 0 END) AS BIGINT) AS outliers
+    FROM h JOIN med m ON h.priority = m.priority
+    JOIN mad a ON h.priority = a.priority
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    # doubled/quadrupled medians stay exact decimals (see oracle note)
+    def cdf_median2(hist, val_col, out):
+        wc = Window.partitionBy("priority").orderBy(val_col)
+        wn = Window.partitionBy("priority")
+        c = hist.select(
+            "priority",
+            val_col,
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wn).alias("n"),
+        )
+        p1 = F.expr("(n + 1) div 2")
+        p2 = F.expr("(n + 2) div 2")
+        return c.groupBy("priority").agg(
+            (
+                F.min(F.when(F.col("cum") >= p1, F.col(val_col)))
+                + F.min(F.when(F.col("cum") >= p2, F.col(val_col)))
+            ).alias(out)
+        )
+
+    med = cdf_median2(h, "v", "med2")
+    dh = (
+        h.join(med, "priority")
+        .groupBy(
+            "priority", F.abs(2 * F.col("v") - F.col("med2")).alias("d2")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = cdf_median2(dh, "d2", "mad4")
+    return (
+        h.join(med, "priority")
+        .join(mad, "priority")
+        .groupBy(
+            "priority",
+            (F.col("med2").cast("double") / 2).alias("median_price"),
+            (F.col("mad4").cast("double") / 4).alias("mad"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    4 * F.abs(2 * F.col("v") - F.col("med2"))
+                    > 3 * F.col("mad4"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("outliers")
+        )
+        .orderBy("priority")
+    )

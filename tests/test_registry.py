@@ -187,5 +187,7 @@ def test_round5_compositions_registered_with_oracles():
         "nation_share_of_region",
         "monthly_closing_value",
         "events_growth_accounting",
+        "customer_order_count_distribution",
+        "orders_mad_outliers",
     ):
         assert name in reg and reg[name].oracle is not None
