@@ -238,6 +238,13 @@ GATE_PRIORITY: list[str] = [
     # round-5: count-of-counts distribution + MAD robust outliers
     "customer_order_count_distribution",
     "orders_mad_outliers",
+    # round-5: audit/statistics batch — Benford digit screen,
+    # contingency-table chi-square cells, gaps-and-islands streaks,
+    # histogram-CDF RFM quintile segmentation
+    "orders_benford_digits",
+    "status_priority_chisq_cells",
+    "customer_monthly_streaks",
+    "customers_rfm_segments",
     "approx_aggregates",
 ]
 

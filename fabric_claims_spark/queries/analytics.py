@@ -858,3 +858,100 @@ def customers_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cluster")
         .orderBy("canonical_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — recency/frequency quintiles with monetary rollup,
+# the marketing-analytics staple. The quintile maps come from
+# histogram-CDF over the recency-day and order-count VALUE domains
+# (≤ calendar-span and ≤ max-orders-per-customer distinct values —
+# data-size-independent frames, so the partitionless cumulative
+# windows are bounded), then broadcast-joined back to the
+# per-customer frame; no global sort, no ntile over all customers.
+# Quintile of a tied value is decided by its bucket's last CDF
+# position: ((cum−1)·5) div n + 1, identical in both engines.
+# Recency quintile 1 = most recent.
+@query(
+    "customers_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS ad FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT ad FROM anchor)) AS rec,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY 1),
+    rh AS (SELECT rec AS v, COUNT(*) AS cnt FROM per GROUP BY 1),
+    rc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                  SUM(cnt) OVER () AS n FROM rh),
+    rs AS (SELECT v, CAST((cum - 1) * 5 // n + 1 AS BIGINT) AS r_q FROM rc),
+    fh AS (SELECT freq AS v, COUNT(*) AS cnt FROM per GROUP BY 1),
+    fc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                  SUM(cnt) OVER () AS n FROM fh),
+    fs AS (SELECT v, CAST((cum - 1) * 5 // n + 1 AS BIGINT) AS f_q FROM fc)
+    SELECT rs.r_q AS r_quintile, fs.f_q AS f_quintile,
+           COUNT(*) AS customers,
+           CAST(ROUND(SUM(p.monetary), 4) AS DOUBLE) AS total_monetary,
+           CAST(SUM(p.monetary) AS DOUBLE) / COUNT(*) AS avg_monetary
+    FROM per p JOIN rs ON p.rec = rs.v JOIN fs ON p.freq = fs.v
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("ad"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(money("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("ad", "last_d").alias("rec"),
+            "freq",
+            "monetary",
+        )
+    )
+
+    def quintile_map(df, col, out):
+        h = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wc = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy()
+        c = h.select(
+            "v",
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(wn).alias("n"),
+        )
+        return c.select(
+            "v", F.expr("((cum - 1) * 5) div n + 1").alias(out)
+        )
+
+    rs = quintile_map(per, "rec", "r_q")
+    fs = quintile_map(per, "freq", "f_q")
+    return (
+        per.join(F.broadcast(rs), per["rec"] == rs["v"])
+        .drop("v")
+        .join(F.broadcast(fs), per["freq"] == fs["v"])
+        .groupBy(
+            F.col("r_q").alias("r_quintile"),
+            F.col("f_q").alias("f_quintile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("monetary"), 4)
+            .cast("double")
+            .alias("total_monetary"),
+            (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_quintile", "f_quintile")
+    )

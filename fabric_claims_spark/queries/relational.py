@@ -733,3 +733,57 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands — consecutive-month activity streaks per customer,
+# the classic "islands" pattern (month_index − row_number is constant
+# within a run of consecutive months). All integer arithmetic; the
+# window partitions by customer so no partition ever exceeds one
+# customer's order-month history, and the output is the streak-length
+# distribution — bounded by the calendar span, not the data size.
+@query(
+    "customer_monthly_streaks",
+    oracle="""
+    WITH mo AS (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx
+      FROM orders),
+    r AS (
+      SELECT o_custkey, midx,
+             midx - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY midx) AS grp
+      FROM mo),
+    s AS (
+      SELECT o_custkey, grp, COUNT(*) AS streak_months
+      FROM r GROUP BY 1, 2)
+    SELECT streak_months, COUNT(*) AS n_streaks,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def customer_monthly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mo = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("midx"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    r = mo.select(
+        "o_custkey",
+        (F.col("midx") - F.row_number().over(w)).alias("grp"),
+    )
+    s = r.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("streak_months")
+    )
+    return (
+        s.groupBy("streak_months")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("streak_months")
+    )

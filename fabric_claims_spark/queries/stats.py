@@ -948,3 +948,117 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit — the classic fraud/quality screen: the
+# leading significant digit of a naturally-occurring monetary amount
+# should follow P(d) = log10(1 + 1/d). One hash aggregate over a
+# 9-value domain; the observed share is a single deterministic IEEE
+# division and the expected share a single closed-form log10 per row,
+# so both engines produce bit-identical doubles. At 100 TB this is a
+# map-side-combined count by one derived byte — no shuffle pressure.
+@query(
+    "orders_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS n FROM d)
+    SELECT digit, cnt AS observed,
+           CAST(cnt AS DOUBLE) / t.n AS observed_share,
+           log10(1 + 1.0 / digit) AS benford_share
+    FROM d CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = d.agg(F.sum("cnt").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("cnt").alias("observed"),
+            (F.col("cnt").cast("double") / F.col("n")).alias("observed_share"),
+            F.log10(1 + 1.0 / F.col("digit")).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence cells for status × priority — the
+# contingency-table diagnostic behind "is fulfilment status independent
+# of priority?". Emitting the 15 per-cell contributions (rather than
+# one partition-order-dependent Σ of doubles) keeps every number a
+# closed-form deterministic expression: expected = rt·ct/N in one
+# division, contribution = (obs−exp)²/exp with an explicit product
+# (never pow), identical token-for-token in both engines. The windows
+# cumulate over the 15-cell frame — bounded by the value domains, not
+# the data size.
+@query(
+    "status_priority_chisq_cells",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             COUNT(*) AS observed
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT status, priority, observed,
+             SUM(observed) OVER (PARTITION BY status) AS rt,
+             SUM(observed) OVER (PARTITION BY priority) AS ct,
+             SUM(observed) OVER () AS n
+      FROM cells)
+    SELECT status, priority, observed,
+           CAST(rt * ct AS DOUBLE) / n AS expected,
+           (observed - CAST(rt * ct AS DOUBLE) / n)
+             * (observed - CAST(rt * ct AS DOUBLE) / n)
+             / (CAST(rt * ct AS DOUBLE) / n) AS contribution
+    FROM m
+    ORDER BY status, priority
+    """,
+)
+def status_priority_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    m = cells.select(
+        "status",
+        "priority",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("status")).alias("rt"),
+        F.sum("observed").over(Window.partitionBy("priority")).alias("ct"),
+        F.sum("observed").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return m.select(
+        "status",
+        "priority",
+        "observed",
+        exp.alias("expected"),
+        (
+            (F.col("observed") - exp) * (F.col("observed") - exp) / exp
+        ).alias("contribution"),
+    ).orderBy("status", "priority")
