@@ -245,6 +245,12 @@ GATE_PRIORITY: list[str] = [
     "status_priority_chisq_cells",
     "customer_monthly_streaks",
     "customers_rfm_segments",
+    # round-5: integer-exact CUSUM changepoint, Zipf power-law fit,
+    # SimHash×hash-split train/test leakage probe, Theil T inequality
+    "events_cusum_changepoint",
+    "docs_zipf_fit",
+    "docs_split_leakage",
+    "segment_revenue_theil",
     "approx_aggregates",
 ]
 

@@ -955,3 +955,71 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_quintile", "f_quintile")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil T inequality index per market segment — the entropy-based
+# complement to the Gini: T = (1/n)·Σ (x/μ)·ln(x/μ) over customer
+# revenues, and unlike Gini it needs no pairwise or rank construction
+# at all — one per-customer aggregate, a 5-row segment-mean broadcast
+# back, and a per-row closed form. Each (x/μ)·ln(x/μ) term rounds to
+# 6 dp and scales to an int64 micro-unit (the docs_token_entropy
+# pattern), so the segment sum is exact and partition-order-free; μ
+# itself is the exact-decimal-sum davg.
+@query(
+    "segment_revenue_theil",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS m
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    seg AS (
+      SELECT segment, COUNT(*) AS n, SUM(m) AS tot FROM rev GROUP BY 1),
+    t AS (
+      SELECT r.segment,
+             CAST(ROUND(ROUND(
+               (CAST(r.m AS DOUBLE) / (CAST(s.tot AS DOUBLE) / s.n))
+               * ln(CAST(r.m AS DOUBLE) / (CAST(s.tot AS DOUBLE) / s.n)),
+               6) * 1000000, 0) AS BIGINT) AS micro
+      FROM rev r JOIN seg s ON r.segment = s.segment)
+    SELECT s.segment, s.n AS customers,
+           CAST(s.tot AS DOUBLE) / s.n AS mean_revenue,
+           CAST(SUM(t.micro) AS DOUBLE) / (1000000.0 * s.n) AS theil_t
+    FROM t JOIN seg s ON t.segment = s.segment
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def segment_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(F.sum(money("o_totalprice")).alias("m"))
+    )
+    seg = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("tot")
+    )
+    mu = F.col("tot").cast("double") / F.col("n")
+    r = F.col("m").cast("double") / mu
+    micro = F.round(F.round(r * F.log(r), 6) * 1_000_000, 0).cast("long")
+    return (
+        rev.join(F.broadcast(seg), "segment")
+        .select("segment", "n", mu.alias("mean_revenue"), micro.alias("micro"))
+        .groupBy("segment", F.col("n").alias("customers"), "mean_revenue")
+        .agg(
+            (
+                F.sum("micro").cast("double")
+                / (1_000_000.0 * F.col("customers"))
+            ).alias("theil_t")
+        )
+        .orderBy("segment")
+    )

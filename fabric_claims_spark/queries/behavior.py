@@ -858,3 +858,67 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily event volume — the
+# classic level-shift detector: CUSUM_k = Σ_{d≤k}(c_d − T/D) peaks at
+# the day the mean shifts. Everything stays integer by scaling through
+# the day count D: D·CUSUM_k = D·Σc_d − k·T, so no running float sum
+# exists anywhere and both engines agree bit-for-bit. The cumulative
+# window runs over the daily rollup — a calendar-bounded frame — and
+# the peak flag is one more window max over the same frame.
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    t AS (SELECT COUNT(*) AS dd, SUM(cnt) AS tot FROM d),
+    c AS (
+      SELECT day, cnt,
+             SUM(cnt) OVER (ORDER BY day) AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM d)
+    SELECT c.day, c.cnt,
+           CAST(t.dd * c.cum - c.rn * t.tot AS BIGINT) AS cusum_scaled,
+           CAST(CASE WHEN ABS(t.dd * c.cum - c.rn * t.tot)
+                     = MAX(ABS(t.dd * c.cum - c.rn * t.tot)) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+    FROM c CROSS JOIN t
+    ORDER BY c.day
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("dd"), F.sum("cnt").alias("tot")
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    cus = (F.col("dd") * F.col("cum") - F.col("rn") * F.col("tot")).cast(
+        "bigint"
+    )
+    withc = c.crossJoin(F.broadcast(t)).select(
+        "day", "cnt", cus.alias("cusum_scaled")
+    )
+    mx = F.max(F.abs(F.col("cusum_scaled"))).over(Window.partitionBy())
+    return withc.select(
+        "day",
+        "cnt",
+        "cusum_scaled",
+        F.when(F.abs(F.col("cusum_scaled")) == mx, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_changepoint"),
+    ).orderBy("day")

@@ -603,3 +603,69 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         hasher="md5",
     )
+
+
+# --------------------------------------------------------------------------
+# Train/test leakage probe — the check every LLM data pipeline needs
+# after splitting: near-duplicate pairs that STRADDLE a train/val/test
+# boundary leak evaluation data into training. Composes the SimHash
+# band-LSH pair generator with the deterministic hash-split
+# assignment; because the split is a pure function of the doc id, the
+# splits of both endpoints are derived in-projection — no extra join
+# beyond the pair generator itself.
+@query(
+    "docs_split_leakage",
+    oracle=f"""
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           sa.split AS split_a, sb.split AS split_b,
+           CAST(sa.split <> sb.split AS BIGINT) AS is_leak
+    FROM ({_simhash_neardup_oracle()}) p
+    JOIN (SELECT doc_id, CASE
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split FROM documents) sa
+      ON p.doc_a = sa.doc_id
+    JOIN (SELECT doc_id, CASE
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split FROM documents) sb
+      ON p.doc_b = sb.doc_id
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import (
+        md5_long,
+        simhash_band_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    pairs = simhash_band_pairs(
+        sigs,
+        bands=_SH_BANDS,
+        bits=_SH_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        bucket_cap=_SH_BUCKET_CAP,
+    )
+
+    def split_of(c):
+        b = (md5_long(c.cast("string")) % 100).cast("long")
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+        (split_of(F.col("doc_a")) != split_of(F.col("doc_b")))
+        .cast("bigint")
+        .alias("is_leak"),
+    ).orderBy("doc_a", "doc_b")

@@ -1430,3 +1430,96 @@ def docs_source_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf power-law fit over the corpus token frequencies — the sanity
+# check that a text corpus looks like natural language (ln f ≈ a −
+# s·ln r with s near 1; synthetic or template-heavy corpora bend the
+# line). OLS on (ln rank, ln freq) of the top-K vocabulary.
+# Determinism: each ln rounds to 5 dp and scales to an int64 (1e5
+# units — chosen so n·Σxy stays far inside int64 even at
+# 100-TB-corpus frequencies, unlike the 1e6 micro-nat scale used for
+# per-row sums elsewhere); every Σ is an exact integer sum, and slope
+# and intercept are each one closed-form double expression. The rank
+# window orders the vocabulary frame — bounded by the token domain,
+# not corpus size (posting-lists precedent).
+_ZIPF_K = 500
+
+
+@query(
+    "docs_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    vocab AS (
+      SELECT tok, COUNT(*) AS freq FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS r
+      FROM vocab QUALIFY r <= {_ZIPF_K}),
+    pts AS (
+      SELECT CAST(ROUND(ROUND(ln(CAST(r AS DOUBLE)), 5) * 100000, 0)
+                  AS BIGINT) AS x,
+             CAST(ROUND(ROUND(ln(CAST(freq AS DOUBLE)), 5) * 100000, 0)
+                  AS BIGINT) AS y
+      FROM ranked),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts)
+    SELECT n AS n_tokens,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx) AS zipf_slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx)) * sx)
+             / (n * 100000.0) AS intercept_ln_freq
+    FROM s
+    """,
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = (
+        vocab.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("freq"), "tok")),
+        )
+        .where(F.col("r") <= _ZIPF_K)
+    )
+
+    def scaled_ln(c):
+        return F.round(F.round(F.log(c.cast("double")), 5) * 100000, 0).cast(
+            "long"
+        )
+
+    pts = ranked.select(
+        scaled_ln(F.col("r")).alias("x"), scaled_ln(F.col("freq")).alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / (F.col("n") * 100000.0)
+        ).alias("intercept_ln_freq"),
+    )
