@@ -251,6 +251,12 @@ GATE_PRIORITY: list[str] = [
     "docs_zipf_fit",
     "docs_split_leakage",
     "segment_revenue_theil",
+    # round-5: PMI collocations, G2 keyness keywords, XYZ demand
+    # variability classes, Adamic–Adar link prediction
+    "docs_pmi_pairs",
+    "docs_keyword_g2",
+    "part_demand_xyz",
+    "brand_link_prediction",
     "approx_aggregates",
 ]
 

@@ -1023,3 +1023,189 @@ def segment_revenue_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# XYZ demand-variability classification — the inventory-planning twin
+# of the ABC/Pareto split: parts are classed by the coefficient of
+# variation of their monthly demand (X = steady, Y = variable, Z =
+# erratic). All moments are exact integer sums (quantities are
+# integral), and cv² = (n·Σq² − S²)/S² needs no sqrt — the class
+# thresholds compare against 0.25/1.0 directly. One part-keyed
+# aggregate; the class rollup is a 3-row reduce.
+@query(
+    "part_demand_xyz",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey,
+             CAST(EXTRACT(year FROM l_shipdate) * 12
+                  + EXTRACT(month FROM l_shipdate) AS BIGINT) AS midx,
+             CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2),
+    p AS (
+      SELECT l_partkey, COUNT(*) AS months, SUM(q) AS s,
+             SUM(q * q) AS qq
+      FROM m GROUP BY 1),
+    c AS (
+      SELECT l_partkey, months,
+             CAST(months * qq - s * s AS DOUBLE) / (s * s) AS cv2
+      FROM p)
+    SELECT CASE WHEN cv2 < 0.25 THEN 'X'
+                WHEN cv2 < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(months) AS BIGINT) AS total_active_months,
+           CAST(SUM(months) AS DOUBLE) / COUNT(*) AS avg_active_months
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_demand_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("midx"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+        .cast("bigint")
+        .alias("q")
+    )
+    p = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("months"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    cv2 = (
+        F.col("months") * F.col("qq") - F.col("s") * F.col("s")
+    ).cast("double") / (F.col("s") * F.col("s"))
+    c = p.select("months", cv2.alias("cv2"))
+    return (
+        c.groupBy(
+            F.when(F.col("cv2") < 0.25, "X")
+            .when(F.col("cv2") < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("months").cast("bigint").alias("total_active_months"),
+            (F.sum("months").cast("double") / F.count(F.lit(1))).alias(
+                "avg_active_months"
+            ),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+# --------------------------------------------------------------------------
+# Adamic–Adar link prediction on the brand co-purchase graph — which
+# brand pairs are NOT yet co-purchased but share many co-purchase
+# neighbors, each neighbor weighted by 1/ln(degree) (rare neighbors
+# count more). Completes the graph suite: components → PageRank →
+# triangles → link prediction. The co-purchase graph is dense at any
+# fixed count threshold (every brand pair eventually co-occurs), so
+# the edge set is the TOP-75 pairs by co-purchase count — a rank over
+# the C(brands,2)-bounded pair frame, scale-invariant by construction.
+# Wedges come from one self-join of the symmetric edge list keyed on
+# the center node (degree-bounded, the brand_triangles shape);
+# existing edges are removed with a broadcast left_anti. Every wedge
+# center has degree ≥ 2, so ln(deg) > 0; each 1/ln(deg) term rounds
+# to a 6-dp micro-unit and sums exactly.
+_LP_TOP_EDGES = 75
+@query(
+    "brand_link_prediction",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pc AS (
+      SELECT a.brand AS ba, b.brand AS bb, COUNT(*) AS c
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2),
+    e AS (
+      SELECT ba, bb FROM (
+        SELECT ba, bb,
+               ROW_NUMBER() OVER (ORDER BY c DESC, ba, bb) AS r
+        FROM pc)
+      WHERE r <= 75),
+    sym AS (
+      SELECT ba AS u, bb AS v FROM e
+      UNION ALL SELECT bb AS u, ba AS v FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY 1),
+    wedge AS (
+      SELECT x.v AS brand_a, y.v AS brand_b, x.u AS z
+      FROM sym x JOIN sym y ON x.u = y.u AND x.v < y.v),
+    cand AS (
+      SELECT w.brand_a, w.brand_b, w.z FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e WHERE e.ba = w.brand_a AND e.bb = w.brand_b))
+    SELECT c.brand_a, c.brand_b,
+           COUNT(*) AS common_neighbors,
+           CAST(SUM(CAST(ROUND(ROUND(1.0 / ln(CAST(d.d AS DOUBLE)), 6)
+                                * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS aa_score
+    FROM cand c JOIN deg d ON c.z = d.u
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def brand_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    a = ob.select(F.col("okey"), F.col("brand").alias("ba"))
+    b = ob.select(F.col("okey"), F.col("brand").alias("bb"))
+    pc = (
+        a.join(b, "okey")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = (
+        pc.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), "ba", "bb")
+            ),
+        )
+        .where(F.col("r") <= _LP_TOP_EDGES)
+        .select("ba", "bb")
+    )
+    sym = e.select(F.col("ba").alias("u"), F.col("bb").alias("v")).unionByName(
+        e.select(F.col("bb").alias("u"), F.col("ba").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = sym.select(F.col("u"), F.col("v").alias("brand_a"))
+    y = sym.select(F.col("u"), F.col("v").alias("brand_b"))
+    wedge = x.join(y, "u").where(F.col("brand_a") < F.col("brand_b"))
+    cand = wedge.join(
+        F.broadcast(
+            e.select(
+                F.col("ba").alias("brand_a"), F.col("bb").alias("brand_b")
+            )
+        ),
+        ["brand_a", "brand_b"],
+        "left_anti",
+    )
+    micro = F.round(
+        F.round(1.0 / F.log(F.col("d").cast("double")), 6) * 1_000_000, 0
+    ).cast("long")
+    return (
+        cand.join(F.broadcast(deg), cand["u"] == deg["u"])
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            (F.sum(micro).cast("double") / 1_000_000.0).alias("aa_score"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -1523,3 +1523,212 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * 100000.0)
         ).alias("intercept_ln_freq"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI word-association pairs — pointwise mutual information over
+# document-level co-occurrence, the classic collocation/association
+# miner. The quadratic blowup is controlled the way a 100-TB corpus
+# needs: pairs are generated only WITHIN the top-V df-ranked
+# vocabulary (V=150, so ≤ C(150,2) pairs per doc regardless of doc
+# length), via the in-expression sorted-array combination trick
+# (basket_brand_pairs pattern) — no token-level self-join. PMI itself
+# is one closed-form ln per surviving pair.
+_PMI_VOCAB = 150
+_PMI_MIN_PAIR = 5
+
+
+@query(
+    "docs_pmi_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+    n AS (SELECT COUNT(*) AS nd FROM d),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM d),
+    df AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT tok, df FROM (
+        SELECT tok, df,
+               ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS r
+        FROM df)
+      WHERE r <= {_PMI_VOCAB}),
+    vt AS (SELECT t.doc_id, t.tok FROM tok t JOIN vocab v ON t.tok = v.tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS both_docs
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_PMI_MIN_PAIR})
+    SELECT p.tok_a, p.tok_b, p.both_docs,
+           ROUND(ln(CAST(p.both_docs * n.nd AS DOUBLE)
+                    / (va.df * vb.df)), 6) AS pmi
+    FROM pairs p
+    JOIN vocab va ON p.tok_a = va.tok
+    JOIN vocab vb ON p.tok_b = vb.tok
+    CROSS JOIN n
+    ORDER BY p.tok_a, p.tok_b
+    """,
+)
+def docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok")
+    ).distinct()
+    df = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        df.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("df"), "tok"))
+        )
+        .where(F.col("r") <= _PMI_VOCAB)
+        .drop("r")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("nd"))
+    vt = tok.join(F.broadcast(vocab.select("tok")), "tok")
+    baskets = vt.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("both_docs"))
+        .where(F.col("both_docs") >= _PMI_MIN_PAIR)
+    )
+    va = F.broadcast(vocab.select(F.col("tok"), F.col("df").alias("df_a")))
+    vb = F.broadcast(vocab.select(F.col("tok"), F.col("df").alias("df_b")))
+    return (
+        pairs.join(va, pairs.tok_a == va.tok)
+        .drop("tok")
+        .join(vb, pairs.tok_b == vb.tok)
+        .drop("tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "both_docs",
+            F.round(
+                F.log(
+                    (F.col("both_docs") * F.col("nd")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# G2 log-likelihood keyword extraction — "what terms characterize this
+# source vs the rest of the corpus?", the Dunning (1993) keyness
+# statistic every corpus-comparison pipeline uses. Contingency per
+# (source, term): a = in-source count, b = elsewhere count, with
+# expectations from the marginals; G2 = 2·(a·ln(a/Ea) + b·ln(b/Eb))
+# as closed-form per-row doubles (zero-guarded identically in both
+# engines). Candidates are df-capped, and the top-5-per-source window
+# runs over the (sources × vocab) frame — bounded by the domains.
+_G2_MIN_TERM = 50
+_G2_TOP = 5
+
+
+@query(
+    "docs_keyword_g2",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    st AS (SELECT source, tok, COUNT(*) AS a FROM tok GROUP BY 1, 2),
+    tt AS (SELECT tok, SUM(a) AS t FROM st GROUP BY 1 HAVING SUM(a) >= {_G2_MIN_TERM}),
+    ss AS (SELECT source, SUM(a) AS s FROM st GROUP BY 1),
+    g AS (SELECT SUM(a) AS g FROM st),
+    scored AS (
+      SELECT st.source, st.tok, st.a, tt.t - st.a AS b,
+             ROUND(2 * (CASE WHEN st.a > 0 THEN
+                    CAST(st.a AS DOUBLE)
+                    * ln(CAST(st.a * g.g AS DOUBLE) / (ss.s * tt.t))
+                  ELSE 0 END
+                + CASE WHEN tt.t - st.a > 0 THEN
+                    CAST(tt.t - st.a AS DOUBLE)
+                    * ln(CAST((tt.t - st.a) * g.g AS DOUBLE)
+                         / ((g.g - ss.s) * tt.t))
+                  ELSE 0 END), 6) AS g2
+      FROM st JOIN tt ON st.tok = tt.tok
+      JOIN ss ON st.source = ss.source
+      CROSS JOIN g)
+    SELECT source, rank, tok, a AS term_count, g2
+    FROM (
+      SELECT source, tok, a, g2,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY g2 DESC, tok) AS rank
+      FROM scored)
+    WHERE rank <= {_G2_TOP}
+    ORDER BY source, rank
+    """,
+)
+def docs_keyword_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tok = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+    tt = (
+        st.groupBy("tok")
+        .agg(F.sum("a").alias("t"))
+        .where(F.col("t") >= _G2_MIN_TERM)
+    )
+    ss = st.groupBy("source").agg(F.sum("a").alias("s"))
+    g = st.agg(F.sum("a").alias("g"))
+    b = F.col("t") - F.col("a")
+    term1 = F.when(
+        F.col("a") > 0,
+        F.col("a").cast("double")
+        * F.log(
+            (F.col("a") * F.col("g")).cast("double")
+            / (F.col("s") * F.col("t"))
+        ),
+    ).otherwise(F.lit(0.0))
+    term2 = F.when(
+        b > 0,
+        b.cast("double")
+        * F.log(
+            (b * F.col("g")).cast("double")
+            / ((F.col("g") - F.col("s")) * F.col("t"))
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        st.join(tt, "tok")
+        .join(F.broadcast(ss), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "tok",
+            "a",
+            F.round(2 * (term1 + term2), 6).alias("g2"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _G2_TOP)
+        .select(
+            "source", "rank", "tok", F.col("a").alias("term_count"), "g2"
+        )
+        .orderBy("source", "rank")
+    )
