@@ -257,6 +257,8 @@ GATE_PRIORITY: list[str] = [
     "docs_keyword_g2",
     "part_demand_xyz",
     "brand_link_prediction",
+    # round-5: register-based HyperLogLog next to the KMV sketch
+    "events_hll_users_per_type",
     "approx_aggregates",
 ]
 

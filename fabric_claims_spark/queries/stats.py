@@ -1062,3 +1062,109 @@ def status_priority_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("observed") - exp) * (F.col("observed") - exp) / exp
         ).alias("contribution"),
     ).orderBy("status", "priority")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-user sketch per event type — the register-based
+# mergeable cardinality estimator (Flajolet et al. 2007), next to the
+# KMV bottom-k sketch as the second classic. 256 registers; the
+# register max is one hash aggregate, and the harmonic-mean
+# denominator Σ 2^−M stays EXACT by scaling through 2^53 (so it is an
+# integer sum of shifted ones — no float accumulation anywhere; max
+# 256·2^53 < 2^63). The only doubles are the final closed-form
+# estimate (one constant, one division) and the small-range
+# linear-counting branch, both rounded to 4 dp. Exact distinct is
+# emitted alongside for the error column. At 100 TB the register
+# table is 256 rows per group — this is THE scale-out cardinality
+# pattern (mergeable across partitions by construction).
+_HLL_NUM = 0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992.0
+
+
+@query(
+    "events_hll_users_per_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv % 256 AS j,
+             CASE WHEN hv // 256 > 0
+                  THEN 53 - length(bin(hv // 256))
+                  ELSE 53 END AS rho
+      FROM h),
+    m AS (SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (53 - mj)) AS s_obs,
+             COUNT(*) AS nreg
+      FROM m GROUP BY 1),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1),
+    est AS (
+      SELECT a.event_type,
+             {_HLL_NUM!r}
+               / (a.s_obs + (256 - a.nreg)
+                  * CAST(9007199254740992 AS BIGINT)) AS raw,
+             256 - a.nreg AS zeros
+      FROM agg a)
+    SELECT e.event_type, ex.exact_users,
+           ROUND(CASE WHEN e.raw <= 640 AND e.zeros > 0
+                      THEN 256 * ln(256.0 / e.zeros)
+                      ELSE e.raw END, 4) AS hll_estimate
+    FROM est e JOIN ex ON e.event_type = ex.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        md5_long(F.col("user_id").cast("string")).alias("hv"),
+    )
+    r = h.select(
+        "event_type",
+        (F.col("hv") % 256).alias("j"),
+        F.when(
+            F.expr("hv div 256") > 0,
+            F.lit(53) - F.length(F.bin(F.expr("hv div 256"))),
+        )
+        .otherwise(F.lit(53))
+        .alias("rho"),
+    )
+    m = r.groupBy("event_type", "j").agg(F.max("rho").alias("mj"))
+    agg = m.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - mj as int))"))
+        .alias("s_obs"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    raw = F.lit(_HLL_NUM) / (
+        F.col("s_obs")
+        + (256 - F.col("nreg")) * F.lit(9007199254740992).cast("long")
+    )
+    zeros = 256 - F.col("nreg")
+    est = agg.select(
+        "event_type", raw.alias("raw"), zeros.alias("zeros")
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round(
+                F.when(
+                    (F.col("raw") <= 640) & (F.col("zeros") > 0),
+                    256 * F.log(256.0 / F.col("zeros")),
+                ).otherwise(F.col("raw")),
+                4,
+            ).alias("hll_estimate"),
+        )
+        .orderBy("event_type")
+    )

@@ -507,3 +507,65 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rfm_broadcasts_quintile_maps(spark, registry):
+    """The histogram-CDF quintile maps are value-domain-bounded and
+    must come back to the per-customer frame as broadcast joins — a
+    shuffle join on the score maps would serialize the whole customer
+    frame through two extra exchanges."""
+    plan = _plan(spark, registry["customers_rfm_segments"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_pairs_no_token_self_join(spark, registry):
+    """PMI pairs must come from the in-expression array combination
+    over the per-doc vocab intersection — a SortMergeJoin keyed on
+    doc_id between two exploded token frames would be the quadratic
+    token-level self-join the design avoids."""
+    plan = _plan(spark, registry["docs_pmi_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the vocab gate joins broadcast (150-row side)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_prediction_edges_removed_via_broadcast_anti(spark, registry):
+    plan = _plan(spark, registry["brand_link_prediction"].fn(spark, SF))
+    assert "LeftAnti, BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_aggregate_shape(spark, registry):
+    """The HLL estimate must reduce through the (type, register) max
+    aggregate — 256 rows per group — with partial aggregation
+    (map-side combine) on the raw-event side, and no join wider than
+    the per-type frames."""
+    plan = _plan(spark, registry["events_hll_users_per_type"].fn(spark, SF))
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_run_on_daily_rollup(spark, registry):
+    """Both windows (cumulative sum, peak max) must consume the daily
+    rollup, never the raw event frame: exactly one aggregate keyed on
+    day sits below the first Window."""
+    plan = _plan(spark, registry["events_cusum_changepoint"].fn(spark, SF))
+    assert "Window" in plan and "HashAggregate" in plan
+    # column pruning: the scans read ONLY ts (the day rollup needs
+    # nothing else), proving the windows consume the aggregate, not
+    # the raw six-column event frame
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "struct<ts:" in line
+
+
+def test_split_leakage_is_pure_projection_over_pairs(spark, registry):
+    """Split labels derive in-projection from the doc ids — the plan
+    must contain no join against a split-assignment table beyond the
+    pair generator's own equi-joins."""
+    plan = _plan(spark, registry["docs_split_leakage"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # simhash verify join + band self-join only; conv(md5) runs as
+    # projection, visible in the final Project
+    assert "conv" in plan.lower()
