@@ -259,6 +259,10 @@ GATE_PRIORITY: list[str] = [
     "brand_link_prediction",
     # round-5: register-based HyperLogLog next to the KMV sketch
     "events_hll_users_per_type",
+    # round-5: JVM-side JSON property extraction + curriculum
+    # interleave training order
+    "events_json_props_stats",
+    "docs_curriculum_order",
     "approx_aggregates",
 ]
 

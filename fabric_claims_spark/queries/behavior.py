@@ -922,3 +922,45 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_changepoint"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Semi-structured property extraction — events carry a JSON ``props``
+# payload; parse it IN the engine (get_json_object → JVM-side
+# JsonPath, no Python) and aggregate the extracted field like any
+# other column. The parse is a pure projection that pipelines into
+# the partial aggregate — at 100 TB, JSON parsing cost dominates, so
+# keeping it inside whole-stage codegen (never a UDF) is the design
+# point. Distinct-k is bounded by the property's value domain.
+@query(
+    "events_json_props_stats",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT k) AS distinct_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM x GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return (
+        x.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("k").alias("distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1732,3 +1732,71 @@ def docs_keyword_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum interleave — the training-order builder: rank documents
+# within each source by a quality proxy, then emit the head of the
+# round-robin interleave (position (r−1)·S + source_index), so every
+# source contributes its best documents early and no single source
+# dominates the front of training. Per-source ranking at 100 TB uses
+# the salted two-phase top-k (docs_sample_per_lang pattern) — here
+# the within-source window is stated directly and the interleave
+# frame is K·sources rows, domain-bounded.
+_CURR_K = 20
+
+
+@query(
+    "docs_curriculum_order",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents),
+    topk AS (SELECT * FROM ranked WHERE r <= {_CURR_K}),
+    src AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sidx
+      FROM (SELECT DISTINCT source FROM documents)),
+    ns AS (SELECT COUNT(*) AS n FROM src)
+    SELECT t.doc_id, t.source, t.r AS within_rank,
+           CAST((t.r - 1) * ns.n + s.sidx AS BIGINT) AS position
+    FROM topk t JOIN src s ON t.source = s.source CROSS JOIN ns
+    ORDER BY position
+    """,
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("n_chars"), "doc_id"
+            )
+        )
+        .alias("r"),
+    ).where(F.col("r") <= _CURR_K)
+    src = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "sidx", F.row_number().over(Window.orderBy("source"))
+        )
+    )
+    ns = src.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id",
+            "source",
+            F.col("r").alias("within_rank"),
+            ((F.col("r") - 1) * F.col("n") + F.col("sidx"))
+            .cast("bigint")
+            .alias("position"),
+        )
+        .orderBy("position")
+    )

@@ -536,3 +536,91 @@ def segment_value_stream(
         .awaitTermination()
     )
     return spark.table(query_name)
+
+
+def changepoint_monitor_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_cusum",
+) -> DataFrame:
+    """Streaming CUSUM changepoint monitor — the incremental twin of
+    queries/behavior.events_cusum_changepoint. The sufficient state is
+    just the per-day count vector (calendar-bounded, so state size is
+    days-seen, independent of event volume): each micro-batch's day
+    counts fold additively into the stored rollup, and the CUSUM
+    curve is recomputed from that tiny frame on read with the exact
+    integer scaling of the batch query (D·CUSUM_k = D·Σc − k·T).
+
+    foreachBatch is at-least-once, so the applied batch_id rides in
+    the SAME atomically-swapped state table and redelivered batches
+    are skipped (the rollup_maintenance_stream rule) — an AvailableNow
+    restart cannot change the result.
+    """
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    stream = _read_events_stream(spark, events_dir).select(
+        F.col("ts").cast("date").alias("day")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists(query_name):
+            cur = store.read(query_name)
+            applied = cur.select(F.max("_applied_batch_id")).head()[0]
+            if applied is not None and batch_id <= applied:
+                return
+            prev = cur.select("day", "cnt")
+        else:
+            prev = None
+        counts = batch_df.groupBy("day").agg(F.count(F.lit(1)).alias("cnt"))
+        merged = (
+            prev.unionByName(counts) if prev is not None else counts
+        ).groupBy("day").agg(F.sum("cnt").alias("cnt"))
+        store.overwrite(
+            query_name,
+            merged.withColumn(
+                "_applied_batch_id", F.lit(batch_id).cast("long")
+            ),
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+
+    d = store.read(query_name).select("day", "cnt")
+    t = d.agg(F.count(F.lit(1)).alias("dd"), F.sum("cnt").alias("tot"))
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+    )
+    cus = (F.col("dd") * F.col("cum") - F.col("rn") * F.col("tot")).cast(
+        "bigint"
+    )
+    withc = c.crossJoin(F.broadcast(t)).select(
+        "day", "cnt", cus.alias("cusum_scaled")
+    )
+    mx = F.max(F.abs(F.col("cusum_scaled"))).over(Window.partitionBy())
+    return withc.select(
+        "day",
+        "cnt",
+        "cusum_scaled",
+        F.when(F.abs(F.col("cusum_scaled")) == mx, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_changepoint"),
+    ).orderBy("day")

@@ -259,3 +259,34 @@ def test_segment_value_stream_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_changepoint_stream_matches_batch(spark, events_dir, tmp_path):
+    """Incremental day-count folding must reproduce the batch CUSUM
+    exactly (integer math end-to-end), and a redelivered file must not
+    double-count (batch_id skip)."""
+    from fabric_claims_spark.streaming.events_stream import (
+        changepoint_monitor_stream,
+    )
+
+    got = changepoint_monitor_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_cusum"),
+        query_name="t_cusum",
+    ).collect()
+    batch = (
+        load_all_queries()["events_cusum_changepoint"]
+        .fn(spark, SF)
+        .collect()
+    )
+    g = [(r["day"], r["cnt"], r["cusum_scaled"], r["is_changepoint"]) for r in got]
+    b = [(r["day"], r["cnt"], r["cusum_scaled"], r["is_changepoint"]) for r in batch]
+    assert g == b
+
+    # second run over the same (fully processed) source: AvailableNow
+    # finds no new files, and the state is unchanged
+    again = changepoint_monitor_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_cusum"),
+        query_name="t_cusum",
+    ).collect()
+    g2 = [(r["day"], r["cnt"], r["cusum_scaled"], r["is_changepoint"]) for r in again]
+    assert g2 == b
