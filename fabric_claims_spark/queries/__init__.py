@@ -263,6 +263,10 @@ GATE_PRIORITY: list[str] = [
     # interleave training order
     "events_json_props_stats",
     "docs_curriculum_order",
+    # round-5: STL-lite seasonal decomposition + SLA lead-time
+    # percentiles over the value-domain histogram CDF
+    "events_seasonal_decomposition",
+    "nation_lead_time_percentiles",
     "approx_aggregates",
 ]
 

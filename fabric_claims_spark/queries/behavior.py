@@ -964,3 +964,70 @@ def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition (STL-lite) of the daily event
+# volume: trend = centered 7-day moving average, seasonal = per-
+# weekday mean of the detrended series, residual = remainder. The
+# integers never leave: the MA is kept ×7 (a window SUM over the
+# calendar-bounded daily rollup) and the detrended series ×7, so the
+# only doubles are three closed-form divisions at the output. Full
+# 7-row windows only (the standard centered-MA edge rule).
+@query(
+    "events_seasonal_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, cnt,
+             SUM(cnt) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      FROM d),
+    f AS (
+      SELECT day, cnt, t7, 7 * cnt - t7 AS det7 FROM w WHERE nw = 7),
+    s AS (
+      SELECT isodow(day) - 1 AS wd, COUNT(*) AS k, SUM(det7) AS sdet
+      FROM f GROUP BY 1)
+    SELECT f.day, f.cnt,
+           CAST(f.t7 AS DOUBLE) / 7 AS trend,
+           CAST(s.sdet AS DOUBLE) / (7 * s.k) AS seasonal,
+           CAST(f.det7 AS DOUBLE) / 7
+             - CAST(s.sdet AS DOUBLE) / (7 * s.k) AS residual
+    FROM f JOIN s ON isodow(f.day) - 1 = s.wd
+    ORDER BY f.day
+    """,
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(wma).alias("t7"),
+        F.count(F.lit(1)).over(wma).alias("nw"),
+    )
+    f = w.where(F.col("nw") == 7).select(
+        "day", "cnt", "t7", (7 * F.col("cnt") - F.col("t7")).alias("det7")
+    )
+    s = f.groupBy(F.weekday("day").alias("wd")).agg(
+        F.count(F.lit(1)).alias("k"), F.sum("det7").alias("sdet")
+    )
+    seasonal = F.col("sdet").cast("double") / (7 * F.col("k"))
+    return (
+        f.join(F.broadcast(s), F.weekday(F.col("day")) == s["wd"])
+        .select(
+            "day",
+            "cnt",
+            (F.col("t7").cast("double") / 7).alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("det7").cast("double") / 7 - seasonal).alias("residual"),
+        )
+        .orderBy("day")
+    )

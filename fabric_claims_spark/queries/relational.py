@@ -787,3 +787,93 @@ def customer_monthly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("streak_months")
     )
+
+
+# --------------------------------------------------------------------------
+# Operational SLA percentiles — p50/p90 order→ship lead time per
+# supplier nation, the fulfilment-latency report. The two fact scans
+# join on their co-partitioned order key; supplier and nation attach
+# as M:1 broadcast dims; then percentiles come from the histogram-CDF
+# construction over the (nation, lead-days) VALUE domain — bounded by
+# the shipping-window calendar, so the per-nation cumulative windows
+# never see data-sized frames and no raw-row sort exists. Discrete
+# (percentile_disc) semantics, integer-exact: cum·2 ≥ n and
+# cum·10 ≥ 9n pick the p50/p90 cells without any division at all.
+@query(
+    "nation_lead_time_percentiles",
+    oracle="""
+    WITH l AS (
+      SELECT n.n_name AS nation,
+             date_diff('day', o.o_orderdate,
+                       CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey),
+    h AS (SELECT nation, lead_days, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+    c AS (
+      SELECT nation, lead_days, cnt,
+             SUM(cnt) OVER (PARTITION BY nation ORDER BY lead_days) AS cum,
+             SUM(cnt) OVER (PARTITION BY nation) AS n
+      FROM h)
+    SELECT nation, CAST(n AS BIGINT) AS n_lines,
+           MIN(CASE WHEN cum * 2 >= n THEN lead_days END) AS p50_days,
+           MIN(CASE WHEN cum * 10 >= 9 * n THEN lead_days END) AS p90_days
+    FROM c GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def nation_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lead = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate")
+            ).alias("lead_days"),
+        )
+    )
+    h = lead.groupBy("nation", "lead_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("nation").orderBy("lead_days")
+    wn = Window.partitionBy("nation")
+    c = h.select(
+        "nation",
+        "lead_days",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    return (
+        c.groupBy("nation", "n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("n"), F.col("lead_days"))
+            ).alias("p50_days"),
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= 9 * F.col("n"), F.col("lead_days")
+                )
+            ).alias("p90_days"),
+        )
+        .select(
+            "nation",
+            F.col("n").alias("n_lines"),
+            "p50_days",
+            "p90_days",
+        )
+        .orderBy("nation")
+    )
