@@ -267,6 +267,9 @@ GATE_PRIORITY: list[str] = [
     # percentiles over the value-domain histogram CDF
     "events_seasonal_decomposition",
     "nation_lead_time_percentiles",
+    # round-5: in-engine ANN recall@k gate + RI/PK constraint audit
+    "embeddings_ann_recall",
+    "referential_integrity_audit",
     "approx_aggregates",
 ]
 

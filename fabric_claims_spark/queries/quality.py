@@ -159,3 +159,103 @@ def split_union_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("distinct_keys"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity + key-uniqueness audit — the constraint suite
+# a warehouse load runs after every batch: orphan foreign keys
+# (left_anti counts against the referenced dimension) and duplicate
+# primary keys (group-by-key HAVING count > 1). Each check is one
+# aggregate; the result is a fixed constraint × violation-count
+# ledger, so downstream gates can alert on any non-zero row. At 100
+# TB each anti-join is an equi-join Spark plans as broadcast (small
+# dim) or shuffle-hash (fact-fact) — never a scan of pairs.
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS constraint_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS violations
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.orderkey unique',
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY 1 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'lineitem.(orderkey,linenumber) unique',
+           (SELECT COUNT(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY 1, 2 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'documents.doc_id unique',
+           (SELECT COUNT(*) FROM (
+              SELECT doc_id FROM documents
+              GROUP BY 1 HAVING COUNT(*) > 1))
+    ORDER BY constraint_name
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fk_orphans(name, fact, fk, dim, pk):
+        f = load_table(spark, sf_dir, fact).select(fk)
+        d = load_table(spark, sf_dir, dim).select(pk)
+        return (
+            f.join(d, f[fk] == d[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(F.lit(name).alias("constraint_name"), "violations")
+        )
+
+    def pk_dups(name, table, *keys):
+        t = load_table(spark, sf_dir, table).select(*keys)
+        return (
+            t.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("violations"))
+            .select(F.lit(name).alias("constraint_name"), "violations")
+        )
+
+    checks = [
+        fk_orphans(
+            "orders.custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey",
+        ),
+        fk_orphans(
+            "lineitem.orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey",
+        ),
+        fk_orphans(
+            "lineitem.partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey",
+        ),
+        fk_orphans(
+            "lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey",
+        ),
+        pk_dups("orders.orderkey unique", "orders", "o_orderkey"),
+        pk_dups(
+            "lineitem.(orderkey,linenumber) unique",
+            "lineitem", "l_orderkey", "l_linenumber",
+        ),
+        pk_dups("documents.doc_id unique", "documents", "doc_id"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("constraint_name")

@@ -795,3 +795,86 @@ def embeddings_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dot").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# In-engine ANN quality evaluation — recall@k of the IVF-probed search
+# against the exact brute-force top-k, computed as a query so a
+# pipeline can gate index parameters (nprobe, K) on measured recall
+# without exporting anything. Pure composition of the two registered
+# searches: both top-k frames are k rows, so the overlap join and the
+# final 1-row aggregate are trivial; all cost is in the searches
+# themselves (TakeOrderedAndProject shapes, pinned by test_plans).
+@query(
+    "embeddings_ann_recall",
+    oracle=f"""
+    WITH exact AS (
+      SELECT vec_id FROM (
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                 AS cosine_sim
+        FROM embeddings e, q
+        WHERE e.vec_id != 0
+        ORDER BY cosine_sim DESC, e.vec_id ASC
+        LIMIT {_IVF_TOPK})),
+    approx AS (
+      SELECT vec_id FROM (
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+        cent AS (
+          SELECT vec_id AS centroid_id, ev AS cv FROM e
+          WHERE vec_id < {_IVF_K}),
+        assign AS (
+          SELECT vec_id, centroid_id AS assigned_centroid FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND(list_dot_product(e.ev, c.cv)
+                         / (sqrt(list_dot_product(e.ev, e.ev))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM e, cent c)
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+        probe AS (
+          SELECT centroid_id FROM (
+            SELECT c.centroid_id,
+                   ROUND(list_dot_product(q.qv, c.cv)
+                         / (sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+            FROM cent c, q)
+          ORDER BY sim DESC, centroid_id ASC LIMIT {_IVF_NPROBE})
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.ev, q.qv)
+                     / (sqrt(list_dot_product(e.ev, e.ev))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                 AS cosine_sim
+        FROM e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN probe p ON a.assigned_centroid = p.centroid_id, q
+        WHERE e.vec_id != 0
+        ORDER BY cosine_sim DESC, e.vec_id ASC
+        LIMIT {_IVF_TOPK}))
+    SELECT CAST({_IVF_TOPK} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact x JOIN approx a
+              ON x.vec_id = a.vec_id) AS hits,
+           CAST((SELECT COUNT(*) FROM exact x JOIN approx a
+                   ON x.vec_id = a.vec_id) AS DOUBLE)
+             / {_IVF_TOPK} AS recall_at_k
+    """,
+)
+def embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = embeddings_knn_bruteforce(spark, sf_dir).select("vec_id")
+    approx = embeddings_ivf_search(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(_IVF_TOPK).cast("bigint").alias("k"),
+            "hits",
+            (F.col("hits").cast("double") / _IVF_TOPK).alias("recall_at_k"),
+        )
+    )
