@@ -270,6 +270,12 @@ GATE_PRIORITY: list[str] = [
     # round-5: in-engine ANN recall@k gate + RI/PK constraint audit
     "embeddings_ann_recall",
     "referential_integrity_audit",
+    # round-5: GROUPING SETS marginals, cohort LTV curve, log2
+    # inter-arrival histogram, exact audience-overlap Jaccard
+    "grouping_sets_status_priority",
+    "customer_cohort_ltv",
+    "events_interarrival_histogram",
+    "events_audience_jaccard",
     "approx_aggregates",
 ]
 

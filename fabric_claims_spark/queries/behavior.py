@@ -1031,3 +1031,128 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival time histogram — the distribution of per-user gaps
+# between consecutive events, log2-bucketed. The lag runs in a
+# per-user window (no partition ever exceeds one user's history);
+# the log2 bucket is PURE INTEGER — length(bin(gap)) is the bit
+# length, so no float log exists anywhere — and the output frame is
+# bucket-domain-bounded (≤ ~33 rows for any second-scaled gap).
+@query(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('second',
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               ts) AS gap_s
+      FROM events),
+    b AS (
+      SELECT CASE WHEN gap_s <= 0 THEN 0
+                  ELSE length(bin(gap_s)) END AS bucket,
+             gap_s
+      FROM g WHERE gap_s IS NOT NULL)
+    SELECT bucket, COUNT(*) AS n_gaps,
+           MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    b = g.select(
+        F.when(F.col("gap_s") <= 0, 0)
+        .otherwise(F.length(F.bin(F.col("gap_s"))))
+        .alias("bucket"),
+        "gap_s",
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Audience-overlap Jaccard — exact set similarity between event-type
+# audiences (which behaviors share users), the complement of the HLL
+# sketch's approximate cardinalities. Pairs are generated from each
+# user's sorted distinct-type array in-expression (C(types,2) ≤
+# C(5,2) structs per user — the basket_brand_pairs trick), so the
+# user frame is touched once and no user-level self-join exists.
+@query(
+    "events_audience_jaccard",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    ac AS (SELECT event_type, COUNT(*) AS aud FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS users_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, i.users_both,
+           ca.aud + cb.aud - i.users_both AS users_either,
+           CAST(i.users_both AS DOUBLE)
+             / (ca.aud + cb.aud - i.users_both) AS jaccard
+    FROM inter i
+    JOIN ac ca ON i.type_a = ca.event_type
+    JOIN ac cb ON i.type_b = cb.event_type
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def events_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    ac = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("aud"))
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    inter = (
+        sets.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("users_both"))
+    )
+    ca = F.broadcast(
+        ac.select(F.col("event_type"), F.col("aud").alias("aud_a"))
+    )
+    cb = F.broadcast(
+        ac.select(F.col("event_type"), F.col("aud").alias("aud_b"))
+    )
+    either = F.col("aud_a") + F.col("aud_b") - F.col("users_both")
+    return (
+        inter.join(ca, inter.type_a == ca.event_type)
+        .drop("event_type")
+        .join(cb, inter.type_b == cb.event_type)
+        .select(
+            "type_a",
+            "type_b",
+            "users_both",
+            either.alias("users_either"),
+            (F.col("users_both").cast("double") / either).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

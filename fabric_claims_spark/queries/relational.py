@@ -877,3 +877,105 @@ def nation_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the non-hierarchical grouping shape rollup and cube
+# cannot express: exactly the two single-column marginals, no grand
+# total, no cross product. Declared through the SQL surface (the
+# DataFrame API has only rollup/cube); Catalyst expands it to one
+# Expand + aggregate, a single pass over the fact.
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.select("o_orderstatus", "o_orderpriority", "o_totalprice").createOrReplaceTempView(
+        "_gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                    AS DOUBLE) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve — cumulative revenue per customer by cohort age,
+# the acquisition-quality report: cohort = first-order month, age =
+# months since cohort, value = cumulative cohort revenue / cohort
+# size. Decimal-exact sums throughout; the cumulative window runs
+# over the (cohort × age) frame — bounded by the calendar squared,
+# not the data.
+@query(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(CAST(EXTRACT(year FROM o_orderdate) * 12
+                      + EXTRACT(month FROM o_orderdate) AS BIGINT)) AS cm
+      FROM orders GROUP BY 1),
+    cs AS (SELECT cm, COUNT(*) AS cohort_size FROM fo GROUP BY 1),
+    r AS (
+      SELECT f.cm,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) - f.cm
+               AS age_months,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    c AS (
+      SELECT cm, age_months,
+             SUM(rev) OVER (PARTITION BY cm ORDER BY age_months) AS cum
+      FROM r)
+    SELECT c.cm AS cohort_month, c.age_months, cs.cohort_size,
+           CAST(ROUND(c.cum, 4) AS DOUBLE) AS cum_revenue,
+           CAST(c.cum AS DOUBLE) / cs.cohort_size AS ltv_per_customer
+    FROM c JOIN cs ON c.cm = cs.cm
+    ORDER BY cohort_month, age_months
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    midx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("bigint")
+    fo = o.groupBy("o_custkey").agg(F.min(midx).alias("cm"))
+    cs = fo.groupBy("cm").agg(F.count(F.lit(1)).alias("cohort_size"))
+    r = (
+        o.join(fo, "o_custkey")
+        .groupBy("cm", (midx - F.col("cm")).alias("age_months"))
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("cm").orderBy("age_months")
+    c = r.select(
+        "cm", "age_months", F.sum("rev").over(w).alias("cum")
+    )
+    return (
+        c.join(F.broadcast(cs), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            "age_months",
+            "cohort_size",
+            F.round(F.col("cum"), 4).cast("double").alias("cum_revenue"),
+            (F.col("cum").cast("double") / F.col("cohort_size")).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
