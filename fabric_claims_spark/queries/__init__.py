@@ -276,6 +276,11 @@ GATE_PRIORITY: list[str] = [
     "customer_cohort_ltv",
     "events_interarrival_histogram",
     "events_audience_jaccard",
+    # round-5: A/B variant readout, bigram LM scoring,
+    # diversity-capped retrieval
+    "events_abtest_lift",
+    "docs_bigram_logprob",
+    "embeddings_diverse_topk",
     "approx_aggregates",
 ]
 

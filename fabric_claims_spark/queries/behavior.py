@@ -1156,3 +1156,92 @@ def events_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout — the props JSON field hashes events into
+# variants (k % 2); per event type: per-variant means, relative lift,
+# and the Welch t statistic. Values convert to integer CENTS through
+# an exact decimal cast, so every moment (n, Σx, Σx²) is an exact
+# int64 sum; the means, variances, and t are then closed-form double
+# expressions written token-identically in both engines (determinism
+# is what the gate needs — the doubles are the same doubles). One
+# aggregate over (type, variant), one pivot, no second pass.
+@query(
+    "events_abtest_lift",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+      FROM events),
+    m AS (
+      SELECT event_type, variant, COUNT(*) AS n, SUM(c) AS s,
+             SUM(c * c) AS ss
+      FROM x GROUP BY 1, 2),
+    p AS (
+      SELECT event_type,
+             MAX(CASE WHEN variant = 0 THEN n END) AS na,
+             MAX(CASE WHEN variant = 0 THEN s END) AS sa,
+             MAX(CASE WHEN variant = 0 THEN ss END) AS ssa,
+             MAX(CASE WHEN variant = 1 THEN n END) AS nb,
+             MAX(CASE WHEN variant = 1 THEN s END) AS sb,
+             MAX(CASE WHEN variant = 1 THEN ss END) AS ssb
+      FROM m GROUP BY 1)
+    SELECT event_type, na, nb,
+           ROUND(CAST(sa AS DOUBLE) / na / 100, 6) AS mean_a,
+           ROUND(CAST(sb AS DOUBLE) / nb / 100, 6) AS mean_b,
+           ROUND((CAST(sb AS DOUBLE) / nb) / (CAST(sa AS DOUBLE) / na) - 1,
+                 6) AS rel_lift,
+           ROUND((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+                 / sqrt((CAST(ssa AS DOUBLE) / na
+                          - (CAST(sa AS DOUBLE) / na)
+                            * (CAST(sa AS DOUBLE) / na))
+                         / (na - 1)
+                        + (CAST(ssb AS DOUBLE) / nb
+                           - (CAST(sb AS DOUBLE) / nb)
+                             * (CAST(sb AS DOUBLE) / nb))
+                          / (nb - 1)),
+                 6) AS welch_t
+    FROM p ORDER BY event_type
+    """,
+)
+def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("int") % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,4)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    m = x.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    p = m.groupBy("event_type").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == 0, F.col("ss"))).alias("ssa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == 1, F.col("ss"))).alias("ssb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (F.col("ssa").cast("double") / F.col("na") - ma * ma) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("ssb").cast("double") / F.col("nb") - mb * mb) / (
+        F.col("nb") - 1
+    )
+    return p.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(ma / 100, 6).alias("mean_a"),
+        F.round(mb / 100, 6).alias("mean_b"),
+        F.round(mb / ma - 1, 6).alias("rel_lift"),
+        F.round((mb - ma) / F.sqrt(va + vb), 6).alias("welch_t"),
+    ).orderBy("event_type")

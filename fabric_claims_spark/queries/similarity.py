@@ -878,3 +878,67 @@ def embeddings_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits").cast("double") / _IVF_TOPK).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Diversity-capped retrieval — the production rerank between raw
+# top-k and MMR: at most 2 results per label, then the global top-10,
+# so one dominant cluster cannot fill the result page. Two ranking
+# passes, both bounded: the per-label cap is a window over each
+# label's scored candidates, and the final cut is TakeOrdered over
+# the survivors. (MMR proper is iterative; the per-label cap is its
+# closed-form approximation and is what serving stacks actually run.)
+_DIV_PER_LABEL = 2
+_DIV_TOPK = 10
+
+
+@query(
+    "embeddings_diverse_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+      FROM embeddings e, q WHERE e.vec_id != 0),
+    capped AS (
+      SELECT vec_id, label, cosine_sim FROM (
+        SELECT vec_id, label, cosine_sim,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY cosine_sim DESC, vec_id)
+                 AS lr
+        FROM scored)
+      WHERE lr <= {_DIV_PER_LABEL})
+    SELECT vec_id, label, cosine_sim
+    FROM capped
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_DIV_TOPK}
+    """,
+)
+def embeddings_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    e = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", "label", _as_double("embedding").alias("ev")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    wl = Window.partitionBy("label").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    capped = (
+        scored.withColumn("lr", F.row_number().over(wl))
+        .where(F.col("lr") <= _DIV_PER_LABEL)
+        .drop("lr")
+    )
+    return capped.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    ).limit(_DIV_TOPK)

@@ -1800,3 +1800,81 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring with add-one smoothing — the next
+# step up from docs_unigram_logprob: score each document by the mean
+# corpus log-probability of its bigram transitions, p(w2|w1) =
+# (c12+1)/(c1+V). Bigrams pair adjacent tokens IN-EXPRESSION from the
+# token array (no positional self-join); corpus bigram and unigram
+# counts ride as count-over-partition windows on the exploded frame
+# (the docs_jaccard_pairs one-shuffle pattern), and each log rounds
+# to a 6-dp micro-nat int64 so the per-doc mean is exact until one
+# final division.
+@query(
+    "docs_bigram_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vs FROM (
+        SELECT unnest(t) AS tok FROM d)),
+    bg AS (
+      SELECT d.doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(ROUND(ln(
+               CAST(COUNT(*) OVER (PARTITION BY w1, w2) + 1 AS DOUBLE)
+               / (COUNT(*) OVER (PARTITION BY w1) + (SELECT vs FROM v))),
+               6) * 1000000, 0) AS BIGINT) AS micro_log
+      FROM bg)
+    SELECT doc_id, COUNT(*) AS bigrams,
+           CAST(SUM(micro_log) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    ).select("doc_id", F.split(F.trim(F.col("text")), _WS).alias("t"))
+    vs = (
+        d.select(F.explode("t").alias("tok")).distinct().count()
+    )  # one scalar: vocabulary size
+    bigram_structs = F.expr(
+        "transform(slice(t, 1, size(t) - 1),"
+        " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+    )
+    bg = (
+        d.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigram_structs).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    w12 = Window.partitionBy("w1", "w2")
+    w1 = Window.partitionBy("w1")
+    micro_log = F.round(
+        F.round(
+            F.log(
+                (F.count(F.lit(1)).over(w12) + 1).cast("double")
+                / (F.count(F.lit(1)).over(w1) + F.lit(vs))
+            ),
+            6,
+        )
+        * 1_000_000,
+        0,
+    ).cast("long")
+    return (
+        bg.withColumn("micro_log", micro_log)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("bigrams"),
+            (
+                F.sum("micro_log").cast("double")
+                / (1_000_000.0 * F.count(F.lit(1)))
+            ).alias("avg_bigram_logprob"),
+        )
+    )
