@@ -281,6 +281,11 @@ GATE_PRIORITY: list[str] = [
     "events_abtest_lift",
     "docs_bigram_logprob",
     "embeddings_diverse_topk",
+    # round-5: cross-source gram contamination matrix, exact
+    # histogram Kendall tau, interpolated percentiles
+    "docs_cross_source_grams",
+    "lineitem_kendall_tau",
+    "order_value_percentiles_cont",
     "approx_aggregates",
 ]
 

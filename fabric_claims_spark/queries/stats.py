@@ -1168,3 +1168,171 @@ def events_hll_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Kendall tau-a rank correlation between quantity and discount —
+# computed from the JOINT VALUE HISTOGRAM, not row pairs: both
+# domains are bounded (~50 x ~11 cells), so concordant/discordant
+# pair counts are an integer cross-product over <=550x550 cells while
+# the data contributes only one hash aggregate. The n(n-1)/2 pair
+# space never materializes — the bounded-domain answer to "rank
+# correlation at 100 TB". tau_a = (C - D) / (n(n-1)/2), one final
+# division.
+@query(
+    "lineitem_kendall_tau",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+             CAST(l_discount AS DECIMAL(6,4)) AS d,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    t AS (SELECT SUM(cnt) AS n FROM h),
+    c AS (
+      SELECT
+        SUM(CASE WHEN a.q < b.q AND a.d < b.d
+                 THEN a.cnt * b.cnt ELSE 0 END) AS concordant,
+        SUM(CASE WHEN a.q < b.q AND a.d > b.d
+                 THEN a.cnt * b.cnt ELSE 0 END) AS discordant
+      FROM h a, h b)
+    SELECT CAST(t.n AS BIGINT) AS n,
+           CAST(c.concordant AS BIGINT) AS concordant,
+           CAST(c.discordant AS BIGINT) AS discordant,
+           CAST(2 * (c.concordant - c.discordant) AS DOUBLE)
+             / (t.n * (t.n - 1)) AS tau_a
+    FROM c CROSS JOIN t
+    """,
+)
+def lineitem_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.round("l_quantity", 0).cast("bigint").alias("q"),
+        F.col("l_discount").cast("decimal(6,4)").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = h.agg(F.sum("cnt").alias("n"))
+    a = h.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"),
+        F.col("cnt").alias("ca"),
+    )
+    b = h.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"),
+        F.col("cnt").alias("cb"),
+    )
+    cells = a.crossJoin(F.broadcast(b))
+    c = cells.agg(
+        F.sum(
+            F.when(
+                (F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")),
+                F.col("ca") * F.col("cb"),
+            ).otherwise(F.lit(0))
+        ).alias("discordant"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "n",
+        "concordant",
+        "discordant",
+        (
+            (2 * (F.col("concordant") - F.col("discordant"))).cast("double")
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("tau_a"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Linearly-interpolated (type-7 / quantile_cont) percentiles of the
+# order value — the continuous complement to the discrete
+# percentile_disc family used elsewhere: v = lo + frac * (hi - lo)
+# where h = (n-1)p + 1. Same histogram-CDF construction (no raw-row
+# sort); the rank arithmetic stays integer by scaling the target
+# position x100 (p in percent), and lo/hi resolve with the bounded
+# range-join CDF lookup of docs_length_deciles.
+@query(
+    "order_value_percentiles_cont",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v, COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT v,
+             SUM(cnt) OVER (ORDER BY v) AS cum,
+             SUM(cnt) OVER (ORDER BY v) - cnt AS prev_cum
+      FROM h),
+    t AS (SELECT SUM(cnt) AS n FROM h),
+    p AS (SELECT unnest([50, 95]) AS pct),
+    tgt AS (
+      SELECT p.pct,
+             ((t.n - 1) * p.pct + 100) // 100 AS flo,
+             ((t.n - 1) * p.pct + 100) % 100 AS fracnum,
+             t.n AS n
+      FROM p CROSS JOIN t)
+    SELECT g.pct,
+           CAST(lo.v AS DOUBLE)
+             + (g.fracnum / 100.0)
+               * (CAST(hi.v AS DOUBLE) - CAST(lo.v AS DOUBLE))
+             AS value_cont
+    FROM tgt g
+    JOIN c lo ON lo.prev_cum < g.flo AND g.flo <= lo.cum
+    JOIN c hi ON hi.prev_cum < LEAST(g.flo + 1, g.n)
+             AND LEAST(g.flo + 1, g.n) <= hi.cum
+    ORDER BY g.pct
+    """,
+)
+def order_value_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(money("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        "v",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("prev_cum"),
+    )
+    t = h.agg(F.sum("cnt").alias("n"))
+    p = o.sparkSession.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(95))).alias("pct")
+    )
+    tgt = p.crossJoin(F.broadcast(t)).select(
+        "pct",
+        F.expr("((n - 1) * pct + 100) div 100").alias("flo"),
+        F.expr("((n - 1) * pct + 100) % 100").alias("fracnum"),
+        "n",
+    )
+    lo = c.select(
+        F.col("v").alias("lov"),
+        F.col("cum").alias("locum"),
+        F.col("prev_cum").alias("loprev"),
+    )
+    hi = c.select(
+        F.col("v").alias("hiv"),
+        F.col("cum").alias("hicum"),
+        F.col("prev_cum").alias("hiprev"),
+    )
+    hit = F.least(F.col("flo") + 1, F.col("n"))
+    return (
+        tgt.join(
+            lo,
+            (F.col("loprev") < F.col("flo"))
+            & (F.col("flo") <= F.col("locum")),
+        )
+        .join(hi, (F.col("hiprev") < hit) & (hit <= F.col("hicum")))
+        .select(
+            "pct",
+            (
+                F.col("lov").cast("double")
+                + (F.col("fracnum") / F.lit(100.0))
+                * (F.col("hiv").cast("double") - F.col("lov").cast("double"))
+            ).alias("value_cont"),
+        )
+        .orderBy("pct")
+    )

@@ -1878,3 +1878,107 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix — pairwise 8-gram overlap between
+# corpus sources, the dataset-level complement of the per-doc
+# contamination probe: high shared-gram Jaccard between two sources
+# means one (partially) copies the other. Per gram hash, the distinct
+# source set collapses to a sorted array (<= |sources|), and source
+# pairs are generated in-expression (C(20,2) max per gram — the
+# basket trick); no gram-level self-join, one shuffle on the gram
+# hash. Grams hash to 60-bit ints before grouping so the shuffle
+# carries fixed-width keys, not text.
+_XS_GRAM = 8
+
+
+@query(
+    "docs_cross_source_grams",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(substr(text, pos, {_XS_GRAM})), 1, 15))::BIGINT
+               AS gh
+      FROM (
+        SELECT source, text,
+               unnest(generate_series(1,
+                 greatest(length(text) - {_XS_GRAM - 1}, 0))) AS pos
+        FROM documents)),
+    sc AS (SELECT source, COUNT(*) AS grams FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS shared_grams
+      FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b, i.shared_grams,
+           CAST(i.shared_grams AS DOUBLE)
+             / (ca.grams + cb.grams - i.shared_grams) AS gram_jaccard
+    FROM inter i
+    JOIN sc ca ON i.source_a = ca.source
+    JOIN sc cb ON i.source_b = cb.source
+    ORDER BY i.source_a, i.source_b
+    """,
+)
+def docs_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length("text") - (_XS_GRAM - 1), F.lit(0)),
+        )
+    ).alias("pos")
+    g = (
+        d.select("source", "text")
+        .where(F.length("text") >= _XS_GRAM)
+        .select("source", pos, "text")
+        .select(
+            "source",
+            md5_long(F.expr(f"substr(text, pos, {_XS_GRAM})")).alias("gh"),
+        )
+        .distinct()
+    )
+    sc = g.groupBy("source").agg(F.count(F.lit(1)).alias("grams"))
+    sets = g.groupBy("gh").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    inter = (
+        sets.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ca = F.broadcast(
+        sc.select(F.col("source"), F.col("grams").alias("grams_a"))
+    )
+    cb = F.broadcast(
+        sc.select(F.col("source"), F.col("grams").alias("grams_b"))
+    )
+    either = F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")
+    return (
+        inter.join(ca, inter.source_a == ca.source)
+        .drop("source")
+        .join(cb, inter.source_b == cb.source)
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            (F.col("shared_grams").cast("double") / either).alias(
+                "gram_jaccard"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
