@@ -286,6 +286,9 @@ GATE_PRIORITY: list[str] = [
     "docs_cross_source_grams",
     "lineitem_kendall_tau",
     "order_value_percentiles_cont",
+    # round-5: MinHash estimation-error eval + KM reorder survival
+    "docs_minhash_estimate_error",
+    "customer_reorder_survival",
     "approx_aggregates",
 ]
 

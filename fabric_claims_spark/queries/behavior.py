@@ -1245,3 +1245,103 @@ def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mb / ma - 1, 6).alias("rel_lift"),
         F.round((mb - ma) / F.sqrt(va + vb), 6).alias("welch_t"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier reorder survival — "how long until a customer orders
+# again", with proper right-censoring (a customer\'s last order is
+# censored at the dataset horizon, not dropped). The at-risk counts
+# come from a DESCENDING cumulative window over the interval-day
+# VALUE domain (calendar-bounded frame), and the KM product stays
+# exact as a cumulative integer sum of 6-dp micro-nat ln(1 − d/n)
+# terms — the output is log S(t), one division from the state, no
+# cross-engine exp/product drift. The d = n_risk terminal cell (S→0,
+# ln→−∞) is excluded from the sum by the guard both engines share.
+@query(
+    "customer_reorder_survival",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS ad FROM orders),
+    nxt AS (
+      SELECT o_custkey, o_orderdate,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS nd
+      FROM orders),
+    iv AS (
+      SELECT CASE WHEN nd IS NOT NULL
+                  THEN date_diff(\'day\', o_orderdate, nd)
+                  ELSE date_diff(\'day\', o_orderdate,
+                                 (SELECT ad FROM anchor)) END AS t,
+             CAST(nd IS NOT NULL AS INT) AS ev
+      FROM nxt),
+    h AS (SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM iv GROUP BY 1),
+    cum AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER (ORDER BY t DESC) AS n_risk
+      FROM h),
+    km AS (
+      SELECT t, d, c, n_risk,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                 THEN CAST(ROUND(ROUND(
+                        ln(1 - CAST(d AS DOUBLE) / n_risk), 6)
+                        * 1000000, 0) AS BIGINT)
+                 ELSE 0 END) OVER (ORDER BY t) AS micro_cum
+      FROM cum)
+    SELECT t AS interval_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CAST(micro_cum AS DOUBLE) / 1000000.0 AS log_survival
+    FROM km ORDER BY interval_days
+    """,
+)
+def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("ad"))
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wl).alias("nd"),
+    ).crossJoin(F.broadcast(anchor))
+    iv = nxt.select(
+        F.when(
+            F.col("nd").isNotNull(), F.datediff("nd", "o_orderdate")
+        )
+        .otherwise(F.datediff("ad", "o_orderdate"))
+        .alias("t"),
+        F.col("nd").isNotNull().cast("int").alias("ev"),
+    )
+    h = iv.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "t", "d", "c",
+        F.sum(F.col("d") + F.col("c")).over(wdesc).alias("n_risk"),
+    )
+    micro = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(
+            F.round(
+                F.log(1 - F.col("d").cast("double") / F.col("n_risk")), 6
+            )
+            * 1_000_000,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = cum.select(
+        "t", "d", "c", "n_risk",
+        F.sum(micro).over(wasc).alias("micro_cum"),
+    )
+    return km.select(
+        F.col("t").alias("interval_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        (F.col("micro_cum").cast("double") / 1_000_000.0).alias(
+            "log_survival"
+        ),
+    ).orderBy("interval_days")

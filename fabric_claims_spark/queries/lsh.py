@@ -669,3 +669,101 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_leak"),
     ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# Sketch-quality evaluation for MinHash — per near-dup candidate pair,
+# the 64-slot estimate vs the EXACT shingle Jaccard, in-engine (the
+# dedup twin of embeddings_ann_recall): a pipeline tunes bands/rows
+# against measured estimation error instead of faith. The exact
+# overlap joins shingle sets only for the surviving pairs (pair list
+# broadcast — tiny by construction), so the exact pass costs
+# O(pair-doc shingles), never a corpus self-join.
+@query(
+    "docs_minhash_estimate_error",
+    oracle=f"""
+    WITH {_neardup_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5),
+    ds AS (SELECT DISTINCT doc, shingle FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS nsh FROM ds GROUP BY 1),
+    ov AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+      FROM pairs p
+      JOIN ds a ON a.doc = p.doc_a
+      JOIN ds b ON b.doc = p.doc_b AND a.shingle = b.shingle
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.est_jaccard, 6) AS est_jaccard,
+           ROUND(CAST(o.inter AS DOUBLE)
+                 / (sa.nsh + sb.nsh - o.inter), 6) AS exact_jaccard,
+           ROUND(ABS(p.est_jaccard
+                     - CAST(o.inter AS DOUBLE)
+                       / (sa.nsh + sb.nsh - o.inter)), 6) AS abs_err
+    FROM pairs p
+    JOIN ov o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+    JOIN sz sa ON sa.doc = p.doc_a
+    JOIN sz sb ON sb.doc = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text",
+        threshold=0.5, num_hashes=_NUM_HASHES, bands=_BANDS, hasher="md5",
+    ).select("doc_a", "doc_b", "est_jaccard")
+    ds = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text") - (_K - 1), F.lit(1)),
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select("doc", F.expr(f"substr(text, pos, {_K})").alias("shingle"))
+        .distinct()
+    )
+    sz = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    pa = F.broadcast(pairs)
+    ov = (
+        ds.join(pa, ds["doc"] == pa["doc_a"])
+        .select("doc_a", "doc_b", "shingle")
+        .join(
+            ds.select(
+                F.col("doc").alias("doc_b2"),
+                F.col("shingle").alias("shingle2"),
+            ),
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = F.broadcast(
+        sz.select(F.col("doc"), F.col("nsh").alias("nsh_a"))
+    )
+    sb = F.broadcast(
+        sz.select(F.col("doc"), F.col("nsh").alias("nsh_b"))
+    )
+    exact = F.col("inter").cast("double") / (
+        F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
+    )
+    return (
+        pairs.join(ov, ["doc_a", "doc_b"])
+        .join(sa, F.col("doc_a") == sa["doc"])
+        .drop("doc")
+        .join(sb, F.col("doc_b") == sb["doc"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
