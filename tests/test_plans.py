@@ -569,3 +569,56 @@ def test_split_leakage_is_pure_projection_over_pairs(spark, registry):
     # simhash verify join + band self-join only; conv(md5) runs as
     # projection, visible in the final Project
     assert "conv" in plan.lower()
+
+
+def test_audience_jaccard_no_user_self_join(spark, registry):
+    """Type pairs must come from the per-user sorted-set combination
+    expression — a join keyed on user_id between two event-sized
+    frames would be the quadratic path the design avoids. The only
+    joins are the two broadcast audience-count attaches."""
+    plan = _plan(spark, registry["events_audience_jaccard"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_grams_pairs_from_arrays(spark, registry):
+    plan = _plan(spark, registry["docs_cross_source_grams"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # source pairs are in-expression
+
+
+def test_kendall_tau_cross_join_is_bounded_broadcast(spark, registry):
+    """The 550-cell histogram cross product must be a broadcast
+    nested-loop over the BOUNDED side, with the raw fact reduced by a
+    hash aggregate first — never a fact-level cartesian."""
+    plan = _plan(spark, registry["lineitem_kendall_tau"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_survival_windows_per_customer_then_value_domain(spark, registry):
+    """The lead() window partitions by customer (no global frame over
+    raw orders); the KM cumulative windows run on the interval-day
+    rollup only."""
+    plan = _plan(spark, registry["customer_reorder_survival"].fn(spark, SF))
+    assert "windowspecdefinition(o_custkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_error_joins_pairs_broadcast(spark, registry):
+    """The exact-Jaccard pass must gate shingle sets through the
+    broadcast pair list — a shuffle join of two corpus-wide shingle
+    frames without the pair filter would be quadratic."""
+    plan = _plan(spark, registry["docs_minhash_estimate_error"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_abtest_single_aggregate_pivot(spark, registry):
+    """One aggregate over (type, variant), one pivot aggregate — the
+    JSON extraction is a projection feeding the partial aggregate
+    (whole-stage, no UDF)."""
+    plan = _plan(spark, registry["events_abtest_lift"].fn(spark, SF))
+    assert "get_json_object" in plan
+    assert "BatchEvalPython" not in plan
