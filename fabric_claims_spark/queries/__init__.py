@@ -289,6 +289,11 @@ GATE_PRIORITY: list[str] = [
     # round-5: MinHash estimation-error eval + KM reorder survival
     "docs_minhash_estimate_error",
     "customer_reorder_survival",
+    # round-5: IVF balance diagnostic, HHI concentration,
+    # boilerplate prefix detection
+    "embeddings_centroid_balance",
+    "region_supplier_hhi",
+    "docs_boilerplate_prefixes",
     "approx_aggregates",
 ]
 

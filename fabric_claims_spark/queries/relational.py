@@ -979,3 +979,68 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl–Hirschman concentration index — how concentrated is
+# supplier account balance within each region (the market-structure
+# metric; >2500 basis-point-squared ≈ "highly concentrated"). Each
+# squared share rounds to a 6-dp micro-unit int64 (the micro-nat
+# rule), so the HHI sum is an exact integer aggregate — never a
+# partition-order-dependent float sum. M:1 dims broadcast; one
+# region-keyed aggregate.
+@query(
+    "region_supplier_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT r.r_name AS region, sup.s_suppkey,
+             CAST(sup.s_acctbal AS DECIMAL(18,4)) AS bal
+      FROM supplier sup
+      JOIN nation n ON sup.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE sup.s_acctbal > 0),
+    t AS (SELECT region, SUM(bal) AS tot, COUNT(*) AS n FROM s GROUP BY 1)
+    SELECT s.region, CAST(t.n AS BIGINT) AS suppliers,
+           CAST(SUM(CAST(ROUND(ROUND(
+             (CAST(s.bal AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             * (CAST(s.bal AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             * 10000, 6) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS hhi
+    FROM s JOIN t ON s.region = t.region
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def region_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > 0
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    s = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("s_acctbal").cast("decimal(18,4)").alias("bal"),
+        )
+    )
+    t = s.groupBy("region").agg(
+        F.sum("bal").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    share = F.col("bal").cast("double") / F.col("tot").cast("double")
+    micro = F.round(
+        F.round(share * share * 10000, 6) * 1_000_000, 0
+    ).cast("long")
+    return (
+        s.join(F.broadcast(t), "region")
+        .groupBy("region", F.col("n").cast("bigint").alias("suppliers"))
+        .agg(
+            (F.sum(micro).cast("double") / 1_000_000.0).alias("hhi")
+        )
+        .orderBy("region")
+    )

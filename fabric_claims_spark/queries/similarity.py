@@ -942,3 +942,74 @@ def embeddings_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     ).limit(_DIV_TOPK)
+
+
+# --------------------------------------------------------------------------
+# IVF index balance diagnostic — the bucket-size distribution of the
+# coarse quantizer, the metric that decides whether an IVF index will
+# actually prune (a skewed assignment sends every probe to the same
+# giant list). One aggregate over the assignment; imbalance = max
+# bucket / ideal bucket in one closed-form division.
+@query(
+    "embeddings_centroid_balance",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND(list_dot_product(e.ev, c.cv)
+                     / (sqrt(list_dot_product(e.ev, e.ev))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM e, cent c)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+    b AS (SELECT centroid_id, COUNT(*) AS bucket_size FROM assign GROUP BY 1),
+    t AS (SELECT SUM(bucket_size) AS n, COUNT(*) AS k FROM b)
+    SELECT b.centroid_id, b.bucket_size,
+           ROUND(CAST(b.bucket_size * t.k AS DOUBLE) / t.n, 6)
+             AS imbalance_factor
+    FROM b CROSS JOIN t
+    ORDER BY b.centroid_id
+    """,
+)
+def embeddings_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    b = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    t = b.agg(
+        F.sum("bucket_size").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "centroid_id",
+            "bucket_size",
+            F.round(
+                (F.col("bucket_size") * F.col("k")).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("imbalance_factor"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -1982,3 +1982,45 @@ def docs_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate / template detection — documents sharing an identical
+# text PREFIX are near-certain template instances (headers, scraped
+# chrome, generated forms); flagging them is a standard LLM-corpus
+# cleaning pass that exact dedup (whole-text) misses. One hash
+# aggregate on the 64-char prefix hash — fixed-width shuffle keys,
+# counts + a min exemplar, nothing pairwise.
+_BP_PREFIX = 64
+_BP_MIN_DOCS = 3
+
+
+@query(
+    "docs_boilerplate_prefixes",
+    oracle=f"""
+    SELECT md5(substr(text, 1, {_BP_PREFIX})) AS prefix_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS exemplar_doc,
+           MIN(substr(text, 1, 32)) AS prefix_sample
+    FROM documents
+    WHERE length(text) >= {_BP_PREFIX}
+    GROUP BY 1 HAVING COUNT(*) >= {_BP_MIN_DOCS}
+    ORDER BY n_docs DESC, prefix_hash
+    """,
+)
+def docs_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _BP_PREFIX
+    )
+    return (
+        d.groupBy(
+            F.md5(F.substring("text", 1, _BP_PREFIX)).alias("prefix_hash")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+            F.min(F.substring("text", 1, 32)).alias("prefix_sample"),
+        )
+        .where(F.col("n_docs") >= _BP_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), "prefix_hash")
+    )
