@@ -114,3 +114,52 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    streaming/incremental sink eventually needs: a directory that has
+    accreted thousands of tiny parquet files (one per micro-batch /
+    task) rewrites into ceil(bytes / target) right-sized files.
+
+    Sizing uses the SOURCE byte size (cheap file-status scan, no data
+    read) rather than row counts, so the target tracks the actual
+    storage amplification problem. An optional ``sort_within_by``
+    re-establishes clustering during the rewrite (pair with
+    ``write_zordered`` for multi-dim layouts). The rewrite itself is
+    one coalesce-or-shuffle: ``coalesce`` when shrinking file count
+    (no shuffle at all — the 100 TB-friendly path), ``repartition``
+    only if the source is under-parallel.
+
+    Returns the output file count. Write-then-swap is the caller's
+    concern (TableStore.overwrite gives the atomic pointer swap).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src_dir)
+    n_src = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_src >= n_out else df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst_dir)
+
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -294,6 +294,10 @@ GATE_PRIORITY: list[str] = [
     "embeddings_centroid_balance",
     "region_supplier_hhi",
     "docs_boilerplate_prefixes",
+    # round-5: the TPC-H Q3/Q5 join shapes (unshipped top-k,
+    # same-nation customer-supplier volume)
+    "shipping_priority_topk",
+    "local_supplier_volume",
     "approx_aggregates",
 ]
 

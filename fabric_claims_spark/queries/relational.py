@@ -1044,3 +1044,114 @@ def region_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# --------------------------------------------------------------------------
+# Shipping-priority top-k (the TPC-H Q3 shape) — unshipped revenue of
+# BUILDING-segment orders placed before the cutoff, shipped after it:
+# two fact scans join on the co-partitioned order key, the segment
+# dim filter arrives through a broadcast semi-side, revenue is the
+# exact-decimal extendedprice*(1-discount), and the top-10 cut
+# compiles to TakeOrderedAndProject (per-partition top-k + driver
+# merge), never a global sort. Both date predicates push into the
+# parquet scans.
+@query(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 4)
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Local-supplier volume (the TPC-H Q5 shape) — revenue where the
+# CUSTOMER and the SUPPLIER sit in the same nation, per nation: the
+# one classic join graph with an equality between two different
+# dimension paths (c_nationkey = s_nationkey), which forces the
+# planner to thread both dim keys through the fact joins. Dims
+# broadcast; the fact-fact join stays on the order key.
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 4)
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXTRACT(year FROM o.o_orderdate) = 1997
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate") == 1997
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(sup),
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (F.col("c_nationkey") == sup["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )

@@ -118,3 +118,36 @@ def test_rank_normalize_buckets_are_bounded(spark):
     ).collect()[0]
     assert stats["mn"] >= 0 and stats["mx"] < 16
     assert stats["d"] >= 12  # roughly uniform occupancy
+
+
+def test_compaction_rewrites_small_files(spark, tmp_path):
+    """200 tiny files → a handful of right-sized ones, data intact,
+    and the shrink path must be shuffle-free (coalesce)."""
+    from fabric_claims_spark.operators.layout import compact_parquet_dir
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 20000).selectExpr(
+        "id", "id % 97 AS k"
+    ).repartition(200).write.parquet(src)
+    n_src_files = len(
+        [p for p in __import__("os").listdir(src) if p.endswith(".parquet")]
+    )
+    assert n_src_files >= 150  # genuinely fragmented
+
+    n_out = compact_parquet_dir(spark, src, dst, target_file_mb=128)
+    assert n_out <= 4  # tiny data → one-ish target file
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 20000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # shuffle-free shrink: the coalesce plan has no Exchange
+    df = spark.read.parquet(src).coalesce(1)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Exchange" not in plan
