@@ -298,6 +298,11 @@ GATE_PRIORITY: list[str] = [
     # same-nation customer-supplier volume)
     "shipping_priority_topk",
     "local_supplier_volume",
+    # round-5 eval family: langid confusion matrix, Markov top-1
+    # accuracy; plus burstiness/Fano dispersion
+    "docs_langid_confusion",
+    "events_markov_top1_accuracy",
+    "events_burstiness",
     "approx_aggregates",
 ]
 

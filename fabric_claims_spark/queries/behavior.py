@@ -1345,3 +1345,120 @@ def customer_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_survival"
         ),
     ).orderBy("interval_days")
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction accuracy — train the first-order
+# transition argmax and score it on the SAME pair stream, in-engine:
+# accuracy(a) = max_b count(a,b) / Σ_b count(a,b). The pair stream is
+# one per-user lag window; everything after is bounded (|types|²
+# cells). The eval-family member for the transition matrix.
+@query(
+    "events_markov_top1_accuracy",
+    oracle="""
+    WITH p AS (
+      SELECT prev, event_type AS nxt FROM (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+      WHERE prev IS NOT NULL),
+    m AS (SELECT prev, nxt, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    best AS (
+      SELECT prev, nxt AS predicted_next, n AS correct FROM (
+        SELECT prev, nxt, n,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY n DESC, nxt) AS r
+        FROM m)
+      WHERE r = 1),
+    tot AS (SELECT prev, SUM(n) AS total FROM m GROUP BY 1)
+    SELECT b.prev AS from_type, b.predicted_next, b.correct,
+           CAST(t.total AS BIGINT) AS total,
+           CAST(b.correct AS DOUBLE) / t.total AS top1_accuracy
+    FROM best b JOIN tot t ON b.prev = t.prev
+    ORDER BY from_type
+    """,
+)
+def events_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    m = p.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wb = Window.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    best = (
+        m.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") == 1)
+        .select(
+            "prev",
+            F.col("nxt").alias("predicted_next"),
+            F.col("n").alias("correct"),
+        )
+    )
+    tot = m.groupBy("prev").agg(F.sum("n").alias("total"))
+    return (
+        best.join(tot, "prev")
+        .select(
+            F.col("prev").alias("from_type"),
+            "predicted_next",
+            "correct",
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("correct").cast("double") / F.col("total")).alias(
+                "top1_accuracy"
+            ),
+        )
+        .orderBy("from_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Burstiness / overdispersion per event type — the Fano factor
+# (variance-to-mean ratio of daily counts; 1 = Poisson, >1 = bursty)
+# plus the Goh–Barabási burstiness index. Daily counts are integers,
+# the moments are exact integer sums, and the two outputs are
+# closed-form doubles (one sqrt each, correctly-rounded IEEE in both
+# engines).
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+      FROM d GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS DOUBLE) / n AS mean_daily,
+           ROUND((CAST(n * ss - s * s AS DOUBLE) / (n * n))
+                 / (CAST(s AS DOUBLE) / n), 6) AS fano_factor,
+           ROUND((sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n))
+                  - CAST(s AS DOUBLE) / n)
+                 / (sqrt(CAST(n * ss - s * s AS DOUBLE) / (n * n))
+                    + CAST(s AS DOUBLE) / n), 6) AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+        "double"
+    ) / (F.col("n") * F.col("n"))
+    sd = F.sqrt(var)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        mean.alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    ).orderBy("event_type")

@@ -2024,3 +2024,64 @@ def docs_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= _BP_MIN_DOCS)
         .orderBy(F.desc("n_docs"), "prefix_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the evaluation harness for the
+# heuristic classifier above: labeled lang × predicted lang counts
+# with row-level precision. One projection (the same marker argmax)
+# into one bounded aggregate (langs × predictions ≤ 5×4 cells); the
+# eval family twin of embeddings_ann_recall / minhash_estimate_error.
+@query(
+    "docs_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["en"]}')) AS BIGINT) AS score_en,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["de"]}')) AS BIGINT) AS score_de,
+        CAST(len(regexp_extract_all(text, '{_MARKERS["es"]}')) AS BIGINT) AS score_es
+      FROM documents),
+    pred AS (
+      SELECT lang AS labeled_lang,
+        CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+             WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+             WHEN score_es > 0 THEN 'es'
+             ELSE 'unknown' END AS predicted_lang
+      FROM scored),
+    m AS (
+      SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2)
+    SELECT m.labeled_lang, m.predicted_lang, m.n,
+           CAST(m.n AS DOUBLE)
+             / SUM(m.n) OVER (PARTITION BY m.labeled_lang) AS row_share
+    FROM m
+    ORDER BY m.labeled_lang, m.predicted_lang
+    """,
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        k: F.regexp_count("text", F.lit(p)).cast("long")
+        for k, p in _MARKERS.items()
+    }
+    en, de, es = scores["en"], scores["de"], scores["es"]
+    pred = d.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when((en >= de) & (en >= es) & (en > 0), "en")
+        .when((de >= es) & (de > 0), "de")
+        .when(es > 0, "es")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+    m = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_share"),
+    ).orderBy("labeled_lang", "predicted_lang")
