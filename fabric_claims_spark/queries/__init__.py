@@ -114,7 +114,14 @@ GATE_PRIORITY: list[str] = [
     # the prefix) plus codebook encode + broadcast distance tables;
     # knn_bruteforce moves to the tail.
     "embeddings_pq_adc_knn",
-    "embeddings_ivf_assign",
+    # round-5 continuation swap: ivf_assign is a strict sub-step
+    # recomputed inline by embeddings_ivf_search (same centroid
+    # broadcast + argmax expressions), so the assignment stays
+    # prefix-checked through the search row while the train/test
+    # split-leakage composition (SimHash pairs x hash-split) gains
+    # the driver row; ivf_assign moves to the tail (still
+    # oracle-checked by the local replica).
+    "docs_split_leakage",
     "embeddings_ivf_search",
     "embeddings_neardup_pairs",
     # -- tail: twins of operators already hash-checked above, and
@@ -249,7 +256,7 @@ GATE_PRIORITY: list[str] = [
     # SimHash×hash-split train/test leakage probe, Theil T inequality
     "events_cusum_changepoint",
     "docs_zipf_fit",
-    "docs_split_leakage",
+    "embeddings_ivf_assign",
     "segment_revenue_theil",
     # round-5: PMI collocations, G2 keyness keywords, XYZ demand
     # variability classes, Adamic–Adar link prediction
@@ -303,6 +310,8 @@ GATE_PRIORITY: list[str] = [
     "docs_langid_confusion",
     "events_markov_top1_accuracy",
     "events_burstiness",
+    # round-5: STL-residual robust anomaly composition
+    "events_stl_anomalies",
     "approx_aggregates",
 ]
 

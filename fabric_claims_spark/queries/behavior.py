@@ -1462,3 +1462,161 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("fano_factor"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# STL-residual anomaly detection — the composition the two pieces
+# exist for: deseasonalize (events_seasonal_decomposition\'s integer
+# machinery), then flag days whose residual exceeds 3 robust sigmas,
+# where sigma = 1.4826·MAD of the residuals (orders_mad_outliers\'s
+# histogram-CDF median, applied to the ×7-scaled INTEGER residuals so
+# both medians stay exact). A z-score on raw counts would miss
+# level+seasonality; this flags genuine shocks only.
+@query(
+    "events_stl_anomalies",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, cnt,
+             SUM(cnt) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+             COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+      FROM d),
+    f AS (
+      SELECT day, cnt, 7 * cnt - t7 AS det7 FROM w WHERE nw = 7),
+    s AS (
+      SELECT isodow(day) - 1 AS wd, COUNT(*) AS k, SUM(det7) AS sdet
+      FROM f GROUP BY 1),
+    -- residual ×(7·k) stays integer: r7k = det7·k − sdet
+    r AS (
+      SELECT f.day, f.cnt,
+             CAST(f.det7 * s.k - s.sdet AS BIGINT) AS r7k,
+             CAST(s.k AS BIGINT) AS k
+      FROM f JOIN s ON isodow(f.day) - 1 = s.wd),
+    -- per-k normalization to a COMMON integer grid: kprod = Π k is
+    -- overkill; instead compare |r7k|·k\' cross-scale by moving to the
+    -- exact rational r7k/k — equality of medians is computed on the
+    -- rounded 6-dp double (deterministic single division per row).
+    rv AS (
+      SELECT day, cnt,
+             ROUND(CAST(r7k AS DOUBLE) / (7 * k), 6) AS residual
+      FROM r),
+    h AS (SELECT residual AS v, COUNT(*) AS c FROM rv GROUP BY 1),
+    cdf AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+             SUM(c) OVER () AS n
+      FROM h),
+    med AS (
+      SELECT (MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+              + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END)) / 2
+               AS m2
+      FROM cdf),
+    dh AS (
+      SELECT ROUND(ABS(rv.residual - med.m2), 6) AS dv, COUNT(*) AS c
+      FROM rv CROSS JOIN med GROUP BY 1),
+    dcdf AS (
+      SELECT dv, SUM(c) OVER (ORDER BY dv) AS cum,
+             SUM(c) OVER () AS n
+      FROM dh),
+    mad AS (
+      SELECT (MIN(CASE WHEN cum >= (n + 1) // 2 THEN dv END)
+              + MIN(CASE WHEN cum >= (n + 2) // 2 THEN dv END)) / 2
+               AS mad
+      FROM dcdf)
+    SELECT rv.day, rv.cnt, rv.residual,
+           CAST(CASE WHEN ABS(rv.residual - med.m2)
+                          > 3 * 1.4826 * mad.mad
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM rv CROSS JOIN med CROSS JOIN mad
+    ORDER BY rv.day
+    """,
+)
+def events_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wma = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(wma).alias("t7"),
+        F.count(F.lit(1)).over(wma).alias("nw"),
+    )
+    f = w.where(F.col("nw") == 7).select(
+        "day", "cnt", (7 * F.col("cnt") - F.col("t7")).alias("det7")
+    )
+    s = f.groupBy(F.weekday("day").alias("wd")).agg(
+        F.count(F.lit(1)).alias("k"), F.sum("det7").alias("sdet")
+    )
+    r = f.join(F.broadcast(s), F.weekday(F.col("day")) == s["wd"]).select(
+        "day",
+        "cnt",
+        (F.col("det7") * F.col("k") - F.col("sdet"))
+        .cast("bigint")
+        .alias("r7k"),
+        F.col("k").cast("bigint").alias("k"),
+    )
+    rv = r.select(
+        "day",
+        "cnt",
+        F.round(
+            F.col("r7k").cast("double") / (7 * F.col("k")), 6
+        ).alias("residual"),
+    )
+
+    def cdf_median(hist, val, out):
+        wc = Window.orderBy(val).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy()
+        c = hist.select(
+            val,
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        p1 = F.expr("(n + 1) div 2")
+        p2 = F.expr("(n + 2) div 2")
+        return c.agg(
+            (
+                (
+                    F.min(F.when(F.col("cum") >= p1, F.col(val)))
+                    + F.min(F.when(F.col("cum") >= p2, F.col(val)))
+                )
+                / 2
+            ).alias(out)
+        )
+
+    h = rv.groupBy(F.col("residual").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    med = cdf_median(h, "v", "m2")
+    dh = (
+        rv.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.round(F.abs(F.col("residual") - F.col("m2")), 6).alias("dv")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mad = cdf_median(dh, "dv", "mad")
+    return (
+        rv.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "cnt",
+            "residual",
+            F.when(
+                F.abs(F.col("residual") - F.col("m2"))
+                > 3 * 1.4826 * F.col("mad"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

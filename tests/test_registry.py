@@ -191,3 +191,18 @@ def test_round5_compositions_registered_with_oracles():
         "orders_mad_outliers",
     ):
         assert name in reg and reg[name].oracle is not None
+
+
+def test_round5_continuation_swap():
+    """The continuation rotation: docs_split_leakage took the driver
+    row of embeddings_ivf_assign. The assignment semantics must stay
+    prefix-checked through embeddings_ivf_search (which recomputes the
+    same centroid argmax inline), and ivf_assign must remain
+    registered + oracled in the tail."""
+    reg = load_all_queries()
+    names = list(reg)
+    prefix = set(names[:50])
+    assert "docs_split_leakage" in prefix
+    assert "embeddings_ivf_search" in prefix
+    assert "embeddings_ivf_assign" in names[50:]
+    assert reg["embeddings_ivf_assign"].oracle is not None
