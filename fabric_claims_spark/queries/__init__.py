@@ -312,6 +312,9 @@ GATE_PRIORITY: list[str] = [
     "events_burstiness",
     # round-5: STL-residual robust anomaly composition
     "events_stl_anomalies",
+    # round-5: exact DAU/WAU/MAU via bounded fanout + dead stock
+    "events_dau_wau_mau",
+    "parts_no_recent_demand",
     "approx_aggregates",
 ]
 

@@ -1620,3 +1620,85 @@ def events_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU and stickiness — the product-analytics headline.
+# Exact rolling distinct users WITHOUT a rolling-window distinct: each
+# (user, active-day) row fans out to the ≤7 (resp. ≤28) window-ends
+# it supports (explode of a constant-length offset range — linear,
+# whole-stage), then one distinct + count per window end. The fanout
+# factor is the window length, not the data; no day-range self-join,
+# no sketch needed for exactness. Stickiness = DAU/MAU in one
+# division.
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+    w AS (
+      SELECT DISTINCT ud.user_id,
+             ud.day + CAST(o.o AS INTEGER) AS wend
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) o),
+    wau AS (
+      SELECT w.wend AS day, COUNT(*) AS wau FROM w
+      JOIN days d ON d.day = w.wend GROUP BY 1),
+    m AS (
+      SELECT DISTINCT ud.user_id,
+             ud.day + CAST(o.o AS INTEGER) AS mend
+      FROM ud, (SELECT unnest(generate_series(0, 27)) AS o) o),
+    mau AS (
+      SELECT m.mend AS day, COUNT(*) AS mau FROM m
+      JOIN days d ON d.day = m.mend GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    JOIN mau ON dau.day = mau.day
+    ORDER BY dau.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling_actives(n, out):
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n - 1))
+            ).alias("o"),
+            "day",
+        ).select(
+            "user_id", F.date_add("day", F.col("o")).alias("wend")
+        ).distinct()
+        return (
+            fan.join(
+                F.broadcast(days.select(F.col("day").alias("wend"))),
+                "wend",
+            )
+            .groupBy(F.col("wend").alias("day"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    wau = rolling_actives(7, "wau")
+    mau = rolling_actives(28, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1155,3 +1155,41 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Stale stock — parts with NO demand since the cutoff: the reversed
+# anti-join direction (dimension rows without matching facts) that
+# inventory reviews run; the other anti-join queries all point
+# fact→dim. The shipdate predicate pushes into the fact scan and the
+# fact key distinct-projects before the anti-join, so the build side
+# is the deduplicated recent-part set, not raw lineitems.
+@query(
+    "parts_no_recent_demand",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_type
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND CAST(l.l_shipdate AS DATE) >= DATE '2001-01-01')
+    ORDER BY p.p_partkey
+    """,
+)
+def parts_no_recent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_shipdate").cast("date")
+            >= F.lit("2001-01-01").cast("date")
+        )
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti")
+        .orderBy("p_partkey")
+    )
