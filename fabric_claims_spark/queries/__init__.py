@@ -315,6 +315,9 @@ GATE_PRIORITY: list[str] = [
     # round-5: exact DAU/WAU/MAU via bounded fanout + dead stock
     "events_dau_wau_mau",
     "parts_no_recent_demand",
+    # round-5: Q6 pushdown scalar + winsorized robust mean
+    "lineitem_discount_revenue_effect",
+    "order_value_winsorized_mean",
     "approx_aggregates",
 ]
 

@@ -1336,3 +1336,124 @@ def order_value_percentiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast-revenue-change scalar (the TPC-H Q6 shape) — the canonical
+# "every predicate pushes to the scan" query: year + discount band +
+# quantity cap reach the parquet reader as PushedFilters, the scan
+# reads exactly three columns, and the answer is one exact-decimal
+# product-sum. The what-if: revenue forgone to discounts in-band.
+@query(
+    "lineitem_discount_revenue_effect",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE)
+             AS revenue_effect,
+           COUNT(*) AS qualifying_lines
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) = 1998
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def lineitem_discount_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.year("l_shipdate") == 1998)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    eff = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(6,4)")
+    return li.agg(
+        F.round(F.sum(eff), 4).cast("double").alias("revenue_effect"),
+        F.count(F.lit(1)).alias("qualifying_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean — the robust-stats member between plain mean and
+# median: clamp to the [p05, p95] cut points (histogram-CDF over the
+# exact-decimal value domain — no raw-row sort), then an exact
+# decimal mean of the CLAMPED values. Everything except the two final
+# divisions is integer/decimal-exact; the clamped sum works on the
+# histogram (value × count), so the second pass touches cells, not
+# rows.
+@query(
+    "order_value_winsorized_mean",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v, COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v) AS cum,
+             SUM(cnt) OVER (ORDER BY v) - cnt AS prev_cum
+      FROM h),
+    t AS (SELECT SUM(cnt) AS n FROM h),
+    lo AS (
+      SELECT MIN(v) AS p05 FROM c CROSS JOIN t
+      WHERE c.cum >= (5 * t.n + 99) // 100),
+    hi AS (
+      SELECT MIN(v) AS p95 FROM c CROSS JOIN t
+      WHERE c.cum >= (95 * t.n + 99) // 100)
+    SELECT CAST(t.n AS BIGINT) AS n_orders,
+           CAST(lo.p05 AS DOUBLE) AS p05,
+           CAST(hi.p95 AS DOUBLE) AS p95,
+           CAST(SUM(CASE WHEN h.v < lo.p05 THEN lo.p05 * h.cnt
+                         WHEN h.v > hi.p95 THEN hi.p95 * h.cnt
+                         ELSE h.v * h.cnt END) AS DOUBLE) / MAX(t.n)
+             AS winsorized_mean,
+           CAST(SUM(h.v * h.cnt) AS DOUBLE) / MAX(t.n) AS raw_mean
+    FROM h CROSS JOIN t CROSS JOIN lo CROSS JOIN hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def order_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    h = o.groupBy(money("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select("v", "cnt", F.sum("cnt").over(w).alias("cum"))
+    t = h.agg(F.sum("cnt").alias("n"))
+    lo = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("cum") >= F.expr("(5 * n + 99) div 100"))
+        .agg(F.min("v").alias("p05"))
+    )
+    hi = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("cum") >= F.expr("(95 * n + 99) div 100"))
+        .agg(F.min("v").alias("p95"))
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("p05"), F.col("p05") * F.col("cnt"))
+        .when(F.col("v") > F.col("p95"), F.col("p95") * F.col("cnt"))
+        .otherwise(F.col("v") * F.col("cnt"))
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .groupBy(
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("p05").cast("double").alias("p05"),
+            F.col("p95").cast("double").alias("p95"),
+        )
+        .agg(
+            (F.sum(clamped).cast("double") / F.max("n")).alias(
+                "winsorized_mean"
+            ),
+            (
+                F.sum(F.col("v") * F.col("cnt")).cast("double")
+                / F.max("n")
+            ).alias("raw_mean"),
+        )
+    )
