@@ -318,6 +318,8 @@ GATE_PRIORITY: list[str] = [
     # round-5: Q6 pushdown scalar + winsorized robust mean
     "lineitem_discount_revenue_effect",
     "order_value_winsorized_mean",
+    # round-5: dow-hour heatmap profile
+    "events_dow_hour_heatmap",
     "approx_aggregates",
 ]
 

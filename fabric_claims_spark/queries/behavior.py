@@ -1702,3 +1702,40 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Activity heatmap profile — the dow × hour event-volume matrix every
+# ops dashboard opens with, plus each cell\'s share of its weekday.
+# One hash aggregate into a 168-cell frame; the share window runs
+# over that bounded frame.
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH c AS (
+      SELECT isodow(CAST(ts AS DATE)) - 1 AS dow,
+             EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY dow)
+             AS dow_share
+    FROM c ORDER BY dow, hour
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.weekday(F.col("ts").cast("date")).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.select(
+        "dow",
+        "hour",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("dow"))
+        ).alias("dow_share"),
+    ).orderBy("dow", "hour")

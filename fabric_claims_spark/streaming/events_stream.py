@@ -624,3 +624,103 @@ def changepoint_monitor_stream(
         .cast("bigint")
         .alias("is_changepoint"),
     ).orderBy("day")
+
+
+def hll_users_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_hll",
+) -> DataFrame:
+    """Streaming HyperLogLog — the sketch whose state is BUILT for
+    streams: per (event_type, register) the max rank folds with MAX,
+    which is idempotent and commutative, so the state is ≤ 256 rows
+    per type forever and even naturally tolerant of re-delivery (the
+    batch-id skip is kept anyway for uniformity with the other
+    foreachBatch sinks). The estimate is recomputed from registers on
+    read with the same exact shifted-integer harmonic sum as the
+    batch query — stream and batch agree bit-for-bit.
+    """
+    from fabric_claims_spark.extensions.dedup import md5_long
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    stream = _read_events_stream(spark, events_dir).select(
+        "event_type", "user_id"
+    )
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        h = df.select(
+            "event_type",
+            md5_long(F.col("user_id").cast("string")).alias("hv"),
+        )
+        return (
+            h.select(
+                "event_type",
+                (F.col("hv") % 256).alias("j"),
+                F.when(
+                    F.expr("hv div 256") > 0,
+                    F.lit(53) - F.length(F.bin(F.expr("hv div 256"))),
+                )
+                .otherwise(F.lit(53))
+                .alias("rho"),
+            )
+            .groupBy("event_type", "j")
+            .agg(F.max("rho").alias("mj"))
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_regs = regs_of(batch_df)
+        if store.exists(query_name):
+            cur = store.read(query_name)
+            applied = cur.select(F.max("_applied_batch_id")).head()[0]
+            if applied is not None and batch_id <= applied:
+                return
+            prev = cur.select("event_type", "j", "mj")
+            merged = (
+                prev.unionByName(batch_regs)
+                .groupBy("event_type", "j")
+                .agg(F.max("mj").alias("mj"))
+            )
+        else:
+            merged = batch_regs
+        store.overwrite(
+            query_name,
+            merged.withColumn(
+                "_applied_batch_id", F.lit(batch_id).cast("long")
+            ),
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+
+    m = store.read(query_name).select("event_type", "j", "mj")
+    agg = m.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - mj as int))"))
+        .alias("s_obs"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    num = 0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992.0
+    raw = F.lit(num) / (
+        F.col("s_obs")
+        + (256 - F.col("nreg")) * F.lit(9007199254740992).cast("long")
+    )
+    zeros = 256 - F.col("nreg")
+    return agg.select(
+        "event_type",
+        F.round(
+            F.when(
+                (raw <= 640) & (zeros > 0),
+                256 * F.log(256.0 / zeros),
+            ).otherwise(raw),
+            4,
+        ).alias("hll_estimate"),
+    ).orderBy("event_type")

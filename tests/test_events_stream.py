@@ -290,3 +290,36 @@ def test_changepoint_stream_matches_batch(spark, events_dir, tmp_path):
     ).collect()
     g2 = [(r["day"], r["cnt"], r["cusum_scaled"], r["is_changepoint"]) for r in again]
     assert g2 == b
+
+
+def test_hll_stream_matches_batch(spark, events_dir, tmp_path):
+    """Register-max folding across micro-batches must reproduce the
+    batch HLL estimate bit-for-bit, and re-delivery must not change
+    registers (MAX is idempotent)."""
+    from fabric_claims_spark.streaming.events_stream import hll_users_stream
+
+    got = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_users_stream(
+            spark, str(events_dir), str(tmp_path / "ckpt_hll"),
+            query_name="t_hll",
+        ).collect()
+    }
+    batch = {
+        r["event_type"]: r["hll_estimate"]
+        for r in load_all_queries()["events_hll_users_per_type"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert got == batch
+
+    # redeliver the same file: registers (and the estimate) unchanged
+    shutil.copy(f"{SF}/events.parquet", events_dir / "redeliver_hll.parquet")
+    again = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_users_stream(
+            spark, str(events_dir), str(tmp_path / "ckpt_hll"),
+            query_name="t_hll",
+        ).collect()
+    }
+    assert again == batch
