@@ -622,3 +622,29 @@ def test_abtest_single_aggregate_pivot(spark, registry):
     plan = _plan(spark, registry["events_abtest_lift"].fn(spark, SF))
     assert "get_json_object" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
+    """The 100 TB table layout contract: a write partitioned by a
+    date-derived column must let a reader's filter prune at the
+    PLANNER level — PartitionFilters on the scan, non-matching
+    directories never listed as input files."""
+    import os
+
+    path = str(tmp_path / "orders_by_year")
+    spark.range(0, 1000).selectExpr(
+        "id", "2000 + CAST(id % 4 AS INT) AS yr"
+    ).write.partitionBy("yr").parquet(path)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("yr=")
+    ) == ["yr=2000", "yr=2001", "yr=2002", "yr=2003"]
+
+    df = spark.read.parquet(path).where("yr = 2002")
+    plan = _plan(spark, df, "formatted")
+    # the pushed partition predicate appears on the scan node
+    # (inputFiles() lists pre-pruning files, so assert on the plan)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines and any("2002" in ln for ln in scan_lines)
+    assert df.count() == 250

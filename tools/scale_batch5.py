@@ -39,6 +39,7 @@ def replicate_docs(d: DataFrame, times: int) -> DataFrame:
         r = d.select(
             (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
             "text",
+            *(["source"] if "source" in d.columns else []),
         )
         out = r if out is None else out.unionByName(r)
     return out
@@ -169,5 +170,60 @@ def main() -> None:
         print(r)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "extra" not in sys.argv:
     main()
+
+
+def cross_source_pair_space(spark, docs) -> tuple[int, int]:
+    """Pair structs = Σ C(|sources(gram)|,2) — bounded by C(20,2) per
+    gram; returns (distinct grams, pair structs)."""
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    g = (
+        docs.where(F.length("text") >= 8)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 7, F.lit(0))
+                )
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "source", md5_long(F.expr("substr(text, pos, 8)")).alias("gh")
+        )
+        .distinct()
+    )
+    sets = g.groupBy("gh").agg(F.count(F.lit(1)).alias("k"))
+    row = sets.agg(
+        F.count(F.lit(1)).alias("grams"),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("pairs"),
+    ).head()
+    return row["grams"], row["pairs"]
+
+
+def dau_fanout(spark, events) -> tuple[int, int]:
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    n = ud.count()
+    return n, n * (7 + 28)  # exact fanout rows by construction
+
+
+def extra() -> None:
+    spark = get_spark("scale-batch5b")
+    for label, sf in (("sf0.01", SF001), ("sf0.1", SF01)):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        print(("xsource", label) + cross_source_pair_space(spark, docs))
+    docs10 = replicate_docs(
+        spark.read.parquet(f"{SF01}/documents.parquet"), 10
+    )
+    print(("xsource", "sf0.1x10") + cross_source_pair_space(spark, docs10))
+    for label, sf in (("sf0.01", SF001), ("sf0.1", SF01)):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        print(("dau_fanout", label) + dau_fanout(spark, ev))
+
+
+if __name__ == "__main__" and "extra" in sys.argv:
+    extra()
