@@ -320,6 +320,9 @@ GATE_PRIORITY: list[str] = [
     "order_value_winsorized_mean",
     # round-5: dow-hour heatmap profile
     "events_dow_hour_heatmap",
+    # round-5: acquisition curve + categorical mix drift (TVD)
+    "events_cumulative_users",
+    "orders_priority_mix_drift",
     "approx_aggregates",
 ]
 

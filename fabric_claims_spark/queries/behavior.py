@@ -1739,3 +1739,99 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("dow"))
         ).alias("dow_share"),
     ).orderBy("dow", "hour")
+
+
+# --------------------------------------------------------------------------
+# Cumulative unique users — the acquisition curve: each user counts
+# once at their FIRST-seen day (one user-keyed min), daily first-seen
+# counts cumulate over the calendar-bounded window. No rolling
+# distinct, no fanout — the growth twin of events_dau_wau_mau.
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1),
+    d AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM d ORDER BY day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Categorical mix drift — per-month total-variation distance between
+# the month\'s order-priority mix and the whole-corpus mix, the drift
+# monitor for categorical distributions (the TVD twin of the
+# docs_source_js_drift divergence). Exact: TVD = Σ|c_mk·N − C_k·n_m|
+# / (2·n_m·N) keeps every operand integer until one final division.
+# The priority-domain join frames are bounded (months × 5 cells).
+@query(
+    "orders_priority_mix_drift",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             o_orderpriority AS k, COUNT(*) AS cmk
+      FROM orders GROUP BY 1, 2),
+    mt AS (SELECT m, SUM(cmk) AS nm FROM c GROUP BY 1),
+    kt AS (SELECT k, SUM(cmk) AS ck FROM c GROUP BY 1),
+    t AS (SELECT SUM(cmk) AS n FROM c)
+    SELECT c.m AS month_idx, CAST(mt.nm AS BIGINT) AS month_orders,
+           CAST(SUM(ABS(c.cmk * t.n - kt.ck * mt.nm)) AS DOUBLE)
+             / (2.0 * mt.nm * t.n) AS tv_distance
+    FROM c JOIN mt ON c.m = mt.m JOIN kt ON c.k = kt.k CROSS JOIN t
+    GROUP BY 1, 2, mt.nm, t.n
+    ORDER BY 1
+    """,
+)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    midx = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("bigint")
+    c = o.groupBy(
+        midx.alias("m"), F.col("o_orderpriority").alias("k")
+    ).agg(F.count(F.lit(1)).alias("cmk"))
+    mt = c.groupBy("m").agg(F.sum("cmk").alias("nm"))
+    kt = c.groupBy("k").agg(F.sum("cmk").alias("ck"))
+    t = c.agg(F.sum("cmk").alias("n"))
+    return (
+        c.join(F.broadcast(mt), "m")
+        .join(F.broadcast(kt), "k")
+        .crossJoin(F.broadcast(t))
+        .groupBy(
+            F.col("m").alias("month_idx"),
+            F.col("nm").cast("bigint").alias("month_orders"),
+            "nm",
+            "n",
+        )
+        .agg(
+            (
+                F.sum(
+                    F.abs(F.col("cmk") * F.col("n") - F.col("ck") * F.col("nm"))
+                ).cast("double")
+                / (2.0 * F.col("nm") * F.col("n"))
+            ).alias("tv_distance")
+        )
+        .select("month_idx", "month_orders", "tv_distance")
+        .orderBy("month_idx")
+    )
