@@ -323,6 +323,8 @@ GATE_PRIORITY: list[str] = [
     # round-5: acquisition curve + categorical mix drift (TVD)
     "events_cumulative_users",
     "orders_priority_mix_drift",
+    # round-5: quality-filter x near-dup calibration
+    "docs_quality_dup_calibration",
     "approx_aggregates",
 ]
 

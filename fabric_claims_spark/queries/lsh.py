@@ -767,3 +767,83 @@ def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality × duplication calibration — the data-centric sanity check
+# "are the documents my quality filter keeps also the ones the
+# near-dup detector flags?": quality flag (the docs_quality_score
+# rule, verbatim) crossed with SimHash near-dup membership, with the
+# dup rate per bucket. Dup membership is the distinct union of pair
+# endpoints — bounded by the pair output, attached as a broadcast
+# left join flag, never a corpus self-join.
+@query(
+    "docs_quality_dup_calibration",
+    oracle=f"""
+    WITH p AS ({_simhash_neardup_oracle()}),
+    dup AS (
+      SELECT doc_a AS doc FROM p UNION SELECT doc_b AS doc FROM p),
+    q AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 100
+              AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       AS DOUBLE) / length(text) > 0.5
+             THEN 'keep' ELSE 'filter' END AS quality_flag
+      FROM documents WHERE length(text) > 0)
+    SELECT q.quality_flag,
+           CAST(dup.doc IS NOT NULL AS BIGINT) AS is_dup,
+           COUNT(*) AS docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY q.quality_flag)
+             AS share_of_flag
+    FROM q LEFT JOIN dup ON q.doc_id = dup.doc
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def docs_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from fabric_claims_spark.extensions.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash60_md5(docs, "doc_id", "text")
+    pairs = simhash_band_pairs(
+        sigs,
+        bands=_SH_BANDS,
+        bits=_SH_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        bucket_cap=_SH_BUCKET_CAP,
+    )
+    dup = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    alpha = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ).cast("double") / F.length("text")
+    q = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.when((F.length("text") >= 100) & (alpha > 0.5), "keep")
+        .otherwise("filter")
+        .alias("quality_flag"),
+    )
+    flagged = q.join(
+        F.broadcast(dup), q["doc_id"] == dup["doc"], "left"
+    ).select(
+        "quality_flag",
+        F.col("doc").isNotNull().cast("bigint").alias("is_dup"),
+    )
+    g = flagged.groupBy("quality_flag", "is_dup").agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+    w = W.partitionBy("quality_flag")
+    return g.select(
+        "quality_flag",
+        "is_dup",
+        "docs",
+        (F.col("docs").cast("double") / F.sum("docs").over(w)).alias(
+            "share_of_flag"
+        ),
+    ).orderBy("quality_flag", "is_dup")
