@@ -43,6 +43,11 @@ def query(name: str, oracle: str | None = None):
     """Register a (spark_fn, oracle_sql) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = REGISTRY.get(name)
+        if prev is not None and prev.fn is not fn:
+            # A silent overwrite would let a new module shadow a
+            # green query (and its oracle) without any signal.
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(fn, oracle)
         return fn
 
@@ -325,6 +330,23 @@ GATE_PRIORITY: list[str] = [
     "orders_priority_mix_drift",
     # round-5: quality-filter x near-dup calibration
     "docs_quality_dup_calibration",
+    # round-5: the remaining TPC-H plan-pattern family (Q4/Q7/Q8/Q10/
+    # Q13-filtered/Q14/Q16/Q17/Q18/Q19/Q21/Q22 shapes)
+    "priority_returned_orders",
+    "nation_pair_volume",
+    "brand_market_share",
+    "returned_revenue_top_customers",
+    "order_count_distribution_ex_low",
+    "promo_revenue_share",
+    "part_supplier_diversity",
+    "small_quantity_order_revenue",
+    "large_volume_customers",
+    "disjunctive_promo_revenue",
+    "sole_supplier_return_orders",
+    "idle_high_balance_customers",
+    # round-5: cohort retention triangle + boundary-event backlog sweep
+    "events_retention_triangle",
+    "orders_backlog_monthly_peak",
     "approx_aggregates",
 ]
 
@@ -344,6 +366,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         stats,
         behavior,
         analytics,
+        tpch_shapes,
         pipeline_smoke,
     )
 

@@ -1209,3 +1209,139 @@ def brand_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention triangle — the classic growth-analytics
+# matrix: users bucketed by first-active week, retention rate per
+# week offset. Built from the distinct (user, week) activity grid:
+# one distinct (user-keyed shuffle), one per-user min (same key — a
+# reused partitioning), one user-keyed join back, then a cohort-week
+# aggregate. NO per-event self-join and no row-count-sized window:
+# every frame after the distinct is |users|- or |weeks²|-sized. The
+# cohort-size frame is |weeks|-sized (bounded by the calendar, a few
+# hundred rows even over a decade) and broadcasts.
+@query(
+    "events_retention_triangle",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+      FROM events),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1),
+    coh AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM fw GROUP BY 1),
+    act AS (
+      SELECT f.cohort_week,
+             CAST((u.wk - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+             COUNT(*) AS retained
+      FROM uw u JOIN fw f ON u.user_id = f.user_id
+      GROUP BY 1, 2)
+    SELECT a.cohort_week, a.week_offset, a.retained, c.cohort_size,
+           CAST(a.retained AS DOUBLE) / c.cohort_size AS retention_rate
+    FROM act a JOIN coh c ON a.cohort_week = c.cohort_week
+    ORDER BY 1, 2
+    """,
+)
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    coh = fw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        uw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return (
+        act.join(F.broadcast(coh), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "retained",
+            "cohort_size",
+            (F.col("retained").cast("double") / F.col("cohort_size")).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak open-order backlog per month — interval concurrency WITHOUT
+# interval fan-out: an order is "open" from its order date until the
+# day after its last shipment. Instead of exploding each interval
+# into its covered days (unbounded fan-out: a 2-year-open order is
+# 730 rows), each interval contributes exactly TWO boundary events
+# (+1 at open, -1 after close); a daily net-change aggregate and one
+# cumulative sum over the day domain recover the concurrent count.
+# The cumulative window is partitionless but runs over the DAY-domain
+# aggregate (≈365·years rows, calendar-bounded — the same bounded-
+# domain-window contract as the histogram-CDF queries), never over
+# order rows.
+@query(
+    "orders_backlog_monthly_peak",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+             MAX(CAST(l.l_shipdate AS DATE)) AS cd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    ev AS (
+      SELECT od AS day, 1 AS n FROM span
+      UNION ALL
+      SELECT cd + 1 AS day, -1 AS n FROM span),
+    daily AS (SELECT day, CAST(SUM(n) AS BIGINT) AS net FROM ev GROUP BY 1),
+    run AS (
+      SELECT day,
+             SUM(net) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS open_orders
+      FROM daily)
+    SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+           CAST(MAX(open_orders) AS BIGINT) AS peak_open
+    FROM run GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_backlog_monthly_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    span = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "od")
+        .agg(F.max("sd").alias("cd"))
+    )
+    ev = span.select(F.col("od").alias("day"), F.lit(1).alias("n")).unionByName(
+        span.select(F.date_add("cd", 1).alias("day"), F.lit(-1).alias("n"))
+    )
+    daily = ev.groupBy("day").agg(F.sum("n").cast("bigint").alias("net"))
+    run = daily.withColumn(
+        "open_orders",
+        F.sum("net").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        run.groupBy(
+            F.date_trunc("month", F.col("day")).cast("date").alias("month")
+        )
+        .agg(F.max("open_orders").cast("bigint").alias("peak_open"))
+        .orderBy("month")
+    )
