@@ -648,3 +648,65 @@ def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
     ]
     assert scan_lines and any("2002" in ln for ln in scan_lines)
     assert df.count() == 250
+
+
+def test_q4_exists_is_left_semi(spark, registry):
+    """The EXISTS decorrelates to a left-semi join: order rows must
+    never duplicate per matching lineitem (no inner+distinct)."""
+    plan = _plan(spark, registry["priority_returned_orders"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, registry):
+    """ORDER BY revenue LIMIT 20 must compile to
+    TakeOrderedAndProject, never a global Sort+Limit, and the two
+    dims must broadcast."""
+    plan = _plan(spark, registry["returned_revenue_top_customers"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_variant_keeps_outer_join(spark, registry):
+    """The exclusion predicate lives in the join condition; the plan
+    must keep LeftOuter (a WHERE-hoisted predicate would collapse it
+    to Inner and silently drop the zero-order bucket)."""
+    plan = _plan(spark, registry["order_count_distribution_ex_low"].fn(spark, SF))
+    assert "LeftOuter" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, registry):
+    """NOT IN (deficit suppliers) must decorrelate to a broadcast
+    left-anti join; the (part,supp) pairs distinct BEFORE the part
+    join (an aggregate below the join)."""
+    plan = _plan(spark, registry["part_supplier_diversity"].fn(spark, SF))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_pass_no_fact_self_join(spark, registry):
+    """Both correlated existentials fold into ONE grouped pass: the
+    plan reads lineitem exactly once and contains no
+    lineitem-lineitem join (the classic Q21 plan has two)."""
+    plan = _plan(
+        spark, registry["sole_supplier_return_orders"].fn(spark, SF), "formatted"
+    )
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Location" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, scans
+
+
+def test_backlog_window_consumes_daily_aggregate(spark, registry):
+    """The cumulative backlog window is partitionless but must run
+    over the DAY-domain aggregate (calendar-bounded), never raw
+    order/line rows: an aggregate keyed on day sits below the single
+    Window, and the scans read only the key/date columns."""
+    plan = _plan(spark, registry["orders_backlog_monthly_peak"].fn(spark, SF))
+    assert plan.count("Window") >= 1
+    assert "HashAggregate" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in line:
+            assert "l_extendedprice" not in line
