@@ -344,6 +344,7 @@ GATE_PRIORITY: list[str] = [
     "disjunctive_promo_revenue",
     "sole_supplier_return_orders",
     "idle_high_balance_customers",
+    "customer_retention_setops",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

@@ -668,3 +668,48 @@ def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT over the yearly active-customer
+# sets. Spark compiles .intersect to a distinct left-semi join and
+# .subtract to a distinct left-anti join, so both inherit the
+# equi-join scale path (shuffle on the key, AQE-broadcast when one
+# year is small) — no sort-based set algebra, no driver collection.
+# The three one-row aggregates union into a tagged summary frame.
+@query(
+    "customer_retention_setops",
+    oracle="""
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1997),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1998)
+    SELECT 'both_years' AS op, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'only_1997' AS op, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+    UNION ALL
+    SELECT 'only_1998' AS op, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
+    ORDER BY op
+    """,
+)
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year(F.to_date("o_orderdate")).alias("yr")
+    )
+    y97 = o.where(F.col("yr") == 1997).select("o_custkey").distinct()
+    y98 = o.where(F.col("yr") == 1998).select("o_custkey").distinct()
+
+    def tagged(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        tagged(y97.intersect(y98), "both_years")
+        .unionByName(tagged(y97.subtract(y98), "only_1997"))
+        .unionByName(tagged(y98.subtract(y97), "only_1998"))
+        .orderBy("op")
+    )
