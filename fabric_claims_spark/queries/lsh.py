@@ -710,10 +710,21 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dups(
-        docs, "doc_id", "text",
-        threshold=0.5, num_hashes=_NUM_HASHES, bands=_BANDS, hasher="md5",
-    ).select("doc_a", "doc_b", "est_jaccard")
+    # The pair list is consumed TWICE (broadcast into the overlap
+    # join, then the final estimate join). ReuseExchange happens to
+    # deduplicate the two identical subplans today (A/B measured:
+    # same runtime either way), but that reuse is an optimizer
+    # accident a refactor can silently break; the tiny survivor frame
+    # is localCheckpoint-ed once so single-execution is structural
+    # (same contract as docs_clean_corpus' component labels).
+    pairs = (
+        minhash_near_dups(
+            docs, "doc_id", "text",
+            threshold=0.5, num_hashes=_NUM_HASHES, bands=_BANDS, hasher="md5",
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+        .localCheckpoint()
+    )
     ds = (
         docs.select(
             F.col("doc_id").alias("doc"),
