@@ -345,6 +345,9 @@ GATE_PRIORITY: list[str] = [
     "sole_supplier_return_orders",
     "idle_high_balance_customers",
     "customer_retention_setops",
+    "cheapest_line_per_part",
+    "nation_value_concentration",
+    "top_supplier_by_revenue",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

@@ -713,3 +713,153 @@ def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(y98.subtract(y97), "only_1998"))
         .orderBy("op")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — correlated MIN decorrelated to an argmin join-back: the
+# cheapest line per Brand#33 part, with the supplier(s) offering it.
+# The per-part MIN is one grouped pass; the join-back recovers the
+# argmin rows by exact decimal equality (never a float ratio — the
+# reference pattern `price = (SELECT MIN(price) ... WHERE partkey =
+# outer.partkey)` keeps its tie semantics: every supplier at the min
+# survives). The brand filter broadcasts into both passes, so the
+# grouped pass runs over the filtered fact only.
+@query(
+    "cheapest_line_per_part",
+    oracle="""
+    WITH bl AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) AS price
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#33'),
+    mn AS (SELECT l_partkey, MIN(price) AS min_price
+           FROM bl GROUP BY 1)
+    SELECT b.l_partkey, s.s_name,
+           CAST(b.price AS DOUBLE) AS min_price
+    FROM bl b
+    JOIN mn m ON m.l_partkey = b.l_partkey AND b.price = m.min_price
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    ORDER BY b.l_partkey, s.s_name
+    """,
+)
+def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#33")
+        .select("p_partkey")
+    )
+    bl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", money("l_extendedprice").alias("price"))
+    )
+    mn = bl.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("price").alias("min_price")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        bl.join(
+            mn,
+            (bl["l_partkey"] == mn["mk"]) & (bl["price"] == mn["min_price"]),
+        )
+        .join(F.broadcast(s), bl["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "l_partkey", "s_name", F.col("price").cast("double").alias("min_price")
+        )
+        .orderBy("l_partkey", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — HAVING against a global scalar: supplier nations whose
+# shipped value exceeds 4% of the corpus total. The scalar subquery
+# decorrelates to a 1-row aggregate OVER THE SAME grouped frame
+# (computed once, broadcast as a literal-sized cross join), and the
+# comparison runs in EXACT decimal space on both sides — no float
+# threshold to drift between engines.
+@query(
+    "nation_value_concentration",
+    oracle="""
+    WITH nv AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1)
+    SELECT nation, CAST(ROUND(v, 4) AS DOUBLE) AS value
+    FROM nv
+    WHERE v > (SELECT SUM(v) * CAST(0.04 AS DECIMAL(3,2)) FROM nv)
+    ORDER BY value DESC, nation
+    """,
+)
+def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(money("l_extendedprice")).alias("v"))
+    )
+    total = nv.agg(
+        (F.sum("v") * F.lit(0.04).cast("decimal(3,2)")).alias("thresh")
+    )
+    return (
+        nv.join(F.broadcast(total))
+        .where(F.col("v") > F.col("thresh"))
+        .select("nation", F.round("v", 4).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 shape — max-of-aggregate with tie preservation: the top
+# supplier(s) by quarterly revenue. The classic view + `total_revenue
+# = (SELECT MAX(total_revenue) FROM view)` pattern: the per-supplier
+# aggregate computes once, its 1-row MAX joins back by equality, and
+# EVERY supplier at the max survives (a LIMIT 1 would silently break
+# ties). Revenue is the exact-decimal sum rounded to scale 4 before
+# the double cast, so the equality is bit-exact in both engines.
+@query(
+    "top_supplier_by_revenue",
+    oracle="""
+    WITH sr AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4)
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, sr.total_revenue
+    FROM sr
+    JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+    WHERE sr.total_revenue = (SELECT MAX(total_revenue) FROM sr)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sr = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(_revenue()).alias("total_revenue"))
+    )
+    mx = sr.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sr.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), sr["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
