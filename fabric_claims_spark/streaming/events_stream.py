@@ -724,3 +724,138 @@ def hll_users_stream(
             4,
         ).alias("hll_estimate"),
     ).orderBy("event_type")
+
+
+def user_value_machine_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_value_machine",
+    recent_k: int = 3,
+) -> DataFrame:
+    """Per-user value machine on ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (SPARK-46815) that supersedes
+    applyInPandasWithState with TYPED state variables on the RocksDB
+    store: a ValueState for the running (count, total) and a
+    ListState ring of the last ``recent_k`` values feeding a trailing
+    mean. Two independently-evolvable state variables per key is the
+    capability the old single-struct API could not express without
+    packing everything into one tuple (running_user_totals_stream
+    above is the old-API twin for comparison).
+
+    Emits per user: events_seen, value_total (exact at 2dp — cents
+    carried as integers in state), recent_mean (trailing-``recent_k``
+    mean, one IEEE division at emit). Results land through the same
+    idempotent TableStore MERGE sink as the old-API twin; AvailableNow
+    restarts replay into the same totals (state lives in the RocksDB
+    checkpoint, the sink merges on user_id)."""
+    try:
+        # TWS ships its driver-worker protocol over protobuf; without
+        # it the streaming query dies with an opaque
+        # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE mid-run.
+        # Fail fast with the actionable dependency instead.
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark[connect] extra); install it or use the "
+            "applyInPandasWithState twin running_user_totals_stream"
+        ) from exc
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("events_seen", LongType()),
+            StructField("value_total", DoubleType()),
+            StructField("recent_mean", DoubleType()),
+        ]
+    )
+
+    class UserValueMachine(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+            self.recent = handle.getListState("recent", "cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self.totals.get() if self.totals.exists() else (0, 0)
+            )
+            tail: list[tuple[int]] = []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_id")
+                n += len(pdf)
+                # 2dp money as integer cents: state stays exact under
+                # any batch split; the only float math is at emit.
+                batch_cents = [
+                    int(round(v * 100)) for v in pdf["value"].tolist()
+                ]
+                cents += sum(batch_cents)
+                tail.extend((c,) for c in batch_cents)
+            self.totals.update((n, cents))
+            prior = list(self.recent.get()) if self.recent.exists() else []
+            window = (prior + tail)[-recent_k:]
+            self.recent.put(window)
+            recent_mean = (
+                sum(c for (c,) in window) / 100.0 / len(window)
+                if window
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_seen": [n],
+                    "value_total": [cents / 100.0],
+                    "recent_mean": [recent_mean],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _read_events_stream(spark, events_dir).select(
+            "event_id", "user_id", "value"
+        )
+        result = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserValueMachine(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        from fabric_claims_spark.sources.merge import TableStore
+
+        store = TableStore(spark, f"{checkpoint_dir}_table")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            store.merge(
+                query_name, batch_df, keys=["user_id"], update_only_changed=False
+            )
+
+        (
+            result.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        if not store.exists(query_name):  # zero-batch stream
+            return spark.createDataFrame([], out_schema)
+        return store.read(query_name)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -323,3 +323,84 @@ def test_hll_stream_matches_batch(spark, events_dir, tmp_path):
         ).collect()
     }
     assert again == batch
+
+
+def test_transform_with_state_machine_matches_batch(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    store): running totals and trailing-3 mean must match the batch
+    computation, and a restart with a second file must resume state
+    from the checkpoint (counts accumulate, ring stays length-3).
+
+    Env-gated like the Delta tests: the TWS driver-worker protocol
+    needs protobuf, absent in this container (no installs allowed —
+    see README); the operator itself fail-fasts with the dependency
+    name."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.streaming.events_stream import (
+        user_value_machine_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_tws")
+    got = user_value_machine_stream(
+        spark, str(events_dir), ckpt, query_name="t_tws1"
+    ).collect()
+
+    events = spark.read.parquet(str(events_dir)).select(
+        "event_id", "user_id", (F.round(F.col("value") * 100)).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = {
+        r["user_id"]: (r["n"], r["total_cents"], r["recent_cents"], r["k"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.when(F.col("rn") <= 3, F.col("cents"))).alias("recent_cents"),
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0)).alias("k"),
+        )
+        .collect()
+    }
+    g = {
+        r["user_id"]: (r["events_seen"], r["value_total"], r["recent_mean"])
+        for r in got
+    }
+    assert set(g) == set(want)
+    for u, (n, total_cents, recent_cents, k) in want.items():
+        assert g[u][0] == n
+        assert g[u][1] == total_cents / 100.0
+        assert abs(g[u][2] - recent_cents / 100.0 / k) < 1e-9
+
+    # restart: a second copy of the file doubles counts (state resumed
+    # from the RocksDB checkpoint, not recomputed)
+    import shutil as _sh
+
+    _sh.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    got2 = user_value_machine_stream(
+        spark, str(events_dir), ckpt, query_name="t_tws2"
+    ).collect()
+    g2 = {r["user_id"]: r["events_seen"] for r in got2}
+    for u in g2:
+        assert g2[u] == 2 * want[u][0]
+
+
+def test_transform_with_state_fail_fast_without_protobuf(spark, events_dir, tmp_path):
+    """Inverse gate: when protobuf is absent the operator must raise
+    the actionable ImportError up front, not die mid-stream with an
+    opaque runner-initialization failure."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present — fail-fast path not reachable")
+    except ImportError:
+        pass
+    from fabric_claims_spark.streaming.events_stream import (
+        user_value_machine_stream,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        user_value_machine_stream(
+            spark, str(events_dir), str(tmp_path / "ckpt_nopb")
+        )
