@@ -348,6 +348,9 @@ GATE_PRIORITY: list[str] = [
     "cheapest_line_per_part",
     "nation_value_concentration",
     "top_supplier_by_revenue",
+    "customers_all_priorities",
+    "supplier_revenue_cumedist",
+    "not_in_null_semantics",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

@@ -863,3 +863,141 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Relational division — "customers who ordered in EVERY priority
+# class": division-by-counting (one grouped pass; COUNT(DISTINCT
+# attr) == |divisor domain|) instead of the textbook double-NOT-
+# EXISTS, which would be two correlated anti-joins against the fact.
+# The divisor cardinality is computed from the data (a 1-row
+# broadcast), not hard-coded, so the query survives domain drift.
+@query(
+    "customers_all_priorities",
+    oracle="""
+    WITH dom AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_prio
+                 FROM orders)
+    SELECT o.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    GROUP BY o.o_custkey
+    HAVING COUNT(DISTINCT o.o_orderpriority) = (SELECT n_prio FROM dom)
+    ORDER BY o.o_custkey
+    """,
+)
+def customers_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    dom = o.agg(F.count_distinct("o_orderpriority").alias("n_prio"))
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_orderpriority").alias("n_prio_seen"),
+    )
+    return (
+        per_cust.join(F.broadcast(dom))
+        .where(F.col("n_prio_seen") == F.col("n_prio"))
+        .select("o_custkey", "n_orders")
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution ranking — cume_dist over the per-supplier revenue
+# aggregate, partitioned by nation: the window runs on the
+# |supplier|-sized rollup (dimension-bounded), never raw lineitems,
+# and the nation partition keeps each frame at suppliers-per-nation.
+# Revenue is the exact-decimal sum; cume_dist itself is a pure rank
+# ratio (rows_le / rows), deterministic under ties in both engines.
+@query(
+    "supplier_revenue_cumedist",
+    oracle="""
+    WITH sr AS (
+      SELECT s.s_nationkey, s.s_name,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 4)
+                  AS DOUBLE) AS revenue
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2)
+    SELECT n.n_name AS nation, sr.s_name, sr.revenue,
+           CUME_DIST() OVER (PARTITION BY sr.s_nationkey
+                             ORDER BY sr.revenue) AS rev_cumedist
+    FROM sr JOIN nation n ON n.n_nationkey = sr.s_nationkey
+    ORDER BY nation, revenue, s_name
+    """,
+)
+def supplier_revenue_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_name")
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("revenue")
+    return (
+        sr.withColumn("rev_cumedist", F.cume_dist().over(w))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "s_name",
+            "revenue",
+            "rev_cumedist",
+        )
+        .orderBy("nation", "revenue", "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT IN null semantics — the correctness corner that silently drops
+# every row: `x NOT IN (subquery)` is three-valued, so ONE NULL in
+# the subquery output makes the whole predicate unknown for every
+# non-matching row. Both counts run side by side: the null-poisoned
+# subquery (NULLIF injects the NULL) and the sanitized one. Spark
+# plans the former as a null-aware anti join — which is
+# BROADCAST-ONLY for the subquery side, the scale reason production
+# filters should write NOT EXISTS (a plain shuffleable anti-join,
+# see customers_without_urgent_orders) unless they truly want
+# three-valued semantics.
+@query(
+    "not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer c
+       WHERE c.c_custkey NOT IN
+         (SELECT NULLIF(o_custkey, 7) FROM orders
+          WHERE o_orderpriority = '1-URGENT')) AS with_null_cnt,
+      (SELECT COUNT(*) FROM customer c
+       WHERE c.c_custkey NOT IN
+         (SELECT NULLIF(o_custkey, 7) FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND NULLIF(o_custkey, 7) IS NOT NULL)) AS without_null_cnt
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_nin_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_nin_orders"
+    )
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM v_nin_customer c
+           WHERE c.c_custkey NOT IN
+             (SELECT NULLIF(o_custkey, 7) FROM v_nin_orders
+              WHERE o_orderpriority = '1-URGENT')) AS with_null_cnt,
+          (SELECT COUNT(*) FROM v_nin_customer c
+           WHERE c.c_custkey NOT IN
+             (SELECT NULLIF(o_custkey, 7) FROM v_nin_orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND NULLIF(o_custkey, 7) IS NOT NULL)) AS without_null_cnt
+        """
+    )

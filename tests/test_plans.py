@@ -710,3 +710,35 @@ def test_backlog_window_consumes_daily_aggregate(spark, registry):
     for line in plan.splitlines():
         if "ReadSchema" in line and "lineitem" in line:
             assert "l_extendedprice" not in line
+
+
+def test_not_in_compiles_to_null_aware_broadcast_anti(spark, registry):
+    """The NOT IN subqueries must plan as broadcast null-aware anti
+    joins — and that broadcast-only constraint is exactly why the
+    docstring steers scale users to NOT EXISTS."""
+    plan = _plan(spark, registry["not_in_null_semantics"].fn(spark, SF))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_division_single_grouped_pass(spark, registry):
+    """Relational division by counting: one orders scan, no
+    correlated anti-joins (the textbook double-NOT-EXISTS shape)."""
+    plan = _plan(
+        spark, registry["customers_all_priorities"].fn(spark, SF), "formatted"
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "Location" in ln and "orders" in ln
+    ]
+    assert len(scans) == 1
+    assert "LeftAnti" not in plan
+
+
+def test_cumedist_runs_on_supplier_rollup(spark, registry):
+    """The window consumes the |supplier|-sized aggregate: the
+    lineitem scan reads only the three aggregate inputs."""
+    plan = _plan(
+        spark, registry["supplier_revenue_cumedist"].fn(spark, SF), "formatted"
+    )
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_suppkey" in line:
+            assert "l_orderkey" not in line and "l_quantity" not in line
