@@ -721,16 +721,25 @@ def test_not_in_compiles_to_null_aware_broadcast_anti(spark, registry):
 
 
 def test_division_single_grouped_pass(spark, registry):
-    """Relational division by counting: one orders scan, no
-    correlated anti-joins (the textbook double-NOT-EXISTS shape)."""
+    """Relational division by counting: no correlated anti-joins (the
+    textbook double-NOT-EXISTS shape would carry two), and at most two
+    orders scans — the grouped fact pass plus the priority-column-only
+    scan that sizes the divisor domain."""
     plan = _plan(
         spark, registry["customers_all_priorities"].fn(spark, SF), "formatted"
     )
     scans = [
         ln for ln in plan.splitlines() if "Location" in ln and "orders" in ln
     ]
-    assert len(scans) == 1
+    assert len(scans) <= 2
     assert "LeftAnti" not in plan
+    # the domain scan reads only the priority column
+    domain_schemas = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "o_custkey" not in ln
+    ]
+    assert any("o_orderpriority" in ln for ln in domain_schemas)
 
 
 def test_cumedist_runs_on_supplier_rollup(spark, registry):
