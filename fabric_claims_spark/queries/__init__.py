@@ -351,6 +351,7 @@ GATE_PRIORITY: list[str] = [
     "customers_all_priorities",
     "supplier_revenue_cumedist",
     "not_in_null_semantics",
+    "embeddings_semantic_dedup",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

@@ -1013,3 +1013,88 @@ def embeddings_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then prune near-duplicates WITHIN each
+# cluster only — the pair space is Σ C(|cluster|,2), a k-th of
+# all-pairs, and shrinks further as k grows with corpus size (the
+# paper's regime: cluster size ~constant, pair work ~n·|cluster|).
+# Survivor rule, deterministic: a vector is dropped iff a LOWER-id
+# vector in its cluster sits above the cosine threshold (the id-order
+# greedy SemDeDup uses with "keep one per semantic group" intent —
+# transitive groups are intentionally NOT chased; that full-CC
+# variant is docs_dup_clusters' job on text).
+# Every similarity rounds to 6dp before comparison, so the
+# threshold cut is bit-identical across engines.
+@query(
+    "embeddings_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster, ev FROM (
+        SELECT e.vec_id, c.centroid_id, e.ev,
+               ROUND(list_dot_product(e.ev, c.cv)
+                     / (sqrt(list_dot_product(e.ev, e.ev))
+                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM e, cent c)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.ev, b.ev)
+                  / (sqrt(list_dot_product(a.ev, a.ev))
+                     * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.3)
+    SELECT s.vec_id, s.cluster
+    FROM assign s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY s.vec_id
+    """,
+)
+def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        "ev",
+        F.round(_cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"), "ev")
+    )
+    a = assign.select(
+        F.col("cluster").alias("c_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("ev").alias("ev_a"),
+    )
+    b = assign.select(
+        F.col("cluster").alias("c_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("ev").alias("ev_b"),
+    )
+    dropped = (
+        a.join(b, (a["c_a"] == b["c_b"]) & (a["id_a"] < b["id_b"]))
+        .where(F.round(_cosine(F.col("ev_a"), F.col("ev_b")), 6) >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
