@@ -59,3 +59,37 @@ def row_filtered_view(df: DataFrame, predicate: Column) -> DataFrame:
 def provider_rls(df: DataFrame, provider_ids: list[str]) -> DataFrame:
     """The reference's RLS shape: a provider sees only their rows."""
     return row_filtered_view(df, F.col("ProviderID").isin(provider_ids))
+
+
+def forget_subject(
+    store,
+    subject_tables: dict[str, str],
+    subject_id,
+    audit_pipeline: str = "gdpr_erasure",
+) -> dict[str, int]:
+    """Right-to-be-forgotten: delete every row for ``subject_id``
+    across ``subject_tables`` ({table_name: key_column}) and append a
+    per-table audit row recording the erasure counts.
+
+    Each table is one ``TableStore.delete`` — a native Delta DELETE
+    on clusters, an atomic anti-filter commit on the parquet
+    fallback. The audit row carries only the COUNT and the pipeline
+    tag, never the subject key itself (an erasure log that names the
+    erased subject defeats the erasure). Returns {table: rows_erased}.
+    """
+    from fabric_claims_spark.sources.audit import append_audit_row
+
+    results: dict[str, int] = {}
+    for table, key_col in subject_tables.items():
+        n = store.delete(table, F.col(key_col) == F.lit(subject_id))
+        results[table] = n
+        append_audit_row(
+            store.spark,
+            store,
+            pipeline=audit_pipeline,
+            layer="governance",
+            status="Succeeded",
+            rows_written=n,
+            target_object=table,
+        )
+    return results

@@ -27,7 +27,7 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 try:  # pragma: no cover - exercised only where delta-spark is installed
@@ -161,6 +161,35 @@ class TableStore:
         if self.exists(name):
             df = self.read(name).unionByName(df, allowMissingColumns=True)
         self._commit_version(name, df)
+
+    def delete(self, name: str, condition: Column) -> int:
+        """DELETE WHERE ``condition`` — the erasure sink (GDPR/CCPA
+        right-to-be-forgotten, retention enforcement). Returns the
+        number of rows removed.
+
+        Delta: a native metadata DELETE (file-level rewrite of only
+        the touched files). Fallback: anti-filter + version commit —
+        atomic via the same pointer swap as every other write, and
+        the pre-delete version remains readable through
+        ``read_version`` until vacuumed (the audit trail an erasure
+        workflow needs: provable before/after).
+        """
+        if not self.exists(name):
+            return 0
+        if self.use_delta:
+            from delta.tables import DeltaTable
+
+            t = DeltaTable.forPath(self.spark, self._dir(name))
+            before = t.toDF().count()
+            t.delete(condition)
+            return before - t.toDF().count()
+        current = self.read(name)
+        # one pass computes both counts; the kept rows re-commit
+        hits = current.where(condition).count()
+        if hits == 0:
+            return 0
+        self._commit_version(name, current.where(~condition))
+        return hits
 
     def merge(
         self,

@@ -35,3 +35,49 @@ def test_provider_rls_pushes_filter(spark):
     rows = out.collect()
     assert {r["claim"] for r in rows} == {"a", "c"}
     assert all(r["ProviderID"] == "prov1" for r in rows)
+
+
+def test_table_store_delete_and_forget_subject(spark, tmp_path):
+    """DELETE removes exactly the predicate rows (atomic version
+    commit on the fallback store) and forget_subject erases a key
+    across tables with per-table audit rows that never name the key."""
+    import pyspark.sql.functions as F
+
+    from fabric_claims_spark.plans.governance import forget_subject
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    orders = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "cust long, amt double"
+    )
+    events = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (2, "view")], "cust long, etype string"
+    )
+    store.overwrite("t_orders", orders)
+    store.overwrite("t_events", events)
+
+    # plain delete
+    assert store.delete("t_orders", F.col("amt") > 15.0) == 1
+    assert store.read("t_orders").count() == 3
+    # no-match delete is a no-op (no new version churn)
+    assert store.delete("t_orders", F.col("amt") > 1e9) == 0
+    # missing table
+    assert store.delete("t_missing", F.lit(True)) == 0
+
+    erased = forget_subject(
+        store, {"t_orders": "cust", "t_events": "cust"}, subject_id=1
+    )
+    # the amt>15 delete above already removed one of subject 1's rows
+    assert erased == {"t_orders": 1, "t_events": 1}
+    assert (
+        store.read("t_orders").where(F.col("cust") == 1).count() == 0
+    )
+    assert store.read("t_events").where(F.col("cust") == 1).count() == 0
+    # audit rows: one per table, counts only — the key never appears
+    from fabric_claims_spark.sources.audit import AUDIT_TABLE
+
+    audit = store.read(AUDIT_TABLE).where(
+        F.col("PipelineName") == "gdpr_erasure"
+    )
+    assert audit.count() == 2
+    assert sorted(r["RowsWritten"] for r in audit.collect()) == [1, 1]
