@@ -294,3 +294,54 @@ def pagerank(
             ).alias("pr"),
         )
     return pr.select("node", "pr")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` over
+    undirected ``edges``: (node, dist) for every node within
+    ``max_depth`` hops (the source at dist 0).
+
+    Level-synchronous frontier BFS: each round joins the CURRENT
+    frontier (nodes first reached last round) against the edge list
+    and anti-joins the visited set — per-round work is
+    O(frontier-adjacent edges), the distributed BFS shape (Pregel
+    superstep without the framework). Rounds are bounded by
+    ``max_depth``; per-round lineage truncates via localCheckpoint so
+    the plan stays flat (same policy as connected_components — pass
+    pre-checkpointed edges for reliable-mode loops).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    node_type = sym.schema["u"].dataType
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("dist", T.LongType())]
+    )
+    visited = spark.createDataFrame([(source, 0)], schema).localCheckpoint()
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(
+            visited.select("node"), "node", "left_anti"
+        ).select("node", F.lit(depth).cast("long").alias("dist"))
+        fresh = fresh.localCheckpoint()
+        if fresh.rdd.isEmpty():
+            break
+        visited = visited.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select("node")
+    return visited

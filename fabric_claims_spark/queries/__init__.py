@@ -352,6 +352,7 @@ GATE_PRIORITY: list[str] = [
     "supplier_revenue_cumedist",
     "not_in_null_semantics",
     "embeddings_semantic_dedup",
+    "brand_bfs_distances",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

@@ -1345,3 +1345,73 @@ def orders_backlog_monthly_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("open_orders").cast("bigint").alias("peak_open"))
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# BFS shortest-path distances from one brand over the top-75
+# co-occurrence edge graph (the link-prediction edge set, verbatim):
+# level-synchronous frontier expansion (extensions/graph.bfs_distances
+# — per-round work is frontier-adjacent edges only, Pregel-superstep
+# shape), against DuckDB's recursive-CTE walk with the same depth cap.
+# The brand domain bounds everything: |nodes| ≤ |brands|, ≤6 rounds.
+@query(
+    "brand_bfs_distances",
+    oracle="""
+    WITH RECURSIVE ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pc AS (
+      SELECT a.brand AS ba, b.brand AS bb, COUNT(*) AS c
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2),
+    e AS (
+      SELECT ba, bb FROM (
+        SELECT ba, bb,
+               ROW_NUMBER() OVER (ORDER BY c DESC, ba, bb) AS r
+        FROM pc)
+      WHERE r <= 75),
+    sym AS (
+      SELECT ba AS u, bb AS v FROM e
+      UNION ALL SELECT bb AS u, ba AS v FROM e),
+    walk(brand, dist) AS (
+      SELECT 'Brand#11' AS brand, 0 AS dist
+      UNION
+      SELECT s.v, w.dist + 1
+      FROM walk w JOIN sym s ON s.u = w.brand
+      WHERE w.dist < 6)
+    SELECT brand AS node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY 1 ORDER BY dist, node
+    """,
+)
+def brand_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.select("okey", F.col("brand").alias("ba"))
+    b = ob.select("okey", F.col("brand").alias("bb"))
+    pc = (
+        a.join(b, "okey")
+        .where(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    e = (
+        pc.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("ba"), F.col("bb"))
+            ),
+        )
+        .where(F.col("r") <= 75)
+        .select(F.col("ba").alias("src"), F.col("bb").alias("dst"))
+    )
+    return (
+        bfs_distances(e, "Brand#11", max_depth=6)
+        .orderBy("dist", "node")
+    )

@@ -858,3 +858,23 @@ def test_trained_pq_codebook_never_increases_distortion(spark):
         exact = [r["vec_id"] for r in fr.orderBy(F.col("exact_dot").desc(), "vec_id").limit(10).collect()]
         return len(set(top) & set(exact)) / 10
     print("pq containment seeded:", containment(seeded), "trained:", containment(trained))
+
+
+def test_bfs_distances_levels_and_unreachable(spark):
+    """Frontier BFS: exact hop counts on a path graph, unreachable
+    components absent, max_depth honored."""
+    from fabric_claims_spark.extensions.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["dist"] for r in bfs_distances(e, "a").collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(e, "a", max_depth=2).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 2}

@@ -328,3 +328,29 @@ def test_table_diff_change_types(spark):
 
     with _pytest.raises(ValueError):
         table_diff(old.drop("x"), new, keys=["k"])
+
+
+def test_parquet_merge_schema_evolution_read(spark, tmp_path):
+    """Schema drift across landed batches: a reader with mergeSchema
+    must surface the union schema, old rows NULL-filling the new
+    column — the append-compatible evolution contract the silver
+    layer assumes (the breaking-change path goes through
+    TableStore.overwrite's overwriteSchema instead)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/b1")
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.parquet(base + "/b2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/b1", base + "/b2"
+    )
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
+    # and filters on the NEW column still push down over the union
+    assert merged.where(F.col("score") > 9).count() == 1
