@@ -247,3 +247,88 @@ def test_kmeans_assigns_true_nearest_centroid(spark, vecs):
         cluster, dist = got[i]
         assert cluster == best[1]
         assert abs(dist - best[0]) < 1e-5
+
+
+# -- boundary-event interval concurrency vs brute force -------------------
+
+interval_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # open day
+        st.integers(min_value=0, max_value=15),  # duration
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(intervals=interval_st)
+@settings(**_SETTINGS)
+def test_boundary_sweep_equals_bruteforce_concurrency(spark, intervals):
+    """The ±1 boundary-event cumulative sum (the
+    orders_backlog_monthly_peak shape) must equal the brute-force
+    per-day containment count for arbitrary interval sets —
+    including fully-nested, identical, and touching intervals."""
+    from pyspark.sql import Window
+
+    spans = spark.createDataFrame(
+        [(o, o + d) for o, d in intervals], "od int, cd int"
+    )
+    ev = spans.selectExpr("od AS day", "1 AS n").unionByName(
+        spans.selectExpr("cd + 1 AS day", "-1 AS n")
+    )
+    daily = ev.groupBy("day").agg(F.sum("n").alias("net"))
+    run = daily.withColumn(
+        "open_n",
+        F.sum("net").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = {r["day"]: r["open_n"] for r in run.collect()}
+    # brute force on the driver (inputs are tiny by construction)
+    for day in got:
+        want = sum(1 for o, d in intervals if o <= day <= o + d)
+        assert got[day] == want, (day, got[day], want)
+
+
+# -- relational division by counting vs double-NOT-EXISTS -----------------
+
+pairs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # entity
+        st.integers(min_value=0, max_value=3),  # attribute
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=pairs_st)
+@settings(**_SETTINGS)
+def test_division_by_counting_equals_double_not_exists(spark, pairs):
+    """customers_all_priorities' division-by-counting must agree with
+    the set-difference division formulation (entities with no missing
+    (ent, attr) requirement) on arbitrary entity/attribute multisets.
+    The classic double-NOT-EXISTS spelling needs a correlation two
+    subquery levels deep, which Spark's analyzer rejects — itself a
+    reason the engine ships the counting form."""
+    df = spark.createDataFrame(pairs, "ent int, attr int")
+    dom = df.agg(F.count_distinct("attr").alias("n")).first()["n"]
+    by_count = {
+        r["ent"]
+        for r in df.groupBy("ent")
+        .agg(F.count_distinct("attr").alias("s"))
+        .where(F.col("s") == dom)
+        .collect()
+    }
+    ents = df.select("ent").distinct()
+    attrs = df.select("attr").distinct()
+    missing = ents.crossJoin(attrs).join(
+        df.select("ent", "attr").distinct(), ["ent", "attr"], "left_anti"
+    )
+    textbook = {
+        r["ent"]
+        for r in ents.join(
+            missing.select("ent").distinct(), "ent", "left_anti"
+        ).collect()
+    }
+    assert by_count == textbook
