@@ -384,6 +384,9 @@ def docs_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLEAN_MIN_CHARS = 100
 _CLEAN_MIN_ALPHA = 0.5
 _CLEAN_THRESHOLD = 0.5
+# label-broadcast gate: 1M (node, cluster) long-pairs ≈ 16 MB payload
+# (well under any executor budget); above it the label joins shuffle
+_CLEAN_LABEL_BROADCAST_MAX = 1_000_000
 
 
 def _clean_corpus_oracle() -> str:
@@ -437,15 +440,18 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning end-to-end. Scale shape: the quality filter and
     exact dedup are one scan + one hash window; LSH pairs only ever
     form over the deduped survivors (never the raw corpus); the
-    component labels join back onto the corpus by doc_id with NO
-    forced broadcast — the label frame is proportional to the
+    component labels join back onto the corpus by doc_id with a
+    COUNT-GATED broadcast — the label frame is proportional to the
     near-dup population (commonly 20-50% of an LLM corpus), so it is
     localCheckpoint-materialized (distributed, once — it feeds BOTH
     label joins, and the iterative lineage would otherwise recompute
-    per join) and the planner/AQE picks the strategy from its REAL
-    size: broadcast when genuinely small, shuffled equi-join
-    otherwise. Both are scale-safe; a forced broadcast of an
-    unbounded side is not."""
+    per join), its exact row count read off the materialized copy
+    (metadata-cheap), and the broadcast hint applied ONLY under
+    _CLEAN_LABEL_BROADCAST_MAX rows. The gate exists because a
+    checkpointed frame is a LogicalRDD with unknown stats: the
+    planner assumes worst-case size and always shuffles, even for a
+    100-row label set. An unconditional hint (the round-4 bug) OOMs
+    at high dup rates; the measured gate is scale-safe at both ends."""
     from fabric_claims_spark.extensions.graph import connected_components
     from pyspark.sql import Window
 
@@ -479,6 +485,10 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = comp.select(
         F.col("node").alias("exact_canon"), F.col("cluster").alias("canon_cluster")
     )
+    # count the materialized labels (cheap) and broadcast only when
+    # the frame is measured-small — see docstring
+    if comp.count() <= _CLEAN_LABEL_BROADCAST_MAX:
+        c, c2 = F.broadcast(c), F.broadcast(c2)
     out = (
         docs.select("doc_id")
         .join(e, "doc_id", "left")

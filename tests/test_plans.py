@@ -187,19 +187,30 @@ def test_ivf_search_broadcasts_probe_and_query(spark, registry):
 
 def test_clean_corpus_label_joins_equi_no_forced_broadcast(spark, registry):
     """The cleaning composition must keep every join equi (no
-    cartesian / nested-loop) and must NOT force-broadcast the
-    component-label frames: labels grow with the near-dup population
-    (unbounded at LLM-corpus dup rates), so the plan leaves the
-    strategy to AQE — broadcast when measured-small, shuffled
-    equi-join otherwise."""
+    cartesian / nested-loop) and must never broadcast the
+    component-label frames UNCONDITIONALLY: labels grow with the
+    near-dup population (unbounded at LLM-corpus dup rates), and a
+    checkpointed frame has unknown stats, so the hint is gated on the
+    MEASURED label count. Both gate arms are pinned: the tiny sf0.001
+    label set broadcasts; with the gate forced to 0 the same query
+    must carry zero broadcast hints."""
+    import fabric_claims_spark.queries.lsh as lsh_mod
+
     df = registry["docs_clean_corpus"].fn(spark, SF)
     plan = _plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # No ResolvedHint/broadcast hint survives on the label joins: the
-    # optimized logical plan must carry zero user broadcast hints.
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in logical
+    # tiny labels → the measured gate applies the hint
+    assert "BroadcastHashJoin" in plan
+
+    prev = lsh_mod._CLEAN_LABEL_BROADCAST_MAX
+    lsh_mod._CLEAN_LABEL_BROADCAST_MAX = 0
+    try:
+        big = registry["docs_clean_corpus"].fn(spark, SF)
+        logical = big._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in logical
+    finally:
+        lsh_mod._CLEAN_LABEL_BROADCAST_MAX = prev
 
 
 def test_shuffle_order_uses_shard_windows_and_broadcast_offsets(spark, registry):
