@@ -31,9 +31,15 @@ def write_with_metrics(
 
     ``metrics`` maps output names to aggregate expressions over df's
     rows (count/sum/min/max/approx — anything Observation supports:
-    deterministic aggregates only, no distinct). Returns the metric
-    dict; raises if the write ran no job (metrics would silently be
-    absent otherwise).
+    deterministic aggregates only, no distinct).
+
+    CONTRACT: ``write`` must execute an action on the DataFrame it is
+    HANDED (the observed frame), not on a captured reference to the
+    original ``df`` — ``Observation.get`` blocks until an action
+    flows through the observation point, so a write that ignores its
+    argument (or swallows its own failure and runs no job) would hang
+    the caller. ``write`` exceptions propagate before ``get`` is
+    touched.
     """
     obs = Observation()
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])

@@ -1292,6 +1292,17 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate (≈365·years rows, calendar-bounded — the same bounded-
 # domain-window contract as the histogram-CDF queries), never over
 # order rows.
+#
+# Carried-over peaks: the running count is only SAMPLED at boundary
+# days, so a month with no events still has a backlog — the count
+# carried in from the last prior event day. A month spine (calendar-
+# bounded) forward-fills each month's carry-in (the previous months'
+# last sampled value) and the peak is max(carry_in, within-month
+# samples); event-less months report their carry-in instead of
+# vanishing. (Found by review: the event-day-only grouping
+# under-reported every carried-over month, and the oracle shared the
+# blind spot — the monthly property test now checks against a
+# brute-force day sweep.)
 @query(
     "orders_backlog_monthly_peak",
     oracle="""
@@ -1310,10 +1321,31 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(net) OVER (ORDER BY day
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS open_orders
-      FROM daily)
-    SELECT CAST(date_trunc('month', day) AS DATE) AS month,
-           CAST(MAX(open_orders) AS BIGINT) AS peak_open
-    FROM run GROUP BY 1 ORDER BY 1
+      FROM daily),
+    bymonth AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             MAX(open_orders) AS mmax,
+             MAX_BY(open_orders, day) AS mlast,
+             MIN(day) AS mfirst
+      FROM run GROUP BY 1),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(
+               (SELECT MIN(month) FROM bymonth),
+               (SELECT MAX(month) FROM bymonth),
+               INTERVAL 1 MONTH)) AS DATE) AS month),
+    filled AS (
+      SELECT s.month, b.mmax, b.mfirst,
+             COALESCE(LAST_VALUE(b.mlast IGNORE NULLS) OVER (
+               ORDER BY s.month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS carry_in
+      FROM spine s LEFT JOIN bymonth b ON b.month = s.month)
+    SELECT month,
+           CAST(GREATEST(COALESCE(mmax, 0),
+                         CASE WHEN mfirst IS NULL OR mfirst > month
+                              THEN carry_in ELSE 0 END) AS BIGINT)
+             AS peak_open
+    FROM filled ORDER BY month
     """,
 )
 def orders_backlog_monthly_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,11 +1370,46 @@ def orders_backlog_monthly_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    bymonth = run.groupBy(
+        F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    ).agg(
+        F.max("open_orders").alias("mmax"),
+        F.max_by("open_orders", "day").alias("mlast"),
+        F.min("day").alias("mfirst"),
+    )
+    spine = bymonth.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    filled = spine.join(bymonth, "month", "left").withColumn(
+        "carry_in",
+        F.coalesce(
+            F.last("mlast", ignorenulls=True).over(
+                Window.orderBy("month").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    # carry-in holds only for days BEFORE the month's first sampled
+    # day; a sample on the month's first day makes it inapplicable
+    carry_applies = F.col("mfirst").isNull() | (
+        F.col("mfirst") > F.col("month")
+    )
     return (
-        run.groupBy(
-            F.date_trunc("month", F.col("day")).cast("date").alias("month")
+        filled.select(
+            "month",
+            F.greatest(
+                F.coalesce(F.col("mmax"), F.lit(0)),
+                F.when(carry_applies, F.col("carry_in")).otherwise(F.lit(0)),
+            )
+            .cast("bigint")
+            .alias("peak_open"),
         )
-        .agg(F.max("open_orders").cast("bigint").alias("peak_open"))
         .orderBy("month")
     )
 
@@ -1389,7 +1456,7 @@ def brand_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )

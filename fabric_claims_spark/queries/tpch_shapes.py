@@ -26,6 +26,15 @@ each query here exists to pin one optimizer/execution shape:
 Determinism follows queries/__init__: exact decimal money math,
 integer quantity math (quantities are whole numbers stored as
 double), single final double divisions, identical aliases both sides.
+
+Broadcast-hint policy (the round-4 lesson, applied): explicit
+F.broadcast appears ONLY on frames bounded by a domain, not by the
+scale factor — nation (25 rows), the 5-row segment averages, 1-row
+scalars. customer/supplier/part and every filtered or aggregated
+slice of a fact are SF-proportional, so their join strategy is left
+to the planner/AQE, which sees their real (file or runtime) sizes;
+at 100 TB a forced broadcast of any of them is an OOM, while at test
+scale the planner broadcasts them anyway.
 """
 
 from __future__ import annotations
@@ -129,12 +138,12 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_nation = F.col("n2.n_name")
     return (
         li.join(
-            F.broadcast(s.join(F.broadcast(n1), s["s_nationkey"] == F.col("n1.n_nationkey"))),
+            s.join(F.broadcast(n1), s["s_nationkey"] == F.col("n1.n_nationkey")),
             li["l_suppkey"] == s["s_suppkey"],
         )
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .join(
-            F.broadcast(c.join(F.broadcast(n2), c["c_nationkey"] == F.col("n2.n_nationkey"))),
+            c.join(F.broadcast(n2), c["c_nationkey"] == F.col("n2.n_nationkey")),
             c["c_custkey"] == o["o_custkey"],
         )
         .where(
@@ -190,7 +199,7 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(
             F.year(F.to_date("o_orderdate")).cast("bigint").alias("order_year")
@@ -251,7 +260,7 @@ def returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(dsum(_revenue()).alias("returned_revenue"))
@@ -305,8 +314,9 @@ def order_count_distribution_ex_low(spark: SparkSession, sf_dir: str) -> DataFra
 
 # --------------------------------------------------------------------------
 # Q14 shape — promo revenue share per month: the part-type attribute
-# arrives via a broadcast join and the share is two conditional
-# decimal sums in ONE aggregate pass, divided once as doubles.
+# arrives via an equi-join (planner-sized — part is SF-proportional)
+# and the share is two conditional decimal sums in ONE aggregate
+# pass, divided once as doubles.
 @query(
     "promo_revenue_share",
     oracle="""
@@ -340,7 +350,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
             F.date_trunc("month", F.to_date("l_shipdate"))
             .cast("date")
@@ -359,10 +369,13 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q16 shape — supplier diversity per part attribute, with a NOT IN
 # exclusion: the `l_suppkey NOT IN (subquery)` decorrelates to a
-# broadcast left-anti join (the exclusion list is tiny — suppliers in
-# deficit), the (partkey, suppkey) pairs distinct-project BEFORE the
-# part join, and COUNT(DISTINCT) runs per (brand, size) group after a
-# broadcast dim join. No fact self-join anywhere.
+# left-anti join against the (typically tiny) deficit-supplier list,
+# the (partkey, suppkey) pairs distinct-project BEFORE the part
+# join, and COUNT(DISTINCT) runs per (brand, size) group. Join
+# strategies are the planner's: both the exclusion list and the
+# filtered part slice are SF-proportional, so no forced broadcast —
+# the planner picks broadcast from their real sizes. No fact
+# self-join anywhere.
 @query(
     "part_supplier_diversity",
     oracle="""
@@ -394,11 +407,11 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             pairs["l_suppkey"] == bad_supp["s_suppkey"],
             "left_anti",
         )
-        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .join(p, pairs["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -446,7 +459,7 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(pq, li["l_partkey"] == pq["pq_partkey"])
         .where(
             F.col("l_quantity").cast("bigint") * 5 * F.col("cnt")
@@ -463,8 +476,8 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18 shape — HAVING on a fact aggregate, then enrichment join-back:
 # the big-order keys come out of ONE grouped pass over lineitem
 # (integer-exact quantity sums), and only those ~dozens of keys join
-# back to orders/customer. The enrichment side is the small side —
-# the plan broadcasts the qualified keys, never re-scans lineitem.
+# back to orders/customer — AQE broadcasts the qualified-key side
+# from its measured runtime size; lineitem is never re-scanned.
 @query(
     "large_volume_customers",
     oracle="""
@@ -495,8 +508,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "c_custkey",
@@ -547,7 +560,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .where(cond)
         .agg(dsum(_revenue()).alias("revenue"))
     )
@@ -600,7 +613,7 @@ def sole_supplier_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(s), per_order["the_supp"] == s["s_suppkey"])
+        per_order.join(s, per_order["the_supp"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -751,7 +764,7 @@ def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bl = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", money("l_extendedprice").alias("price"))
     )
     mn = bl.groupBy(F.col("l_partkey").alias("mk")).agg(
@@ -763,7 +776,7 @@ def cheapest_line_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             mn,
             (bl["l_partkey"] == mn["mk"]) & (bl["price"] == mn["min_price"]),
         )
-        .join(F.broadcast(s), bl["l_suppkey"] == s["s_suppkey"])
+        .join(s, bl["l_suppkey"] == s["s_suppkey"])
         .select(
             "l_partkey", "s_name", F.col("price").cast("double").alias("min_price")
         )
@@ -801,7 +814,7 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nv = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(money("l_extendedprice")).alias("v"))
@@ -859,7 +872,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sr.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), sr["l_suppkey"] == s["s_suppkey"])
+        .join(s, sr["l_suppkey"] == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -936,7 +949,7 @@ def supplier_revenue_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     sr = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey", "s_name")
         .agg(dsum(_revenue()).alias("revenue"))
     )

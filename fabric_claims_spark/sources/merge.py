@@ -180,15 +180,26 @@ class TableStore:
             from delta.tables import DeltaTable
 
             t = DeltaTable.forPath(self.spark, self._dir(name))
-            before = t.toDF().count()
             t.delete(condition)
-            return before - t.toDF().count()
+            # the commit records the count — a metadata read, not two
+            # full-table scans (which would also race concurrent writes)
+            try:
+                metrics = (
+                    t.history(1).select("operationMetrics").first()[0] or {}
+                )
+                return int(metrics.get("numDeletedRows", 0))
+            except Exception:  # metrics shape varies across Delta versions
+                return -1  # deleted, count unavailable
         current = self.read(name)
-        # one pass computes both counts; the kept rows re-commit
-        hits = current.where(condition).count()
+        # SQL DELETE semantics: remove rows where the condition is
+        # TRUE; NULL-condition rows are KEPT (three-valued logic —
+        # plain ~condition would silently drop them AND exclude them
+        # from the returned count, diverging from the Delta branch).
+        is_hit = condition.eqNullSafe(F.lit(True))
+        hits = current.where(is_hit).count()
         if hits == 0:
             return 0
-        self._commit_version(name, current.where(~condition))
+        self._commit_version(name, current.where(~is_hit))
         return hits
 
     def merge(

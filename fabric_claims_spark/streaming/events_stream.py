@@ -783,9 +783,16 @@ def user_value_machine_stream(
             n, cents = (
                 self.totals.get() if self.totals.exists() else (0, 0)
             )
-            tail: list[tuple[int]] = []
-            for pdf in rows:
-                pdf = pdf.sort_values("event_id")
+            # one key's rows can arrive as SEVERAL Arrow chunks in
+            # arbitrary order — concatenate first, sort ONCE, so the
+            # trailing-k ring reflects event_id order across chunks
+            # (per-chunk sorting would take the tail of whichever
+            # chunk happened to arrive last)
+            chunks = list(rows)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                    "event_id"
+                )
                 n += len(pdf)
                 # 2dp money as integer cents: state stays exact under
                 # any batch split; the only float math is at emit.
@@ -793,7 +800,9 @@ def user_value_machine_stream(
                     int(round(v * 100)) for v in pdf["value"].tolist()
                 ]
                 cents += sum(batch_cents)
-                tail.extend((c,) for c in batch_cents)
+                tail = [(c,) for c in batch_cents]
+            else:
+                tail = []
             self.totals.update((n, cents))
             prior = list(self.recent.get()) if self.recent.exists() else []
             window = (prior + tail)[-recent_k:]

@@ -76,6 +76,17 @@ def test_cbo_broadcasts_statistically_small_side(cbo):
         )
     )
     assert "BroadcastHashJoin" in plan
-    # the build side announced in the plan must be the nation scan
-    # (BuildLeft: nation is the syntactic left AND the smaller side)
-    assert "BuildLeft" in plan or "BuildRight" in plan
+    # The first table relation printed below the BroadcastExchange
+    # node must be NATION — i.e. the stats-small side is the one
+    # being shipped, not the orders fact (the tree prints an
+    # exchange's child immediately beneath it).
+    lines = plan.splitlines()
+    i = next(
+        k for k, ln in enumerate(lines) if "BroadcastExchange" in ln
+    )
+    first_rel = next(
+        ln
+        for ln in lines[i + 1 :]
+        if "cbo_nation" in ln or "cbo_orders" in ln
+    )
+    assert "cbo_nation" in first_rel, plan

@@ -289,6 +289,51 @@ def test_boundary_sweep_equals_bruteforce_concurrency(spark, intervals):
         want = sum(1 for o, d in intervals if o <= day <= o + d)
         assert got[day] == want, (day, got[day], want)
 
+    # monthly peaks with carry-in (month = day // 10 here): the spine
+    # + forward-fill must equal a brute-force sweep over EVERY day in
+    # range, including months with no boundary events (the
+    # carried-over-peak bug a sampled-days-only group-by had)
+    bym = run.groupBy((F.col("day") / 10).cast("int").alias("m")).agg(
+        F.max("open_n").alias("mmax"),
+        F.expr("max_by(open_n, day)").alias("mlast"),
+        F.min("day").alias("mfirst"),
+    )
+    spine = bym.agg(F.min("m").alias("lo"), F.max("m").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("m")
+    )
+    from pyspark.sql import Window as W
+
+    filled = spine.join(bym, "m", "left").withColumn(
+        "carry",
+        F.coalesce(
+            F.last("mlast", ignorenulls=True).over(
+                W.orderBy("m").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    peaks = {
+        r["m"]: max(
+            r["mmax"] or 0,
+            r["carry"]
+            if (r["mfirst"] is None or r["mfirst"] > 10 * r["m"])
+            else 0,
+        )
+        for r in filled.collect()
+    }
+    lo_day = min(o for o, _ in intervals)
+    hi_day = max(o + d for o, d in intervals) + 1
+    for m in peaks:
+        days = [d for d in range(lo_day, hi_day + 1) if d // 10 == m]
+        want = max(
+            (
+                sum(1 for o, du in intervals if o <= day <= o + du)
+                for day in days
+            ),
+            default=0,
+        )
+        assert peaks[m] == want, (m, peaks[m], want)
+
 
 # -- relational division by counting vs double-NOT-EXISTS -----------------
 

@@ -354,3 +354,24 @@ def test_parquet_merge_schema_evolution_read(spark, tmp_path):
     assert rows[1] == ("a", None) and rows[3] == ("c", 9.5)
     # and filters on the NEW column still push down over the union
     assert merged.where(F.col("score") > 9).count() == 1
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE three-valued semantics: rows where the predicate
+    evaluates to NULL are kept, not deleted — and the returned count
+    equals exactly the TRUE-predicate rows."""
+    import pyspark.sql.functions as F
+
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(1, 20.0), (2, None), (3, 5.0)], "id long, amt double"
+        ),
+    )
+    n = store.delete("t", F.col("amt") > 15.0)
+    assert n == 1
+    left = {r["id"] for r in store.read("t").collect()}
+    assert left == {2, 3}  # the NULL-amt row survives

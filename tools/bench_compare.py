@@ -57,7 +57,9 @@ def load(path: str) -> dict[str, float]:
 
     best = None
     try:  # whole file = one (pretty-printed) JSON document
-        best = harvest(json.loads(text))
+        doc = json.loads(text)
+        if isinstance(doc, dict):
+            best = harvest(doc)
     except json.JSONDecodeError:
         pass
     if not best:  # JSON-lines output: keep the RICHEST record (the
@@ -66,9 +68,10 @@ def load(path: str) -> dict[str, float]:
             line = line.strip()
             if line.startswith("{"):
                 try:
-                    got = harvest(json.loads(line))
+                    doc = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                got = harvest(doc) if isinstance(doc, dict) else None
                 if got and (best is None or len(got) > len(best)):
                     best = got
     if not best:
@@ -77,6 +80,8 @@ def load(path: str) -> dict[str, float]:
 
 
 def main() -> int:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__.strip().splitlines()[-2].strip())
     old, new = load(sys.argv[1]), load(sys.argv[2])
     ratios = [
         new[q] / old[q] for q in CANARY if q in old and q in new and old[q] > 0
