@@ -68,6 +68,13 @@ def main() -> None:
         # full-suite session doesn't accrete executor storage — each
         # query is measured cold-cache, as it would run alone.
         spark.catalog.clearCache()
+        # clearCache only drops SQL-cached relations; localCheckpoint
+        # blocks (clean_corpus labels, estimate-error pairs) persist
+        # as plain RDD storage — release those too
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
     for name in HEADLINE:
         run_one(name)

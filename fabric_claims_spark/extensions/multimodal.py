@@ -192,8 +192,13 @@ def extract_features(
                         "not available in this environment"
                     )
                 h = hashlib.sha256(bytes(payload)).digest()
+                # offsets step 4 mod 29 (prime): 16 DISTINCT 4-byte
+                # windows over the 32-byte digest — a %28 modulus
+                # would cycle after 7 slots, duplicating components
+                # 7.. and leaving the embedding rank-deficient for
+                # the downstream kmeans/IVF/LSH consumers
                 raw = [
-                    int.from_bytes(h[(4 * i) % 28 : (4 * i) % 28 + 4], "big")
+                    int.from_bytes(h[(4 * i) % 29 : (4 * i) % 29 + 4], "big")
                     / 2**32
                     - 0.5
                     for i in range(dim)

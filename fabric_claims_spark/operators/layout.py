@@ -39,7 +39,7 @@ future scan of the table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -76,15 +76,22 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
     return "(" + " | ".join(terms) + ")"
 
 
-def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> Column:
+def rank_normalize(df: DataFrame, col: str, bits: int = 8) -> Column:
     """A column expression mapping ``col`` onto [0, 2^bits) by its
     quantile bucket. Cut points come from one ``approxQuantile`` pass
     (driver holds 2^bits doubles — bounded regardless of table size);
     the mapping itself is a broadcast-range lookup via ``width_bucket``
-    semantics expressed as a searchsorted over the cut array."""
+    semantics expressed as a searchsorted over the cut array.
+
+    ``bits`` defaults to 8 to match ``write_zordered``: 255 cut
+    points is what approxQuantile's rank error can actually resolve,
+    and the per-row fold is O(2^bits) — at bits=16 adjacent cut
+    points collapse into duplicates (skewed buckets) while the plan
+    folds a 65k-literal array per row. Raise ``relative_error`` down
+    alongside bits if a finer curve is truly needed."""
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.approxQuantile(col, qs, 0.001)
+    cuts = df.approxQuantile(col, qs, min(0.001, 0.25 / n_buckets))
     arr = F.array(*[F.lit(float(c)) for c in cuts])
     # number of cut points <= value == bucket index in [0, 2^bits)
     return F.aggregate(

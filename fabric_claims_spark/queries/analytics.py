@@ -737,6 +737,40 @@ def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly like the LSH band buckets in extensions/dedup.py (a hot
 # block would get the same bucket-cap treatment). The a<b predicate
 # halves the pair space and dedups symmetric matches.
+def _blocked_fuzzy_pairs(c):
+    """Blocked fuzzy match-pair generator shared by
+    customers_fuzzy_blocked_match and customers_golden_records: pairs
+    within a 17-char name-prefix block at Levenshtein distance <= 1
+    (one hash equi-join on the block key — never a cartesian). Any
+    change to the blocking key or threshold changes BOTH consumers'
+    match graphs in lockstep."""
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 17).alias("block"),
+    )
+    return (
+        a.join(
+            b,
+            (a["block"] == b["block"])
+            & (F.col("custkey_a") < F.col("custkey_b")),
+        )
+        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias(
+                "edit_dist"
+            ),
+        )
+    )
+
+
 @query(
     "customers_fuzzy_blocked_match",
     oracle="""
@@ -753,27 +787,7 @@ def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customers_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = c.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.substring("c_name", 1, 17).alias("block"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        F.substring("c_name", 1, 17).alias("block"),
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(
-            b,
-            (a["block"] == b["block"])
-            & (F.col("custkey_a") < F.col("custkey_b")),
-        )
-        .where(dist <= 1)
-        .select("custkey_a", "custkey_b", dist.alias("edit_dist"))
-        .orderBy("custkey_a", "custkey_b")
-    )
+    return _blocked_fuzzy_pairs(c).orderBy("custkey_a", "custkey_b")
 
 
 # --------------------------------------------------------------------------
@@ -816,24 +830,8 @@ def customers_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
-    a = c.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.substring("c_name", 1, 17).alias("block"),
-    )
-    b = c.select(
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
-        F.substring("c_name", 1, 17).alias("block"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (a["block"] == b["block"])
-            & (F.col("custkey_a") < F.col("custkey_b")),
-        )
-        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 1)
-        .select("custkey_a", "custkey_b")
+    pairs = _blocked_fuzzy_pairs(c.select("c_custkey", "c_name")).select(
+        "custkey_a", "custkey_b"
     )
     comp = connected_components(pairs, "custkey_a", "custkey_b")
     # unpaired customers are their own (singleton) cluster

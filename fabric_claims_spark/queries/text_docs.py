@@ -1281,13 +1281,13 @@ _MMF_DIM = 8
 
 def _mmfeat_oracle() -> str:
     comps = ",\n           ".join(
-        f"(('0x' || substr(hx, {((4 * i) % 28) * 2 + 1}, 8))::BIGINT"
+        f"(('0x' || substr(hx, {((4 * i) % 29) * 2 + 1}, 8))::BIGINT"
         f" / 4294967296.0 - 0.5) AS r{i}"
         for i in range(_MMF_DIM)
     )
     sumsq = " + ".join(f"r{i}*r{i}" for i in range(_MMF_DIM))
     micros = ", ".join(
-        f"CAST(FLOOR(r{i}/nrm*1000000) AS BIGINT)" for i in range(_MMF_DIM)
+        f"CAST(FLOOR(r{i}/(CASE WHEN nrm = 0 THEN 1 ELSE nrm END)*1000000) AS BIGINT)" for i in range(_MMF_DIM)
     )
     return f"""
     WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
@@ -1317,13 +1317,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             embs = []
             for payload in pdf["payload"]:
                 h = hashlib.sha256(bytes(payload)).digest()
+                # %29 (prime): all _MMF_DIM windows distinct — see
+                # extensions/multimodal.extract_features
                 raw = [
-                    int.from_bytes(h[(4 * i) % 28 : (4 * i) % 28 + 4], "big")
+                    int.from_bytes(h[(4 * i) % 29 : (4 * i) % 29 + 4], "big")
                     / 2**32
                     - 0.5
                     for i in range(_MMF_DIM)
                 ]
-                nrm = math.sqrt(sum(x * x for x in raw))
+                nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
                 embs.append(
                     ",".join(
                         str(math.floor(x / nrm * 1000000)) for x in raw

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -97,8 +98,9 @@ class TableStore:
     def versions(self, name: str) -> list[str]:
         """Retained version ids, oldest → newest (current last) — the
         time-travel index. Parquet mode orders the ``_vacuum``-retained
-        version dirs by mtime (ids are random hex; lexicographic order
-        is meaningless); Delta mode lists the commit history.
+        version dirs by the nanosecond commit stamp embedded in each
+        id (mtime fallback for legacy random-hex ids); Delta mode
+        lists the commit history.
         """
         if self.use_delta:
             hist = (
@@ -112,15 +114,21 @@ class TableStore:
         if self._current_version(name) is None:
             raise FileNotFoundError(f"table {name} does not exist under {self.root}")
 
-        def _mtime(d: str) -> float:
+        def _order(d: str) -> tuple[float, str]:
+            # primary: the nanosecond commit stamp embedded in the id
+            # (exact, monotonic); legacy random-hex ids fall back to
+            # mtime, tie-broken by name for determinism
+            part = d.split("_")[1] if "_" in d else ""
+            if part.isdigit():
+                return (float(part), d)
             try:
-                return os.stat(os.path.join(table_dir, d)).st_mtime
+                return (os.stat(os.path.join(table_dir, d)).st_mtime * 1e9, d)
             except OSError:
-                return 0.0
+                return (0.0, d)
 
         return sorted(
             (d for d in os.listdir(table_dir) if d.startswith("v_")),
-            key=_mtime,
+            key=_order,
         )
 
     def read_version(self, name: str, version: str) -> DataFrame:
@@ -425,7 +433,11 @@ class TableStore:
     ) -> None:
         table_dir = self._dir(name)
         os.makedirs(table_dir, exist_ok=True)
-        version = f"v_{uuid.uuid4().hex[:12]}"
+        # nanosecond-prefixed ids sort lexicographically in commit
+        # order: mtime alone ties on coarse-granularity filesystems,
+        # which would let versions() return old/new in arbitrary
+        # order and invert a CDC diff built on versions()[-2:]
+        version = f"v_{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)

@@ -441,14 +441,22 @@ def heavy_hitters_stream(
             applied, prev_total = head[0], head[1] or 0
             if applied is not None and batch_id <= applied:
                 return
-            prev = cur.select(key_col, "lower_bound")
+            # the NULL-key sentinel row carries state only — never a
+            # counter (see below)
+            prev = cur.where(F.col(key_col).isNotNull()).select(
+                key_col, "lower_bound"
+            )
         else:
             prev, prev_total = None, 0
 
         counts = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).alias("lower_bound")
         )
-        batch_rows = batch_df.count()
+        # batch size from the counts aggregate — not a second full
+        # scan of the micro-batch
+        batch_rows = int(
+            counts.agg(F.sum("lower_bound")).head()[0] or 0
+        )
         merged = (
             prev.unionByName(counts) if prev is not None else counts
         ).groupBy(key_col).agg(F.sum("lower_bound").alias("lower_bound"))
@@ -457,19 +465,34 @@ def heavy_hitters_stream(
             F.col("lower_bound").desc(), F.col(key_col)
         ).limit(k + 1).collect()
         cut = top[k]["lower_bound"] if len(top) > k else 0
-        summary = (
-            merged.select(
-                key_col,
-                (F.col("lower_bound") - F.lit(cut)).alias("lower_bound"),
-            )
-            .where(F.col("lower_bound") > 0)
+        summary = merged.select(
+            key_col,
+            (F.col("lower_bound") - F.lit(cut)).alias("lower_bound"),
+        ).where(F.col("lower_bound") > 0)
+        # the subtract step can legitimately empty the summary (>k
+        # keys tied at the cut); the batch-id/total state must
+        # survive that, so it rides a dedicated NULL-key sentinel
+        # row rather than piggybacking on counter rows
+        sentinel = spark.createDataFrame(
+            [(None, 0)],
+            StructType(
+                [
+                    StructField(
+                        key_col, counts.schema[key_col].dataType, True
+                    ),
+                    StructField("lower_bound", LongType()),
+                ]
+            ),
+        )
+        state = (
+            summary.unionByName(sentinel)
             .withColumn("_applied_batch_id", F.lit(batch_id).cast("long"))
             .withColumn(
                 "_total_rows",
                 F.lit(int(prev_total) + batch_rows).cast("long"),
             )
         )
-        store.overwrite(query_name, summary)
+        store.overwrite(query_name, state)
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -481,10 +504,14 @@ def heavy_hitters_stream(
     )
     if not store.exists(query_name):
         raise ValueError("no batches processed")
-    return store.read(query_name).select(
-        key_col,
-        "lower_bound",
-        F.col("_total_rows").alias("total_rows"),
+    return (
+        store.read(query_name)
+        .where(F.col(key_col).isNotNull())  # drop the state sentinel
+        .select(
+            key_col,
+            "lower_bound",
+            F.col("_total_rows").alias("total_rows"),
+        )
     )
 
 

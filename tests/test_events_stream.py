@@ -404,3 +404,43 @@ def test_transform_with_state_fail_fast_without_protobuf(spark, events_dir, tmp_
         user_value_machine_stream(
             spark, str(events_dir), str(tmp_path / "ckpt_nopb")
         )
+
+
+def test_heavy_hitters_state_survives_empty_summary(spark, events_dir, tmp_path):
+    """>k distinct keys all tied at the cut legitimately empty the
+    Misra-Gries summary — but the applied-batch-id / running-total
+    state must survive on the sentinel row: a later batch must not
+    reset the total, and a redelivered batch id must still skip."""
+    from pyspark.sql import functions as F2
+
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.events_stream import (
+        heavy_hitters_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_hh_empty")
+    # event_id is unique per row: every key has count 1, so with
+    # k << distinct keys the subtract zeroes everything
+    got = heavy_hitters_stream(
+        spark, str(events_dir), ckpt, key_col="event_id", k=5,
+        query_name="t_hh_empty",
+    )
+    assert got.count() == 0  # no candidates — correct MG behavior
+    n = spark.read.parquet(str(events_dir)).count()
+    state = TableStore(spark, f"{ckpt}_table").read("t_hh_empty")
+    head = state.agg(
+        F2.max("_applied_batch_id"), F2.max("_total_rows")
+    ).head()
+    assert head[0] == 0 and head[1] == n  # state survived
+
+    shutil.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    heavy_hitters_stream(
+        spark, str(events_dir), ckpt, key_col="event_id", k=5,
+        query_name="t_hh_empty",
+    )
+    state2 = TableStore(spark, f"{ckpt}_table").read("t_hh_empty")
+    head2 = state2.agg(
+        F2.max("_applied_batch_id"), F2.max("_total_rows")
+    ).head()
+    # total accumulated (not reset to the second batch's size alone)
+    assert head2[1] == 2 * n

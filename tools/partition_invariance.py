@@ -44,5 +44,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
-    sys.exit()
+    sys.exit(main())
