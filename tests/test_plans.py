@@ -762,3 +762,23 @@ def test_cumedist_runs_on_supplier_rollup(spark, registry):
     for line in plan.splitlines():
         if "ReadSchema" in line and "l_suppkey" in line:
             assert "l_orderkey" not in line and "l_quantity" not in line
+
+
+def test_setops_compile_to_semi_and_anti_joins(spark, registry):
+    """INTERSECT must plan as a distinct left-semi join and EXCEPT as
+    a distinct left-anti — the set algebra rides the equi-join scale
+    path, never sort-based set operators or nested loops."""
+    plan = _plan(spark, registry["customer_retention_setops"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_stay_within_cluster(spark, registry):
+    """The near-dup pair join must be the cluster-keyed equi self-join
+    (SemDeDup's whole point); the only nested-loop join allowed is
+    the K-row centroid broadcast."""
+    plan = _plan(spark, registry["embeddings_semantic_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the a<b pair join is an equi hash/sort-merge join on cluster
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
