@@ -353,6 +353,7 @@ GATE_PRIORITY: list[str] = [
     "not_in_null_semantics",
     "embeddings_semantic_dedup",
     "brand_bfs_distances",
+    "user_capped_balance",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

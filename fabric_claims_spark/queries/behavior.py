@@ -1835,3 +1835,96 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month_idx", "month_orders", "tv_distance")
         .orderBy("month_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Capped running balance — cumulative sum with a floor at zero
+# (wallet/credit semantics: purchases add, errors claw back, the
+# balance never goes negative). This recurrence is NOT window-
+# expressible: b_t = max(0, b_{t-1} + delta_t) depends on every
+# prior clamp, so it is the textbook case for the sanctioned Python
+# escape hatch — grouped applyInPandas (Arrow-batched, one fold per
+# user, deltas precomputed JVM-side as integer cents so Python only
+# folds ints). The oracle is DuckDB's recursive CTE over the same
+# per-user sequence. Scale shape: one shuffle on user_id, per-group
+# work linear in that user's events, no cross-user state.
+@query(
+    "user_capped_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT)
+                  WHEN event_type = 'error'
+                    THEN -CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE 0 END AS delta
+      FROM events),
+    walk(user_id, rn, bal, hits) AS (
+      SELECT user_id, rn, GREATEST(0, delta),
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, GREATEST(0, w.bal + s.delta),
+             w.hits + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s
+        ON s.user_id = w.user_id AND s.rn = w.rn + 1),
+    n AS (SELECT user_id, COUNT(*) AS n_events FROM seq GROUP BY 1)
+    SELECT w.user_id,
+           CAST(w.bal AS BIGINT) AS final_balance_cents,
+           CAST(w.hits AS BIGINT) AS floor_hits,
+           n.n_events
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n_events
+    ORDER BY w.user_id
+    """,
+)
+def user_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .when(
+            F.col("event_type") == "error",
+            -F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, hits = 0, 0
+        for d in pdf["delta"].tolist():
+            nb = bal + int(d)
+            if nb < 0:
+                hits += 1
+                bal = 0
+            else:
+                bal = nb
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_cents": [bal],
+                "floor_hits": [hits],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            fold,
+            schema=(
+                "user_id long, final_balance_cents long, "
+                "floor_hits long, n_events long"
+            ),
+        )
+        .orderBy("user_id")
+    )
