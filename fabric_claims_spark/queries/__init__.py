@@ -354,6 +354,9 @@ GATE_PRIORITY: list[str] = [
     "embeddings_semantic_dedup",
     "brand_bfs_distances",
     "user_capped_balance",
+    "top_orders_per_customer_ties",
+    "orders_mom_revenue_change",
+    "events_daily_distinct_actors",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

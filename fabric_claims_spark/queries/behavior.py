@@ -1928,3 +1928,54 @@ def user_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Multiple filtered DISTINCT aggregates in one pass — daily unique
+# buyers vs unique viewers vs total actives, plus the buyer/viewer
+# conversion ratio: three COUNT(DISTINCT) with different FILTER
+# predicates over one scan. Spark expands multi-distinct into the
+# expand-operator plan (one shuffle, grouping-id-tagged rows) rather
+# than three scans — the shape to check when a dashboard stacks
+# distinct measures.
+@query(
+    "events_daily_distinct_actors",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS actives,
+           COUNT(DISTINCT user_id)
+             FILTER (WHERE event_type = 'purchase') AS buyers,
+           COUNT(DISTINCT user_id)
+             FILTER (WHERE event_type = 'view') AS viewers,
+           ROUND(COUNT(DISTINCT user_id)
+                   FILTER (WHERE event_type = 'purchase')
+                 * 1.0
+                 / NULLIF(COUNT(DISTINCT user_id)
+                            FILTER (WHERE event_type = 'view'), 0), 6)
+             AS buyer_viewer_ratio
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_daily_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = F.count_distinct(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    )
+    viewers = F.count_distinct(
+        F.when(F.col("event_type") == "view", F.col("user_id"))
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("actives"),
+            buyers.alias("buyers"),
+            viewers.alias("viewers"),
+            F.round(
+                buyers * 1.0 / F.nullif(viewers, F.lit(0)), 6
+            ).alias("buyer_viewer_ratio"),
+        )
+        .orderBy("day")
+    )

@@ -1193,3 +1193,85 @@ def parts_no_recent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti")
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Greatest-n-per-group WITH TIES — rank() instead of row_number():
+# every order tied at the cut survives (the SQL:2008 FETCH ... WITH
+# TIES semantics). The deliberate contrast to
+# top3_orders_per_customer (row_number — exactly 3, ties broken by
+# key): tie handling is a correctness decision, not a detail, and the
+# two variants pin both sides of it. Same scale shape: one
+# user-keyed window over the fact, no global sort.
+@query(
+    "top_orders_per_customer_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC) AS BIGINT)
+               AS rnk
+      FROM orders)
+    WHERE rnk <= 2
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def top_orders_per_customer_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rnk",
+        )
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue change per priority — lag() over the
+# month×priority rollup (a calendar-bounded frame, never raw
+# orders); the first month of each priority yields NULL change in
+# both engines (lag's missing-row semantics, not a zero).
+@query(
+    "orders_mom_revenue_change",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT priority, month, revenue,
+           ROUND((revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 6) AS mom_change
+    FROM m
+    WINDOW w AS (PARTITION BY priority ORDER BY month)
+    ORDER BY priority, month
+    """,
+)
+def orders_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+    ).agg(
+        F.round(F.sum(money("o_totalprice")), 4).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.withColumn(
+            "mom_change",
+            F.round((F.col("revenue") - prev) / prev, 6),
+        )
+        .orderBy("priority", "month")
+    )
