@@ -357,6 +357,7 @@ GATE_PRIORITY: list[str] = [
     "top_orders_per_customer_ties",
     "orders_mom_revenue_change",
     "events_daily_distinct_actors",
+    "docs_ngram_novelty",
     # round-5: cohort retention triangle + boundary-event backlog sweep
     "events_retention_triangle",
     "orders_backlog_monthly_peak",

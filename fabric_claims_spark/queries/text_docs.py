@@ -2087,3 +2087,77 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_share"),
     ).orderBy("labeled_lang", "predicted_lang")
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve — per document, the fraction of its distinct
+# word 8-grams NOT seen in any earlier document (doc_id as arrival
+# order): the monitoring signal for incremental-ingest dedup and
+# curriculum ordering ("is new data still adding new content, or has
+# the stream gone stale?"). One grouped pass computes each gram's
+# first-seen doc (MIN over the gram key); novelty is then a pure
+# per-doc aggregate — linear, no pair joins, no windows over raw
+# grams beyond the gram-keyed min.
+@query(
+    "docs_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(toks, i, i + 7), ' ')), 1, 15))::BIGINT AS g
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+        FROM t)),
+    fs AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+    SELECT dg.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN fs.first_doc = dg.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+           ROUND(CAST(SUM(CASE WHEN fs.first_doc = dg.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM dg JOIN fs ON fs.g = dg.g
+    GROUP BY dg.doc_id
+    ORDER BY dg.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dg = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 8))).alias(
+            "gram"
+        ),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+    # first-seen doc per gram via a gram-keyed window (same shuffle
+    # key as the dup-span query; min over the frame, no sort)
+    w = Window.partitionBy("g")
+    flagged = dg.select(
+        "doc_id",
+        (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_first"),
+    )
+    novel = F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("novel_grams"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
