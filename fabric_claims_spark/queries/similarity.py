@@ -1077,19 +1077,30 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("centroid_id").alias("cluster"), "ev")
     )
-    a = assign.select(
+    # norms precompute per VECTOR (row-local sqrt of the same _dot
+    # expression _cosine uses, so dot/(na*nb) is bit-identical to the
+    # per-pair recomputation the oracle performs) — without this every
+    # pair re-derives both 64-element self-dots: 3x the array math
+    # over the C(cluster,2) pair space
+    withn = assign.withColumn("nrm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    a = withn.select(
         F.col("cluster").alias("c_a"),
         F.col("vec_id").alias("id_a"),
         F.col("ev").alias("ev_a"),
+        F.col("nrm").alias("n_a"),
     )
-    b = assign.select(
+    b = withn.select(
         F.col("cluster").alias("c_b"),
         F.col("vec_id").alias("id_b"),
         F.col("ev").alias("ev_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pair_cos = _dot(F.col("ev_a"), F.col("ev_b")) / (
+        F.col("n_a") * F.col("n_b")
     )
     dropped = (
         a.join(b, (a["c_a"] == b["c_b"]) & (a["id_a"] < b["id_b"]))
-        .where(F.round(_cosine(F.col("ev_a"), F.col("ev_b")), 6) >= 0.3)
+        .where(F.round(pair_cos, 6) >= 0.3)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
