@@ -358,11 +358,17 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
-    dist = (
-        "list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)"
-        " + list_dot_product(c.cv, c.cv)"
-    )
+_KM_DIST = (
+    "list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)"
+    " + list_dot_product(c.cv, c.cv)"
+)
+
+
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """The Lloyd-loop CTE prefix (ev, cent0 … cent{iters}) shared by
+    every oracle that consumes trained centroids — proven bit-exact
+    vs the Spark trainer by embeddings_kmeans."""
+    dist = _KM_DIST
     ctes = [
         "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""cent0 AS (
@@ -394,13 +400,16 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
             f"""cent{r + 1} AS (
       SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
       FROM cent{r} c LEFT JOIN newc{r} n ON n.cid = c.cid)""")
-    joined = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     return f"""
-    WITH {joined}
+    WITH {_kmeans_ctes(k, iters)}
     SELECT vec_id, cid AS cluster, ROUND(dist, 6) AS dist FROM (
       SELECT *, ROW_NUMBER() OVER (
           PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      FROM (SELECT e.vec_id, c.cid, {dist} AS dist
+      FROM (SELECT e.vec_id, c.cid, {_KM_DIST} AS dist
             FROM ev e CROSS JOIN cent{iters} c))
     WHERE rn = 1
     """
@@ -1017,10 +1026,16 @@ def embeddings_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
-# cluster the embedding space, then prune near-duplicates WITHIN each
-# cluster only — the pair space is Σ C(|cluster|,2), a k-th of
+# cluster the embedding space with LLOYD-TRAINED k-means centroids
+# (the paper's recipe: k-means the embeddings, then prune WITHIN each
+# cluster only) — the pair space is Σ C(|cluster|,2), a k-th of
 # all-pairs, and shrinks further as k grows with corpus size (the
 # paper's regime: cluster size ~constant, pair work ~n·|cluster|).
+# Training reuses the embeddings_kmeans Lloyd loop (broadcast
+# driver-held centroids, zero-shuffle assignment, k·dim-row updates);
+# the oracle unrolls the identical loop via _kmeans_ctes, so the
+# trained centroids — and therefore the cluster partition the pruning
+# runs inside — are bit-exact across engines.
 # Survivor rule, deterministic: a vector is dropped iff a LOWER-id
 # vector in its cluster sits above the cosine threshold (the id-order
 # greedy SemDeDup uses with "keep one per semantic group" intent —
@@ -1028,54 +1043,49 @@ def embeddings_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # variant is docs_dup_clusters' job on text).
 # Every similarity rounds to 6dp before comparison, so the
 # threshold cut is bit-identical across engines.
-@query(
-    "embeddings_semantic_dedup",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-    cent AS (
-      SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < {_IVF_K}),
-    assign AS (
-      SELECT vec_id, centroid_id AS cluster, ev FROM (
-        SELECT e.vec_id, c.centroid_id, e.ev,
-               ROUND(list_dot_product(e.ev, c.cv)
-                     / (sqrt(list_dot_product(e.ev, e.ev))
-                        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-        FROM e, cent c)
-      QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+_SEMDEDUP_THRESH = "0.3"
+
+
+def _semantic_dedup_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    return f"""
+    WITH {_kmeans_ctes(k, iters)},
+    asgf AS (
+      SELECT vec_id, v, cid AS cluster FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vec_id, e.v, c.cid, {_KM_DIST} AS dist
+              FROM ev e CROSS JOIN cent{iters} c))
+      WHERE rn = 1),
     dropped AS (
       SELECT DISTINCT b.vec_id
-      FROM assign a
-      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.ev, b.ev)
-                  / (sqrt(list_dot_product(a.ev, a.ev))
-                     * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.3)
+      FROM asgf a
+      JOIN asgf b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6)
+            >= {_SEMDEDUP_THRESH})
     SELECT s.vec_id, s.cluster
-    FROM assign s
+    FROM asgf s
     WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
     ORDER BY s.vec_id
-    """,
-)
+    """
+
+
+@query("embeddings_semantic_dedup", oracle=_semantic_dedup_oracle())
 def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign,
+        kmeans_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _as_double("embedding").alias("ev"))
-    cent = e.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
-    )
-    scored = e.join(F.broadcast(cent)).select(
-        "vec_id",
-        "centroid_id",
-        "ev",
-        F.round(_cosine(F.col("ev"), F.col("cv")), 6).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cluster"), "ev")
+    # Lloyd-trained coarse quantizer (k·dim driver state, 3 rounds),
+    # then the zero-shuffle literal-centroid argmin assignment — the
+    # exact pair embeddings_kmeans pins green against the SQL unroll.
+    cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    assign = _lloyd_assign(ev, cents).select(
+        "vec_id", "cluster", F.col("v").alias("ev")
     )
     # norms precompute per VECTOR (row-local sqrt of the same _dot
     # expression _cosine uses, so dot/(na*nb) is bit-identical to the
@@ -1100,7 +1110,7 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = (
         a.join(b, (a["c_a"] == b["c_b"]) & (a["id_a"] < b["id_b"]))
-        .where(F.round(pair_cos, 6) >= 0.3)
+        .where(F.round(pair_cos, 6) >= F.lit(float(_SEMDEDUP_THRESH)))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -692,6 +692,30 @@ def test_kmeans_separates_two_blobs(spark):
     assert all(d < 0.1 for _, d in got.values())
 
 
+def test_semdedup_trained_centroids_beat_seeded(spark, sf_dir):
+    """The Lloyd-trained clustering embeddings_semantic_dedup now runs
+    on must be a strictly better partition of the embedding space than
+    the seeded (vec_id < k) start it replaced: mean squared distance
+    to the assigned centroid is non-increasing under Lloyd iterations
+    (monotonicity), and on real data strictly improves."""
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign,
+        as_double_array,
+        kmeans_centroids,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    seeded = kmeans_centroids(emb, k=8, iters=0)
+    trained = kmeans_centroids(emb, k=8, iters=3)
+
+    def sse(cents):
+        return _lloyd_assign(ev, cents).agg(F.avg("d")).first()[0]
+
+    assert sse(trained) < sse(seeded)
+
+
 def test_multimodal_resize_stub_shapes(docs):
     from fabric_claims_spark.extensions.multimodal import resize_images
 
