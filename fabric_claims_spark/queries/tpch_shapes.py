@@ -174,8 +174,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                       * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
                  ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
              AS brand_share
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -206,8 +206,12 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
+                # both sums round to scale 4 before the double cast
+                # (dsum's rule): DuckDB's decimal->double cast is not
+                # correctly rounded past 2^53, so an unrounded
+                # denominator is latent hash drift at larger data
                 F.round(F.sum(brand_rev), 4).cast("double")
-                / F.sum(rev).cast("double")
+                / F.round(F.sum(rev), 4).cast("double")
             ).alias("brand_share")
         )
         .orderBy("order_year")
@@ -325,8 +329,8 @@ def order_count_distribution_ex_low(spark: SparkSession, sf_dir: str) -> DataFra
                  THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                       * (1 - CAST(l.l_discount AS DECIMAL(6,4)))
                  ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
              AS promo_share
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -358,8 +362,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
+                # denominator rounds to scale 4 pre-cast too (dsum's
+                # rule) — see brand_market_share
                 F.round(F.sum(promo_rev), 4).cast("double")
-                / F.sum(rev).cast("double")
+                / F.round(F.sum(rev), 4).cast("double")
             ).alias("promo_share")
         )
         .orderBy("ship_month")
@@ -994,22 +1000,25 @@ def supplier_revenue_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "v_nin_customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "v_nin_orders"
-    )
+    # Direct-path table refs (parquet.`path`) rather than temp views:
+    # registry queries must be side-effect-free on the shared session
+    # (fixed global view names could collide across concurrent or
+    # repeated invocations). The NOT IN stays in SQL form because the
+    # point is how Spark PLANS it (null-aware anti join).
+    import os
+
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
     return spark.sql(
-        """
+        f"""
         SELECT
-          (SELECT COUNT(*) FROM v_nin_customer c
+          (SELECT COUNT(*) FROM parquet.`{cpath}` c
            WHERE c.c_custkey NOT IN
-             (SELECT NULLIF(o_custkey, 7) FROM v_nin_orders
+             (SELECT NULLIF(o_custkey, 7) FROM parquet.`{opath}`
               WHERE o_orderpriority = '1-URGENT')) AS with_null_cnt,
-          (SELECT COUNT(*) FROM v_nin_customer c
+          (SELECT COUNT(*) FROM parquet.`{cpath}` c
            WHERE c.c_custkey NOT IN
-             (SELECT NULLIF(o_custkey, 7) FROM v_nin_orders
+             (SELECT NULLIF(o_custkey, 7) FROM parquet.`{opath}`
               WHERE o_orderpriority = '1-URGENT'
                 AND NULLIF(o_custkey, 7) IS NOT NULL)) AS without_null_cnt
         """

@@ -34,9 +34,12 @@ def test_first_fifty_all_have_oracles():
 # curation: it must stay a subset of the 50-row prefix (guard below).
 JUDGE_NAMED = [
     "claims_pipeline_e2e",
-    "docs_minhash_signatures",
+    # round-6 rotation: docs_minhash_signatures / docs_simhash /
+    # unpivot_status_counts left the prefix — their operators stay
+    # prefix-checked via the neardup twins (which recompute the
+    # signatures inline) and pivot_status_by_priority; see
+    # test_round6_flagship_rotation.
     "docs_minhash_neardup",
-    "docs_simhash",
     "docs_dup_clusters",
     "docs_bm25_topk",
     "kpi_monthly_fulfillment_trend",
@@ -45,7 +48,6 @@ JUDGE_NAMED = [
     "order_value_quartiles",
     "order_value_stats",
     "pivot_status_by_priority",
-    "unpivot_status_counts",
     "orders_price_band_range_join",
 ]
 
@@ -149,6 +151,44 @@ def test_round5_flagship_swaps():
     for demoted in ("change_detection_nullsafe", "embeddings_knn_bruteforce"):
         assert demoted in reg and reg[demoted].oracle is not None
         assert demoted not in prefix
+
+
+def test_round6_flagship_rotation():
+    """Round-6 curation (VERDICT r5 item 2): four flagship shapes gain
+    driver rows — the sanctioned applyInPandas path, the null-aware
+    NOT IN anti join, the correlated-having TPC-H shape, and the
+    Lloyd-trained SemDeDup. The four demoted twins stay registered
+    with oracles, and their operators stay prefix-covered:
+
+    * docs_minhash_signatures -> tail: docs_minhash_neardup's
+      minhash_near_dups recomputes the full signature matrix inline.
+    * docs_simhash -> tail: docs_simhash_neardup calls simhash60_md5
+      before banding.
+    * unpivot_status_counts -> tail: the wide<->long reshape family
+      stays prefix-checked from the pivot side.
+    * date_spine_daily_orders -> tail: explode(sequence(...))
+      generation stays prefix-exercised by the shingle generators in
+      docs_jaccard_pairs / docs_minhash_neardup."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "user_capped_balance",
+        "not_in_null_semantics",
+        "sole_supplier_return_orders",
+        "embeddings_semantic_dedup",
+    ):
+        assert promoted in prefix, promoted
+    for covering in ("docs_minhash_neardup", "docs_simhash_neardup",
+                     "pivot_status_by_priority", "docs_jaccard_pairs"):
+        assert covering in prefix, covering
+    for demoted in (
+        "docs_minhash_signatures",
+        "docs_simhash",
+        "unpivot_status_counts",
+        "date_spine_daily_orders",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
 
 
 def test_round5_additions_registered_with_oracles():
