@@ -197,7 +197,18 @@ class TableStore:
                 )
                 return int(metrics.get("numDeletedRows", 0))
             except Exception:  # metrics shape varies across Delta versions
-                return -1  # deleted, count unavailable
+                # fallback: recount the predicate against the
+                # PRE-delete snapshot via time travel — race-free (the
+                # version is pinned) and scan-costed only on this
+                # path. Never surface a negative flag value: erasure
+                # audit rows consume this count verbatim.
+                v = int(t.history(1).select("version").first()[0])
+                prev = (
+                    self.spark.read.format("delta")
+                    .option("versionAsOf", v - 1)
+                    .load(self._dir(name))
+                )
+                return prev.where(condition.eqNullSafe(F.lit(True))).count()
         current = self.read(name)
         # SQL DELETE semantics: remove rows where the condition is
         # TRUE; NULL-condition rows are KEPT (three-valued logic —

@@ -430,7 +430,17 @@ def heavy_hitters_stream(
     from fabric_claims_spark.sources.merge import TableStore
 
     store = TableStore(spark, f"{checkpoint_dir}_table")
-    stream = _read_events_stream(spark, events_dir).select(key_col)
+    # CONTRACT: NULL keys are excluded from heavy-hitter counting —
+    # the batch twin already does this implicitly (pandas value_counts
+    # drops NaN and the pass-2 semi-join can't match a NULL key), and
+    # the state table reserves the NULL-key row as its batch-id/total
+    # sentinel. Filtering at entry makes the two unambiguous: a
+    # NULL-key row in state IS the sentinel, never a counter.
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .select(key_col)
+        .where(F.col(key_col).isNotNull())
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if store.exists(query_name):
