@@ -444,3 +444,100 @@ def test_heavy_hitters_state_survives_empty_summary(spark, events_dir, tmp_path)
     ).head()
     # total accumulated (not reset to the second batch's size alone)
     assert head2[1] == 2 * n
+
+
+def _tear_last_commit(ckpt: str) -> None:
+    """Simulate a crash in the torn-batch window of foreachBatch's
+    at-least-once contract: Structured Streaming writes offsets/<n>
+    BEFORE running the sink and commits/<n> AFTER it, so deleting the
+    newest commit record while keeping its offset record reproduces
+    exactly the on-disk state of a process killed between the sink's
+    state write and the checkpoint commit. On restart the engine
+    replans batch <n> from the offset log and redelivers it to the
+    sink with the SAME batch_id."""
+    import os
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    # a killed process leaves neither the commit record nor its
+    # checksum twin — remove the local-FS .crc shadow too, or the
+    # restart's atomic rename refuses the destination
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_rollup_stream_torn_batch_restart_is_exact(spark, events_dir, tmp_path):
+    """Kill-mid-batch recovery for the incremental-gold rollup: after
+    tearing the last commit, the restart redelivers the applied batch
+    and the in-state applied-batch-id guard must skip it — the rollup
+    equals the one-shot batch aggregate, never a double-fold."""
+    from fabric_claims_spark.streaming.events_stream import (
+        rollup_maintenance_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_rollup_torn")
+    rollup_maintenance_stream(spark, str(events_dir), ckpt, "t_rollup_torn")
+    _tear_last_commit(ckpt)
+    got = rollup_maintenance_stream(  # restart over the torn checkpoint
+        spark, str(events_dir), ckpt, "t_rollup_torn"
+    )
+    e = spark.read.parquet(str(events_dir))
+    want = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v"),
+        F.min(F.col("value").cast("decimal(18,4)")).alias("v_min"),
+        F.max(F.col("value").cast("decimal(18,4)")).alias("v_max"),
+    )
+    g = {
+        r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"])
+        for r in got.collect()
+    }
+    w = {
+        r["event_type"]: (r["n"], r["v"], r["v_min"], r["v_max"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 0
+
+
+def test_heavy_hitters_torn_batch_restart_is_exact(spark, events_dir, tmp_path):
+    """Same torn-batch recovery for the Misra-Gries stream: the
+    redelivered batch must not inflate counters or the running total,
+    and a genuinely NEW batch after recovery must still fold in."""
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.events_stream import (
+        heavy_hitters_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_hh_torn")
+    heavy_hitters_stream(
+        spark, str(events_dir), ckpt, key_col="event_type", k=10,
+        query_name="t_hh_torn",
+    )
+    n = spark.read.parquet(str(events_dir)).count()
+    _tear_last_commit(ckpt)
+    got = heavy_hitters_stream(  # restart: batch 0 redelivered
+        spark, str(events_dir), ckpt, key_col="event_type", k=10,
+        query_name="t_hh_torn",
+    ).collect()
+    assert got[0]["total_rows"] == n  # not double-counted
+    exact = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(str(events_dir))
+        .groupBy("event_type").count().collect()
+    }
+    for r in got:  # lower-bound property intact after recovery
+        assert r["lower_bound"] <= exact[r["event_type"]]
+    state = TableStore(spark, f"{ckpt}_table").read("t_hh_torn")
+    assert state.agg(F.max("_applied_batch_id")).head()[0] == 0
+
+    # post-recovery liveness: a new file must be a NEW batch id
+    shutil.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    got2 = heavy_hitters_stream(
+        spark, str(events_dir), ckpt, key_col="event_type", k=10,
+        query_name="t_hh_torn",
+    ).collect()
+    assert got2[0]["total_rows"] == 2 * n
