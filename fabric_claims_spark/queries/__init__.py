@@ -384,6 +384,10 @@ GATE_PRIORITY: list[str] = [
     "events_retention_triangle",
     "orders_backlog_monthly_peak",
     "approx_aggregates",
+    # round-6: Holt-Winters — rows-only like approx_aggregates (deep
+    # double-precision recurrence, no integer-exact SQL twin; pinned
+    # by literal hand-computed fixtures instead)
+    "events_holtwinters_forecast",
 ]
 
 

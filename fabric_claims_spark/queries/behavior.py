@@ -505,6 +505,40 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Holt-Winters daily forecast per event type: the triple-exponential
+# big sibling of the EWMA above — level + trend + weekly seasonality
+# folded through the bounded per-(type, day) rollup by the grouped
+# Arrow escape hatch (operators/forecast.holt_winters_additive; the
+# recurrence is not window-expressible). Registered ROWS-ONLY by
+# design: the state chain is a deep double-precision recurrence with
+# no integer-exact reformulation, so a SQL twin would hash-drift
+# across engines after enough steps (the cross-engine precision limit
+# the module header documents); correctness is pinned instead by
+# literal hand-computed fixtures in tests/test_extensions.py.
+# Dyadic params (1/2, 1/4, 1/4) keep those fixtures bit-exact.
+@query("events_holtwinters_forecast", oracle=None)
+def events_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.forecast import holt_winters_additive
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return holt_winters_additive(
+        daily,
+        key_col="event_type",
+        time_col="day",
+        value_col="y",
+        alpha=0.5,
+        beta=0.25,
+        gamma=0.25,
+        period=7,
+        horizon=14,
+    ).orderBy("event_type", "step_index")
+
+
+# --------------------------------------------------------------------------
 # Last-touch attribution: each purchase is credited to the latest
 # view/click strictly before it in the same user's stream. One
 # user-partitioned window (last non-null touch over ROWS UNBOUNDED

@@ -902,3 +902,87 @@ def test_bfs_distances_levels_and_unreachable(spark):
         for r in bfs_distances(e, "a", max_depth=2).collect()
     }
     assert capped == {"a": 0, "b": 1, "c": 2}
+
+
+def test_holt_winters_constant_series_is_exact(spark):
+    """A constant series must yield level=c, trend=0, season=0 and
+    every fitted/forecast value exactly c (dyadic params keep the
+    arithmetic exact in binary64) — catches sign/indexing errors in
+    the whole recurrence at once."""
+    from fabric_claims_spark.operators.forecast import holt_winters_additive
+
+    rows = [("a", t, 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    out = holt_winters_additive(
+        df, "k", "t", "y", alpha=0.5, beta=0.25, gamma=0.25,
+        period=2, horizon=4,
+    ).collect()
+    assert len(out) == 10 + 4
+    for r in out:
+        assert r["level"] == 5.0 and r["trend"] == 0.0
+        assert r["season"] == 0.0
+        if r["yhat"] is not None:
+            assert r["yhat"] == 5.0
+    assert sum(1 for r in out if r["is_forecast"]) == 4
+    assert sum(1 for r in out if r["yhat"] is None) == 2  # burn-in = m
+
+
+def test_holt_winters_matches_hand_computed_steps(spark):
+    """Literal hand-derived values for the classic additive recurrence
+    (m=2, alpha=beta=gamma=1/2, x=[1,3,3,5] — all state dyadic, so
+    comparisons are exact, no tolerance):
+
+      init: level=2, trend=(4-2)/2=1, season=[-1, 1]
+      t=2: yhat=2+1-1=2;   level=.5*(3+1)+.5*3=3.5;
+           trend=.5*1.5+.5*1=1.25;  s2=.5*(3-3.5)+.5*(-1)=-0.75
+      t=3: yhat=3.5+1.25+1=5.75; level=.5*(5-1)+.5*4.75=4.375;
+           trend=.5*.875+.5*1.25=1.0625; s3=.5*.625+.5*1=0.8125
+      h=1: 4.375+1.0625-0.75=4.6875
+      h=2: 4.375+2.125+0.8125=7.3125"""
+    from fabric_claims_spark.operators.forecast import holt_winters_additive
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 3.0), ("a", 3, 5.0)],
+        "k string, t long, y double",
+    )
+    got = {
+        r["step_index"]: r
+        for r in holt_winters_additive(
+            df, "k", "t", "y", alpha=0.5, beta=0.5, gamma=0.5,
+            period=2, horizon=2,
+        ).collect()
+    }
+    assert got[2]["yhat"] == 2.0
+    assert got[2]["level"] == 3.5
+    assert got[2]["trend"] == 1.25
+    assert got[2]["season"] == -0.75
+    assert got[3]["yhat"] == 5.75
+    assert got[3]["level"] == 4.375
+    assert got[3]["trend"] == 1.0625
+    assert got[3]["season"] == 0.8125
+    assert got[4]["is_forecast"] and got[4]["yhat"] == 4.6875
+    assert got[5]["is_forecast"] and got[5]["yhat"] == 7.3125
+
+
+def test_holt_winters_short_series_dropped_and_alternating_tracked(spark):
+    """Keys with fewer than two full seasons emit nothing (half-born
+    state would be noise dressed as signal); an exactly-alternating
+    seasonal series is tracked perfectly (yhat == y after burn-in,
+    forecasts continue the alternation)."""
+    from fabric_claims_spark.operators.forecast import holt_winters_additive
+
+    rows = [("alt", t, 1.0 if t % 2 == 0 else 3.0) for t in range(8)]
+    rows += [("short", t, 9.0) for t in range(3)]  # < 2*period
+    df = spark.createDataFrame(rows, "k string, t long, y double")
+    out = holt_winters_additive(
+        df, "k", "t", "y", alpha=0.5, beta=0.25, gamma=0.25,
+        period=2, horizon=2,
+    ).collect()
+    assert {r["k"] for r in out} == {"alt"}
+    for r in out:
+        if r["yhat"] is not None and not r["is_forecast"]:
+            assert r["yhat"] == r["y"]
+    fc = sorted(
+        (r["step_index"], r["yhat"]) for r in out if r["is_forecast"]
+    )
+    assert fc == [(8, 1.0), (9, 3.0)]
