@@ -1186,19 +1186,31 @@ def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pl = td.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("doc_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
+    # count-filter-THEN-collect (skew playbook): collecting postings
+    # before the df cap would buffer a viral stopword's full
+    # occurrence list in the aggregation just to discard it. The df
+    # count partial-aggregates (hot term → one partial row per map
+    # task); the cap filter then guarantees every list that reaches
+    # collect_list is bounded by _POSTINGS_MAX_DF elements.
+    keep = (
+        td.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _POSTINGS_MAX_DF)
     )
-    return pl.where(F.col("df") <= _POSTINGS_MAX_DF).select(
-        "term", "df", "postings"
+    pl = (
+        td.join(keep, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
     )
+    return pl.select("term", "df", "postings")
 
 
 # --------------------------------------------------------------------------
@@ -1255,8 +1267,16 @@ def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("g"),
     )
-    wdf = Window.partitionBy("g")
-    dfed = dg.select("doc_id", F.count(F.lit(1)).over(wdf).alias("df"))
+    # SKEW PLAYBOOK (degenerate corpus: one viral 8-gram in every
+    # doc): a gram-keyed WINDOW ships every occurrence of the hot
+    # gram to ONE task and sorts it there. The groupBy form instead
+    # partial-aggregates map-side — the hot gram's shuffle payload is
+    # one partial row per map task, not df rows — and the join back
+    # to the gram stream is AQE-skew-splittable. Plan pinned by
+    # tests/test_plans.py::test_gram_keyed_aggs_partial_aggregate;
+    # degenerate-corpus timings in SCALING.md (round 6).
+    gstats = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dfed = dg.join(gstats, "g").select("doc_id", "df")
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return dfed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -2142,12 +2162,15 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("g"),
     )
-    # first-seen doc per gram via a gram-keyed window (same shuffle
-    # key as the dup-span query; min over the frame, no sort)
-    w = Window.partitionBy("g")
-    flagged = dg.select(
+    # first-seen doc per gram — grouped MIN with map-side partial
+    # aggregation, then a join back (the dup-span query's skew
+    # playbook: a viral gram contributes one partial row per map
+    # task to the shuffle instead of landing its whole occurrence
+    # list on one window task; see SCALING.md round 6)
+    fs = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flagged = dg.join(fs, "g").select(
         "doc_id",
-        (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_first"),
+        (F.col("first_doc") == F.col("doc_id")).alias("is_first"),
     )
     novel = F.sum(F.when(F.col("is_first"), 1).otherwise(0))
     return (

@@ -782,3 +782,22 @@ def test_semantic_dedup_pairs_stay_within_cluster(spark, registry):
     assert "CartesianProduct" not in plan
     # the a<b pair join is an equi hash/sort-merge join on cluster
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gram_keyed_aggs_partial_aggregate_not_window(spark, registry):
+    """Skew playbook for the gram-keyed shuffles (round 6): the
+    per-gram df/first-seen statistics must be grouped aggregates
+    (map-side partial aggregation bounds a viral gram's shuffle
+    payload to one partial row per map task) joined back to the gram
+    stream — NEVER a gram-partitioned window, which ships and sorts
+    every occurrence of the hot gram on one task. Posting lists
+    additionally count-filter before collect_list so no collected
+    list can exceed the df cap."""
+    for name in (
+        "docs_dup_span_fraction",
+        "docs_ngram_novelty",
+        "docs_posting_lists",
+    ):
+        plan = _plan(spark, registry[name].fn(spark, SF))
+        assert "Window" not in plan, name
+        assert "partial_count" in plan or "partial_min" in plan, name

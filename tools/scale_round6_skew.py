@@ -1,0 +1,172 @@
+"""Round-6 skew evidence (SCALING.md): gram-keyed shuffles under a
+degenerate corpus.
+
+The adversarial input for every gram-keyed pass
+(docs_dup_span_fraction / docs_ngram_novelty / docs_posting_lists) is
+one VIRAL 8-gram present in every document: a gram-partitioned window
+ships all N occurrences of that gram to one task (and sorts them
+there), so one key serializes the stage. The round-6 rewrite uses
+grouped aggregates + join-back instead — map-side partial aggregation
+reduces the hot gram's shuffle payload to one partial row per map
+task, and the join back is AQE-skew-splittable.
+
+This tool measures both shapes on a synthetic corpus where EVERY doc
+shares the same viral sentence (maximum skew: the hot gram's df ==
+corpus size) plus unique filler grams, at increasing corpus sizes.
+Reported: wall time of the old window form vs the shipped groupBy
+form, same result hash asserted.
+
+Usage: python tools/scale_round6_skew.py [out.md]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, Window, functions as F  # noqa: E402
+
+from fabric_claims_spark.extensions.dedup import word_shingles  # noqa: E402
+from fabric_claims_spark.session import get_spark  # noqa: E402
+
+VIRAL = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def degenerate_corpus(spark, n_docs: int, fillers: int = 2) -> DataFrame:
+    """Every doc = the same 12-word viral sentence + ``fillers``
+    doc-unique words: the 5 all-viral 8-grams have df == n_docs
+    (maximum single-key skew) while every gram touching a filler word
+    is a singleton. With the default 2 fillers, ~5/7 of all gram rows
+    concentrate on 5 keys."""
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(VIRAL + " "),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(fillers - 1)),
+                        lambda i: F.format_string(
+                            "u%dw%d", F.col("id"), i
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def grams(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 8))).alias(
+            "gram"
+        ),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("g"),
+    )
+
+
+def dup_span_window(dg: DataFrame) -> DataFrame:
+    """The pre-round-6 shape: gram-partitioned window."""
+    w = Window.partitionBy("g")
+    dfed = dg.select("doc_id", F.count(F.lit(1)).over(w).alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return dfed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        dup.cast("long").alias("dup_grams"),
+    )
+
+
+def dup_span_grouped(dg: DataFrame) -> DataFrame:
+    """The shipped shape: partial-agg count + join back."""
+    gstats = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dfed = dg.join(gstats, "g").select("doc_id", "df")
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return dfed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        dup.cast("long").alias("dup_grams"),
+    )
+
+
+def run(spark, fn, dg) -> tuple[float, int]:
+    t0 = time.monotonic()
+    rows = fn(dg).collect()
+    dt = time.monotonic() - t0
+    sig = hash(tuple(sorted((r["doc_id"], r["n_grams"], r["dup_grams"])
+                            for r in rows)))
+    return dt, sig
+
+
+def hot_key_shuffle_rows(spark, dg) -> tuple[int, int]:
+    """The quantity that decides whether one task drowns at scale:
+    rows the SHUFFLE delivers for the hottest gram.
+
+    * window form: every occurrence of the gram ships — max task load
+      is the hot partition's full row count (measured exactly via
+      spark_partition_id over the same hash partitioning), and window
+      semantics forbid splitting it.
+    * grouped form: map-side partial aggregation pre-folds each map
+      task's occurrences to ONE partial row per (task, gram) — the
+      hot gram's aggregate shuffle payload is #map-tasks rows, exact
+      count = distinct (map partition, gram) pairs.
+    """
+    from pyspark.sql.functions import spark_partition_id
+
+    win_max = (
+        dg.repartition(32, "g")
+        .select(spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    grouped_rows = (
+        dg.select(spark_partition_id().alias("p"), "g")
+        .groupBy("p", "g")
+        .count()
+        .groupBy("g")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    return int(win_max), int(grouped_rows)
+
+
+def main() -> int:
+    spark = get_spark("scale-r6-skew", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    lines = [
+        "| docs | viral df | window hot-task rows | grouped hot-gram"
+        " shuffle rows | window (s) | grouped (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n in (20_000, 80_000, 320_000):
+        d = degenerate_corpus(spark, n)
+        dg = grams(d).repartition(32).localCheckpoint()  # freeze input
+        tw, sw = run(spark, dup_span_window, dg)
+        tg, sg = run(spark, dup_span_grouped, dg)
+        assert sw == sg, f"result mismatch at n={n}"
+        win_max, grp = hot_key_shuffle_rows(spark, dg)
+        lines.append(
+            f"| {n:,} | {n:,} | {win_max:,} | {grp} |"
+            f" {tw:.2f} | {tg:.2f} |"
+        )
+        print(lines[-1], flush=True)
+    out = "\n".join(lines)
+    print(out)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
