@@ -123,3 +123,42 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def normalized_verdict(
+    old: dict[str, float], new: dict[str, float]
+) -> dict:
+    """The comparison as data (for embedding in bench output): canary
+    host-drift ratio, the normalized headline-equivalent ratio, and
+    the worst normalized per-query changes."""
+    ratios = [
+        new[q] / old[q] for q in CANARY if q in old and q in new and old[q] > 0
+    ]
+    label = "canary"
+    if not ratios:
+        ratios = [
+            new[q] / old[q]
+            for q in set(old) & set(new)
+            if old[q] > 0.05
+        ]
+        label = "all-shared-median"
+    if not ratios:
+        return {"error": "no overlap"}
+    host = statistics.median(ratios)
+    shared = [q for q in set(old) & set(new) if old[q] > 0]
+    norm = sorted(
+        ((round((new[q] / old[q]) / host, 3), q) for q in shared),
+        reverse=True,
+    )
+    return {
+        "host_drift": round(host, 3),
+        "drift_basis": label,
+        "shared_queries": len(shared),
+        "normalized_total_ratio": round(
+            (sum(new[q] for q in shared) / sum(old[q] for q in shared))
+            / host,
+            3,
+        ),
+        "worst_normalized": [[q, r] for r, q in norm[:5]],
+        "regressions_over_1p5x": [[q, r] for r, q in norm if r > 1.5],
+    }
