@@ -388,6 +388,9 @@ GATE_PRIORITY: list[str] = [
     # double-precision recurrence, no integer-exact SQL twin; pinned
     # by literal hand-computed fixtures instead)
     "events_holtwinters_forecast",
+    # round-6: first oracle pin of with_time_calc itself — LY/YoY
+    # NULL semantics at mid-series year-boundary gaps
+    "yoy_gap_ly_null_semantics",
 ]
 
 

@@ -452,3 +452,70 @@ def monthly_closing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# W3 edge parity (VERDICT r5 item 8, SURVEY §7 risk register): LY /
+# YoY at a month whose prior-year sibling is ABSENT mid-series must
+# stay NULL — DAX DIVIDE semantics, never a coalesce to 0. The month
+# grain is made sparse deterministically (each year drops the month
+# (year mod 12) + 1), so every year boundary contains a gap whose
+# following-year month exists — exactly the corner with_time_calc's
+# left LY join has to keep NULL through the windows. This is the
+# first ORACLE pin of with_time_calc itself (previously pytest-only):
+# decimal sums stay decimal through the windows, rounding to double
+# only at output; the yoy_pct NULL-condition is pinned both as a
+# boolean and as the rounded-double ratio.
+@query(
+    "yoy_gap_ly_null_semantics",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SQL}),
+    s AS (SELECT * FROM m WHERE order_month != (order_year % 12) + 1)
+    SELECT cur.order_year, cur.order_month,
+           CAST(ROUND(cur._rev_dec, 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(prev._rev_dec, 4) AS DOUBLE) AS revenue_ly,
+           CAST(ROUND(SUM(cur._rev_dec) OVER (
+             PARTITION BY cur.order_year ORDER BY cur.order_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS DOUBLE) AS ytd_revenue,
+           CAST(ROUND(SUM(cur._rev_dec) OVER (
+             ORDER BY cur.order_year * 12 + cur.order_month
+             RANGE BETWEEN 11 PRECEDING AND CURRENT ROW), 4)
+             AS DOUBLE) AS l12m_revenue,
+           CAST(ROUND(cur._rev_dec - prev._rev_dec, 4) AS DOUBLE)
+             AS yoy_delta,
+           (prev._rev_dec IS NULL OR prev._rev_dec = 0) AS yoy_pct_is_null,
+           CAST(ROUND(cur._rev_dec - prev._rev_dec, 4) AS DOUBLE)
+             / CAST(ROUND(NULLIF(prev._rev_dec, 0), 4) AS DOUBLE) AS yoy_pct
+    FROM s cur LEFT JOIN s prev
+      ON prev.order_year = cur.order_year - 1
+     AND prev.order_month = cur.order_month
+    ORDER BY cur.order_year, cur.order_month
+    """,
+)
+def yoy_gap_ly_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.plans.metrics import with_time_calc
+
+    sparse = _monthly_revenue(spark, sf_dir).where(
+        F.col("order_month") != (F.col("order_year") % 12) + 1
+    )
+    tc = with_time_calc(
+        sparse, "_rev_dec", year_col="order_year", month_col="order_month"
+    )
+    r4d = lambda c: F.round(F.col(c), 4).cast("double")  # noqa: E731
+    return tc.select(
+        "order_year",
+        "order_month",
+        r4d("_rev_dec").alias("revenue"),
+        r4d("_rev_dec_ly").alias("revenue_ly"),
+        r4d("_rev_dec_ytd").alias("ytd_revenue"),
+        r4d("_rev_dec_l12m").alias("l12m_revenue"),
+        r4d("_rev_dec_yoy_delta").alias("yoy_delta"),
+        F.col("_rev_dec_yoy_pct").isNull().alias("yoy_pct_is_null"),
+        # numeric ratio recomputed in the rounded-double domain (the
+        # dsum rule) — with_time_calc's own decimal-domain try_divide
+        # is pinned through the boolean above, not its raw scale
+        F.try_divide(
+            r4d("_rev_dec_yoy_delta"), r4d("_rev_dec_ly")
+        ).alias("yoy_pct"),
+    ).orderBy("order_year", "order_month")

@@ -203,3 +203,30 @@ def test_status_calc_stacks_with_time_calc(claims):
     assert out[("Pending", 2024, 1)]["amount_ly"] is None
     # L12M stays within the slice: Mar-2023..Feb-2024 Approved = just 500
     assert out[("Approved", 2024, 2)]["amount_l12m"] == 500.0
+
+
+def test_yoy_gap_query_actually_exercises_missing_ly(spark):
+    """The year-boundary corner must be non-vacuous: the sparse month
+    grid has mid-series months (year > first year) whose LY month is
+    absent, and for every such row with_time_calc keeps LY, YoY delta
+    and YoY pct NULL — never coalesced to 0."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    out = load_all_queries()["yoy_gap_ly_null_semantics"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    first_year = min(r["order_year"] for r in out)
+    gap_rows = [
+        r for r in out
+        if r["order_year"] > first_year and r["revenue_ly"] is None
+    ]
+    assert gap_rows, "sparse grid produced no mid-series LY gap"
+    for r in gap_rows:
+        assert r["yoy_delta"] is None
+        assert r["yoy_pct"] is None
+        assert r["yoy_pct_is_null"] is True
+    # and rows WITH an LY sibling do produce a ratio
+    assert any(
+        r["yoy_pct"] is not None for r in out
+        if r["order_year"] > first_year
+    )
