@@ -391,6 +391,11 @@ GATE_PRIORITY: list[str] = [
     # round-6: first oracle pin of with_time_calc itself — LY/YoY
     # NULL semantics at mid-series year-boundary gaps
     "yoy_gap_ly_null_semantics",
+    # round-6: curation-story compositions — the dedup funnel, the
+    # quality-aware cluster survivor, the per-source quality budget
+    "docs_dedup_cascade",
+    "docs_cluster_quality_canonicals",
+    "docs_quality_nucleus",
 ]
 
 

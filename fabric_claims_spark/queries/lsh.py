@@ -868,3 +868,148 @@ def docs_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_flag"
         ),
     ).orderBy("quality_flag", "is_dup")
+
+
+# --------------------------------------------------------------------------
+# The curation funnel — the shape a production training-data pipeline
+# actually runs: raw corpus → exact dedup (content-hash canonical) →
+# MinHash-LSH near-dup prune (greedy lower-id keep among exact
+# survivors), with one attrition row per stage. Composes the two
+# oracle-proven dedup stages end-to-end so the FUNNEL itself (stage
+# ordering, survivor joins) is hash-checked, not just the parts.
+# Scale shape: each stage is the already-audited plan (hash-group,
+# banded LSH); the composition adds only survivor semi/anti joins.
+@query(
+    "docs_dedup_cascade",
+    oracle=f"""
+    WITH {_neardup_ctes()},
+    es AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    drp AS (
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM est p
+      JOIN es a ON a.doc_id = p.doc_a
+      JOIN es b ON b.doc_id = p.doc_b
+      WHERE p.est_jaccard >= 0.5),
+    ns AS (
+      SELECT doc_id FROM es
+      WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+    SELECT CAST(0 AS BIGINT) AS stage_idx, '0_raw' AS stage,
+           (SELECT COUNT(*) FROM documents) AS docs_remaining
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), '1_exact', (SELECT COUNT(*) FROM es)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), '2_near_dup', (SELECT COUNT(*) FROM ns)
+    ORDER BY stage_idx
+    """,
+)
+def docs_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_surv = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    pairs = minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
+    ).select("doc_a", "doc_b")
+    # a pair prunes doc_b only if BOTH ends survived the exact stage
+    # (pairs whose endpoints were exact-dup copies are already gone
+    # with their copy; the canonical carries the same signature)
+    a = exact_surv.select(F.col("doc_id").alias("doc_a"))
+    b = exact_surv.select(F.col("doc_id").alias("doc_b"))
+    dropped = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near_surv = exact_surv.join(dropped, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("docs_remaining")).select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "docs_remaining",
+        )
+
+    return (
+        stage(0, "0_raw", docs)
+        .unionByName(stage(1, "1_exact", exact_surv))
+        .unionByName(stage(2, "2_near_dup", near_surv))
+        .orderBy("stage_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware survivorship: within each near-dup cluster, the doc a
+# curation pipeline KEEPS should be the best one, not the lowest id —
+# here the longest (n_chars; ties to the smaller id for determinism).
+# The golden-records pattern (customers_golden_records) applied to
+# the text-dedup clusters.
+@query(
+    "docs_cluster_quality_canonicals",
+    oracle=f"""
+    WITH RECURSIVE {_neardup_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(node, lab) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (
+      SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node)
+    SELECT cluster, canonical_doc, cluster_size, canonical_chars
+    FROM (
+      SELECT c.cluster, d.doc_id AS canonical_doc,
+             d.n_chars AS canonical_chars,
+             COUNT(*) OVER (PARTITION BY c.cluster) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node)
+    WHERE rn = 1
+    ORDER BY cluster
+    """,
+)
+def docs_cluster_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    joined = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("cluster")
+    rn = Window.partitionBy("cluster").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("node").alias("canonical_doc"),
+            "cluster_size",
+            F.col("n_chars").alias("canonical_chars"),
+        )
+        .orderBy("cluster")
+    )

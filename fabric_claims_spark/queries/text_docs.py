@@ -2184,3 +2184,76 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-budget pruning ("nucleus" selection per source): within each
+# source, keep the minimal prefix of docs — ordered best-first
+# (n_chars DESC, doc_id for ties) — whose cumulative chars reach 80%
+# of the source's total. The data-pruning counterpart of nucleus
+# sampling: spend the token budget on the densest docs per source and
+# report the attrition. Threshold entirely in BIGINT arithmetic
+# (100*prefix < 80*total), no float cut to disagree on.
+# Scale shape: one shuffle on source; the running sum is a window
+# over each source's docs ordered by the quality key — fine while
+# per-source doc counts are task-sized; a 100 TB single-source corpus
+# would pre-bucket the quality key (operators/ranking.py's
+# distributed-rank discipline) before the prefix cut.
+@query(
+    "docs_quality_nucleus",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_chars,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_chars,
+             COUNT(*) OVER (PARTITION BY source) AS docs_total
+      FROM documents)
+    SELECT source,
+           docs_total,
+           CAST(SUM(CASE WHEN 100 * (cum_chars - n_chars)
+                              < 80 * total_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(MAX(total_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN 100 * (cum_chars - n_chars)
+                              < 80 * total_chars
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM r
+    GROUP BY source, docs_total
+    ORDER BY source
+    """,
+)
+def docs_quality_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_run).alias("cum_chars"),
+        F.sum("n_chars").over(w_src).alias("total_chars"),
+        F.count(F.lit(1)).over(w_src).alias("docs_total"),
+    )
+    keep = (
+        F.lit(100) * (F.col("cum_chars") - F.col("n_chars"))
+        < F.lit(80) * F.col("total_chars")
+    )
+    return (
+        r.groupBy("source", "docs_total")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.max("total_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .select("source", "docs_total", "docs_kept", "chars_total", "chars_kept")
+        .orderBy("source")
+    )
