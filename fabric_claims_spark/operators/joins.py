@@ -108,6 +108,71 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of (forward) join: for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` on the same key — the mirror of
+    ``asof_join_backward`` (pandas merge_asof direction='forward');
+    the shape behind "next event at-or-after" features (next
+    maintenance slot, next price revision, time-to-next-purchase).
+
+    Same scalable union trick, walked from the future backwards:
+    order the unioned stream by ts DESCENDING (right rows first at
+    equal ts, so '>=' includes the tie) and carry the right struct
+    with last(ignorenulls) — one shuffle on key, no range explosion,
+    no Python. Ties between multiple right rows at the SAME (key, ts)
+    are the caller's contract (pre-dedupe the right side to one row
+    per (key, ts) for full determinism, as the registry query does).
+    """
+    lcols = left.columns
+    rv_struct_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}"
+            for c in right_value_cols
+        )
+        + ">"
+    )
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_left"),
+        F.lit(None).cast(rv_struct_type).alias("_rv"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in lcols) + ">"
+        ).alias("_left"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # descending ts; right rows sort first at equal ts -> '>=' includes
+    # the tie (the mirror of the backward variant's ascending walk)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_left",
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

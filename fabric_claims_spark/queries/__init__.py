@@ -396,6 +396,10 @@ GATE_PRIORITY: list[str] = [
     "docs_dedup_cascade",
     "docs_cluster_quality_canonicals",
     "docs_quality_nucleus",
+    # round-6: forward as-of join, LOCF gap imputation, exact MAD
+    "events_asof_next_purchase",
+    "events_hourly_locf",
+    "order_value_mad",
 ]
 
 

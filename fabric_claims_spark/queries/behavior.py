@@ -2013,3 +2013,67 @@ def events_daily_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# LOCF (last-observation-carried-forward) gap imputation: the hourly
+# per-type count series has genuinely missing hours (no events that
+# hour); rebuild the dense hour spine per type and fill gaps forward —
+# the standard imputation before feeding a regular-grid model
+# (forecasting, anomaly scoring). All-integer counts, so the fill is
+# exact in both engines.
+# Scale shape: the spine is bounded by |types| x hour-domain (never
+# event-sized); one window per type over that bounded frame; the raw
+# scan is a single hash aggregate.
+@query(
+    "events_hourly_locf",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+          FROM h GROUP BY 1),
+    s AS (SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+          FROM b),
+    j AS (SELECT s.event_type, s.hr, h.cnt
+          FROM s LEFT JOIN h
+            ON h.event_type = s.event_type AND h.hr = s.hr)
+    SELECT event_type, CAST(hr AS TIMESTAMP) AS hour,
+           CAST(LAST_VALUE(cnt IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS locf_count,
+           (cnt IS NULL) AS was_gap
+    FROM j
+    ORDER BY event_type, hour
+    """,
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts_s")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("hr").alias("hour"),
+        F.last("cnt", ignorenulls=True).over(w).cast("long").alias(
+            "locf_count"
+        ),
+        F.col("cnt").isNull().alias("was_gap"),
+    ).orderBy("event_type", "hour")

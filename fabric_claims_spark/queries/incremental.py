@@ -142,6 +142,42 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Forward as-of join — the mirror feature: for each view, the value
+# of the NEXT purchase at-or-after it in the same user's stream
+# (time-to-next-event / next-slot features). The right side is
+# pre-deduplicated to one row per (user, ts) — arg_min by event_id —
+# so the as-of tie contract is deterministic in both engines.
+@query(
+    "events_asof_next_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, arg_min(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    v AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id, p.value AS asof_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.joins import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("value"))
+    )
+    joined = asof_join_forward(
+        views, purchases, key="user_id", ts="ts", right_value_cols=["value"]
+    )
+    return joined.select("event_id", "user_id", F.col("asof_value"))
+
+
+# --------------------------------------------------------------------------
 # I2 — layer-to-layer change propagation: rows newer than a stored
 # watermark (the dataflow side of PL_SILVER:110-124's gate). Filter
 # pushes to the parquet scan (PushedFilters in explain).

@@ -1457,3 +1457,87 @@ def order_value_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Median absolute deviation — the robust dispersion measure that
+# ignores the outliers stddev amplifies. Exact, two-phase, and
+# sort-free: both medians are LOWER medians (rank ceil(n/2), the
+# discrete type-1 quantile) picked from a value-domain histogram via
+# the cumulative-count bucket trick (order_value_percentiles'
+# machinery) — everything stays DECIMAL, so both engines agree to the
+# bit with no interpolation arithmetic.
+# Scale shape: two hash aggregates over the value domain + one
+# broadcast of a 1-row median — no global sort, no percentile
+# buffer, fact rows scanned twice (or once with a cached histogram).
+@query(
+    "order_value_mad",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v FROM orders),
+    t AS (SELECT COUNT(*) AS n FROM vals),
+    h AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY 1),
+    c AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+             SUM(cnt) OVER (ORDER BY v) - cnt AS prev_cum
+      FROM h),
+    med AS (
+      SELECT c.v AS m FROM c CROSS JOIN t
+      WHERE c.prev_cum < (t.n + 1) // 2 AND (t.n + 1) // 2 <= c.cum),
+    dh AS (
+      SELECT ABS(vals.v - med.m) AS d, COUNT(*) AS cnt
+      FROM vals CROSS JOIN med GROUP BY 1),
+    dc AS (
+      SELECT d, SUM(cnt) OVER (ORDER BY d) AS cum,
+             SUM(cnt) OVER (ORDER BY d) - cnt AS prev_cum
+      FROM dh),
+    mad AS (
+      SELECT dc.d FROM dc CROSS JOIN t
+      WHERE dc.prev_cum < (t.n + 1) // 2 AND (t.n + 1) // 2 <= dc.cum)
+    SELECT CAST(med.m AS DOUBLE) AS median_value,
+           CAST(mad.d AS DOUBLE) AS mad,
+           t.n AS n
+    FROM med CROSS JOIN mad CROSS JOIN t
+    """,
+)
+def order_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(money("o_totalprice").alias("v"))
+    t = vals.agg(F.count(F.lit(1)).alias("n"))
+
+    def lower_median(frame: DataFrame, col: str) -> DataFrame:
+        """Value at rank ceil(n/2) from a value-domain histogram —
+        window over the (small) distinct-value domain, never the
+        fact rows."""
+        h = frame.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        c = h.select(
+            col,
+            F.sum("cnt").over(w).alias("cum"),
+            (F.sum("cnt").over(w) - F.col("cnt")).alias("prev_cum"),
+        )
+        k = F.expr("(n + 1) div 2")
+        return (
+            c.crossJoin(F.broadcast(t))
+            .where((F.col("prev_cum") < k) & (k <= F.col("cum")))
+            .select(F.col(col).alias("m"))
+        )
+
+    med = lower_median(vals, "v")
+    dev = vals.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("v") - F.col("m")).alias("d")
+    )
+    mad = lower_median(dev, "d").select(F.col("m").alias("mad_v"))
+    return (
+        med.crossJoin(mad)
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("m").cast("double").alias("median_value"),
+            F.col("mad_v").cast("double").alias("mad"),
+            "n",
+        )
+    )

@@ -1269,14 +1269,24 @@ def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # SKEW PLAYBOOK (degenerate corpus: one viral 8-gram in every
     # doc): a gram-keyed WINDOW ships every occurrence of the hot
-    # gram to ONE task and sorts it there. The groupBy form instead
-    # partial-aggregates map-side — the hot gram's shuffle payload is
-    # one partial row per map task, not df rows — and the join back
-    # to the gram stream is AQE-skew-splittable. Plan pinned by
-    # tests/test_plans.py::test_gram_keyed_aggs_partial_aggregate;
-    # degenerate-corpus timings in SCALING.md (round 6).
-    gstats = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    dfed = dg.join(gstats, "g").select("doc_id", "df")
+    # gram to ONE task, MATERIALIZES the whole key group in the task
+    # buffer (WindowExec; OOM/spill at scale), and its semantics
+    # forbid splitting. The grouped form streams: df is a grouped
+    # aggregate joined back to the gram stream — O(1) per-row memory,
+    # and the join is skew-splittable. The explicit repartition on g
+    # is the one shuffle BOTH consumers (the df aggregate and the
+    # join's left side) consume is the MATERIALIZED gram stream —
+    # column pruning gives the two consumers different exchange
+    # shapes, so a bare shared lineage re-executes the
+    # scan+explode+hash pipeline per consumer (measured 2x the query
+    # cost); localCheckpoint runs it once (the clean_corpus label
+    # precedent; at cluster scale swap in reliable checkpoint /
+    # a gram table write, the Lee et al. pipeline's own shape).
+    # Plan pinned by tests/test_plans.py; degenerate-corpus numbers
+    # in SCALING.md (round 6).
+    dgp = dg.localCheckpoint(eager=False)
+    gstats = dgp.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dfed = dgp.join(gstats, "g").select("doc_id", "df")
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return dfed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -2162,13 +2172,15 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("g"),
     )
-    # first-seen doc per gram — grouped MIN with map-side partial
-    # aggregation, then a join back (the dup-span query's skew
-    # playbook: a viral gram contributes one partial row per map
-    # task to the shuffle instead of landing its whole occurrence
-    # list on one window task; see SCALING.md round 6)
-    fs = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    flagged = dg.join(fs, "g").select(
+    # first-seen doc per gram — grouped MIN joined back over the
+    # once-materialized gram stream (the dup-span query's skew
+    # playbook: streaming aggregate + splittable join instead of a
+    # window's materialized key-group buffer; localCheckpoint runs
+    # the shingle pipeline once for both consumers — see SCALING.md
+    # round 6)
+    dgp = dg.localCheckpoint(eager=False)
+    fs = dgp.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    flagged = dgp.join(fs, "g").select(
         "doc_id",
         (F.col("first_doc") == F.col("doc_id")).alias("is_first"),
     )

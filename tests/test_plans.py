@@ -801,3 +801,37 @@ def test_gram_keyed_aggs_partial_aggregate_not_window(spark, registry):
         plan = _plan(spark, registry[name].fn(spark, SF))
         assert "Window" not in plan, name
         assert "partial_count" in plan or "partial_min" in plan, name
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward as-of: earliest right row with ts >= left.ts; equal ts
+    is included (>=); a left row past the last right row gets NULL;
+    the whole matched right row carries as one struct (NULLs included,
+    never an older/newer row's cell)."""
+    from fabric_claims_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "q10"), (1, 15, "q15"), (1, 40, "q40")],
+        "k int, ts int, probe string",
+    )
+    right = spark.createDataFrame(
+        [(1, 15, "a15", 1.5), (1, 30, None, None)],
+        "k int, ts int, name string, score double",
+    )
+    got = {
+        r["probe"]: (r["asof_name"], r["asof_score"])
+        for r in asof_join_forward(
+            left, right, key="k", ts="ts", right_value_cols=["name", "score"]
+        ).collect()
+    }
+    assert got["q10"] == ("a15", 1.5)   # next at-or-after 10 is ts=15
+    assert got["q15"] == ("a15", 1.5)   # equal ts included
+    # ts=30 is q40's... no: 30 < 40, nothing at-or-after 40 -> NULL
+    assert got["q40"] == (None, None)
+    # and a probe between 15 and 30 must take the ts=30 row's NULLs,
+    # not fall back to ts=15
+    mid = spark.createDataFrame([(1, 20, "q20")], "k int, ts int, probe string")
+    got2 = asof_join_forward(
+        mid, right, key="k", ts="ts", right_value_cols=["name", "score"]
+    ).collect()[0]
+    assert (got2["asof_name"], got2["asof_score"]) == (None, None)
