@@ -400,6 +400,10 @@ GATE_PRIORITY: list[str] = [
     "events_asof_next_purchase",
     "events_hourly_locf",
     "order_value_mad",
+    # round-6: report shapes — top-N + Other rollup, Hamilton
+    # largest-remainder allocation (shares sum exactly to 10000 bps)
+    "region_segment_top3_other",
+    "priority_revenue_allocation_bps",
 ]
 
 

@@ -1480,3 +1480,139 @@ def brand_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_distances(e, "Brand#11", max_depth=6)
         .orderBy("dist", "node")
     )
+
+
+# --------------------------------------------------------------------------
+# Top-N + "Other" rollup — the report shape every BI surface renders
+# (top 3 market segments per region by revenue, everything else
+# folded into one Other bucket so the bars still sum to the total).
+# Rank over the (region, segment) aggregate — a bounded frame, never
+# fact rows — ties broken on the segment name; Other is a re-aggregate
+# of the non-top rows, so SUM(revenue) per region is exactly the
+# region total (exact decimal until the final cast).
+@query(
+    "region_segment_top3_other",
+    oracle="""
+    WITH rs AS (
+      SELECT r.r_name AS region, c.c_mktsegment AS segment,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY region ORDER BY rev DESC, segment) AS rn
+      FROM rs)
+    SELECT region,
+           CASE WHEN rn <= 3 THEN segment ELSE 'Other' END AS segment_slot,
+           CAST(ROUND(SUM(rev), 4) AS DOUBLE) AS revenue
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY region, segment_slot
+    """,
+)
+def region_segment_top3_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("amt")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rs = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum("amt").alias("rev"))
+    )
+    w = Window.partitionBy("region").orderBy(
+        F.col("rev").desc(), F.col("segment").asc()
+    )
+    ranked = rs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            "region",
+            F.when(F.col("rn") <= 3, F.col("segment"))
+            .otherwise(F.lit("Other"))
+            .alias("segment_slot"),
+        )
+        .agg(F.round(F.sum("rev"), 4).cast("double").alias("revenue"))
+        .orderBy("region", "segment_slot")
+    )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder (Hamilton) allocation — distribute 10,000 basis
+# points across order priorities proportional to revenue so the
+# shares SUM EXACTLY to 10,000 (naive per-row rounding loses or
+# invents basis points; the classic financial-allocation trap).
+# Entirely integer: the basis is revenue rounded to whole currency
+# units (BIGINT; 10000x it stays far under int64), floor shares via
+# integer div, then the leftover units go to the largest remainders
+# (priority name breaks ties). Exactness pinned by the oracle AND a
+# sum-invariant test.
+@query(
+    "priority_revenue_allocation_bps",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                  AS BIGINT) AS ri
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(ri) AS total FROM pr),
+    base AS (
+      SELECT pr.priority, pr.ri,
+             (10000 * pr.ri) // t.total AS floor_bps,
+             (10000 * pr.ri) % t.total AS rem
+      FROM pr CROSS JOIN t),
+    lo AS (SELECT 10000 - SUM(floor_bps) AS leftover FROM base),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY rem DESC, priority) AS rr
+      FROM base)
+    SELECT rk.priority, rk.ri AS revenue_units,
+           CAST(rk.floor_bps
+                + CASE WHEN rk.rr <= lo.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS bps
+    FROM rk CROSS JOIN lo
+    ORDER BY rk.priority
+    """,
+)
+def priority_revenue_allocation_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pr = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.sum(money("o_totalprice")), 0).cast("long").alias("ri")
+    )
+    t = pr.agg(F.sum("ri").alias("total"))
+    base = pr.crossJoin(F.broadcast(t)).select(
+        "priority",
+        "ri",
+        F.expr("10000 * ri div total").alias("floor_bps"),
+        F.expr("(10000 * ri) % total").alias("rem"),
+    )
+    lo = base.agg((F.lit(10000) - F.sum("floor_bps")).alias("leftover"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("priority").asc())
+    rk = base.withColumn("rr", F.row_number().over(w))
+    return (
+        rk.crossJoin(F.broadcast(lo))
+        .select(
+            "priority",
+            F.col("ri").alias("revenue_units"),
+            (
+                F.col("floor_bps")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("bps"),
+        )
+        .orderBy("priority")
+    )

@@ -377,3 +377,52 @@ def test_division_by_counting_equals_double_not_exists(spark, pairs):
         ).collect()
     }
     assert by_count == textbook
+
+
+def test_allocation_bps_sums_exactly_to_10000(spark):
+    """The Hamilton-allocation invariant: basis points sum to exactly
+    10000 at every scale, and every share is within 1 bp of the
+    unrounded proportional share (largest-remainder optimality)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    rows = load_all_queries()["priority_revenue_allocation_bps"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["bps"] for r in rows) == 10000
+    total = sum(r["revenue_units"] for r in rows)
+    for r in rows:
+        exact = 10000 * r["revenue_units"] / total
+        assert abs(r["bps"] - exact) < 1.0
+
+
+def test_top3_other_preserves_region_totals(spark):
+    """Folding the tail into Other must not lose revenue: per region,
+    SUM over the top-3+Other slots equals the plain region total."""
+    from pyspark.sql import functions as F
+
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries._util import money
+    from fabric_claims_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all_queries()["region_segment_top3_other"].fn(spark, sf)
+    got = {
+        r["region"]: round(r["s"], 2)
+        for r in out.groupBy("region")
+        .agg(F.sum("revenue").alias("s"))
+        .collect()
+    }
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    rg = load_table(spark, sf, "region")
+    want = {
+        r["r_name"]: round(float(r["s"]), 2)
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(rg, n["n_regionkey"] == rg["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(money("o_totalprice")).alias("s"))
+        .collect()
+    }
+    assert got == want
