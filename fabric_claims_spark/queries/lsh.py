@@ -735,8 +735,19 @@ def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "est_jaccard")
         .localCheckpoint()
     )
+    # only pair-participating docs ever feed the exact pass (ov and
+    # sz consume pair endpoints alone), so the shingle explode +
+    # DISTINCT runs over the tiny survivor-doc slice, not the whole
+    # corpus — a broadcast semi-join BEFORE the explode (the oracle
+    # shingles everything and joins down; identical results)
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     ds = (
-        docs.select(
+        docs.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+        .select(
             F.col("doc_id").alias("doc"),
             F.explode(
                 F.sequence(
