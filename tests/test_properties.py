@@ -426,3 +426,66 @@ def test_top3_other_preserves_region_totals(spark):
         .collect()
     }
     assert got == want
+
+
+asof_st = st.tuples(
+    # left: (key, ts) probes
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=12,
+    ),
+    # right: (key, ts, value) — ts unique per key by construction below
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50),
+                  st.integers(-100, 100)),
+        min_size=1, max_size=12,
+    ),
+)
+
+
+@given(data=asof_st)
+@settings(**_SETTINGS)
+def test_asof_forward_matches_pandas_merge_asof(spark, data):
+    """asof_join_forward agrees with pandas merge_asof
+    (direction='forward', allow_exact_matches=True) — an independent
+    reference implementation — on arbitrary keyed integer series.
+    The right side is deduped per (key, ts) to keep the tie contract
+    defined in both engines."""
+    import pandas as pd
+
+    from fabric_claims_spark.operators.joins import asof_join_forward
+
+    left_rows, right_rows = data
+    right_dedup = {}
+    for k, ts, v in right_rows:
+        right_dedup.setdefault((k, ts), v)
+    right_rows = [(k, ts, v) for (k, ts), v in right_dedup.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        "rid long, k long, ts long",
+    )
+    right = spark.createDataFrame(right_rows, "k long, ts long, val long")
+    got = {
+        r["rid"]: r["asof_val"]
+        for r in asof_join_forward(
+            left, right, key="k", ts="ts", right_value_cols=["val"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        columns=["rid", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        right_rows, columns=["k", "ts", "val"]
+    ).sort_values("ts", kind="stable")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.rid): (None if pd.isna(r.val) else int(r.val))
+        for r in want_df.itertuples()
+    }
+    assert got == want
