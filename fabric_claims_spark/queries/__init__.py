@@ -404,6 +404,9 @@ GATE_PRIORITY: list[str] = [
     # largest-remainder allocation (shares sum exactly to 10000 bps)
     "region_segment_top3_other",
     "priority_revenue_allocation_bps",
+    # round-6: Count-Min Sketch completes the mergeable-summary
+    # family (KMV / Misra-Gries / HLL / CMS)
+    "events_cms_user_counts",
 ]
 
 

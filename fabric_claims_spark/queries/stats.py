@@ -10,7 +10,7 @@ trick the rest of the catalog uses for money sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.queries import query
@@ -1540,4 +1540,82 @@ def order_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad_v").cast("double").alias("mad"),
             "n",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch — the frequency-estimation counterpart of the
+# engine's mergeable-summary family (KMV distinct, Misra-Gries heavy
+# hitters, HLL registers): d=4 hash rows x w=64 counters, every
+# occurrence increments one bucket per row, and a key's estimate is
+# the MIN over its d buckets — an overestimate by construction
+# (collisions only ever add). w is set well below the ~1.5k-user
+# domain so collisions are real and the measured error is honest.
+# All-integer counters with the md5-hex-prefix bucket hash both
+# engines compute identically; output pairs every user's exact count
+# with its CMS estimate so the gate hash-checks the sketch AND its
+# error, and the over-estimate invariant is pytest-pinned.
+# Scale shape: the sketch build is one groupBy over (row, bucket) —
+# 256 cells regardless of corpus size (mergeable across partitions /
+# days); the per-key probe joins the d·w cell table broadcast.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_bucket_sql(seed: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W})"
+    )
+
+
+@query(
+    "events_cms_user_counts",
+    oracle=f"""
+    WITH seeds AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i),
+    tagged AS (
+      SELECT s.i, {_cms_bucket_sql('s.i', 'e.user_id')} AS bucket
+      FROM events e CROSS JOIN seeds s),
+    cells AS (
+      SELECT i, bucket, COUNT(*) AS cnt FROM tagged GROUP BY 1, 2),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1),
+    probes AS (
+      SELECT x.user_id, x.exact_count, s.i,
+             {_cms_bucket_sql('s.i', 'x.user_id')} AS bucket
+      FROM exact x CROSS JOIN seeds s)
+    SELECT p.user_id, p.exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+    FROM probes p
+    JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_count
+    ORDER BY p.user_id
+    """,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(i: Column, key: Column) -> Column:
+        h = F.md5(
+            F.concat(i.cast("string"), F.lit(":"), key.cast("string"))
+        )
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _CMS_W
+
+    tagged = e.select("user_id").withColumn("i", F.explode(seeds)).select(
+        "i", bucket(F.col("i"), F.col("user_id")).alias("bucket")
+    )
+    cells = tagged.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.withColumn("i", F.explode(seeds)).select(
+        "user_id",
+        "exact_count",
+        "i",
+        bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .orderBy("user_id")
     )

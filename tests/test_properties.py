@@ -489,3 +489,19 @@ def test_asof_forward_matches_pandas_merge_asof(spark, data):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_cms_never_underestimates(spark):
+    """The Count-Min invariant: estimates are >= exact counts for
+    every key (collisions only add), and at least one key genuinely
+    collides (sf0.01: 150 users into w=64 buckets — pigeonhole
+    guarantees the error is real, not vacuous; sf0.001's 15 users
+    may all land clean, so the non-vacuity leg needs this scale)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    rows = load_all_queries()["events_cms_user_counts"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+    assert any(r["cms_estimate"] > r["exact_count"] for r in rows)
