@@ -905,3 +905,132 @@ def user_value_machine_stream(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def join_view_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "purchase_signup_view",
+) -> DataFrame:
+    """Incremental JOIN-view maintenance (classic IVM over append-only
+    relations): the maintained view is
+
+        V  =  purchases ⋈ signups   (on user_id)
+
+    and each micro-batch applies the delta-join identity
+
+        ΔV = ΔL ⋈ R_old  ∪  L_old ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    so the view stays exact without ever re-joining the full history —
+    the per-batch work is proportional to the DELTA times the matched
+    slice, not |L| x |R|. Both relations are append-only (raw events),
+    so no retraction handling is needed; an aggregated/updating right
+    side would require the full IVM algebra (out of scope, documented).
+
+    State discipline: L-accumulator, R-accumulator, and the view live
+    in ONE TableStore table discriminated by a `side` column
+    ('L'/'R'/'V') with the applied-batch-id riding every row — a
+    single atomic pointer swap per batch, so there is NO cross-table
+    torn-state window, and redelivered batch_ids (foreachBatch's
+    at-least-once contract) are skipped exactly like
+    rollup_maintenance_stream. Returns the view rows.
+
+    Scale notes (100 TB/day): each delta join shuffles only the
+    micro-batch (small side broadcastable); the accumulators are the
+    only growing state and would live partitioned-by-key in
+    production so the delta joins stay co-located; the equivalence
+    and torn-batch tests pin stream == one-shot batch join.
+    """
+    from pyspark.sql import functions as F2
+
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    stream = _read_events_stream(spark, events_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F2.col("event_ts").alias("ts"),  # normalized by the reader
+        "value",
+    )
+
+    empty_state = (
+        "side string, user_id long, p_event_id long, s_event_id long,"
+        " p_ts timestamp, s_ts timestamp, value double"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if store.exists(query_name):
+            cur = store.read(query_name)
+            applied = cur.agg(F2.max("_applied_batch_id")).head()[0]
+            if applied is not None and batch_id <= applied:
+                return
+            cur = cur.drop("_applied_batch_id")
+        else:
+            cur = spark.createDataFrame([], empty_state)
+
+        d_l = batch_df.where(F2.col("event_type") == "purchase").select(
+            "user_id",
+            F2.col("event_id").alias("p_event_id"),
+            F2.col("ts").alias("p_ts"),
+            "value",
+        )
+        d_r = batch_df.where(F2.col("event_type") == "signup").select(
+            "user_id",
+            F2.col("event_id").alias("s_event_id"),
+            F2.col("ts").alias("s_ts"),
+        )
+        l_old = cur.where(F2.col("side") == "L").select(
+            "user_id", "p_event_id", "p_ts", "value"
+        )
+        r_old = cur.where(F2.col("side") == "R").select(
+            "user_id", "s_event_id", "s_ts"
+        )
+        # ΔV: three delta joins — new-left x old-right, old-left x
+        # new-right, new x new (each pair of rows meets in EXACTLY one
+        # of the three terms, so the union is exact, never duplicated)
+        d_v = (
+            d_l.join(r_old, "user_id")
+            .unionByName(l_old.join(d_r, "user_id"))
+            .unionByName(d_l.join(d_r, "user_id"))
+            .select("user_id", "p_event_id", "s_event_id", "p_ts", "s_ts", "value")
+        )
+
+        def tag(df: DataFrame, side: str) -> DataFrame:
+            out = df.withColumn("side", F2.lit(side))
+            for col, typ in (
+                ("p_event_id", "long"), ("s_event_id", "long"),
+                ("p_ts", "timestamp"), ("s_ts", "timestamp"),
+                ("value", "double"),
+            ):
+                if col not in df.columns:
+                    out = out.withColumn(col, F2.lit(None).cast(typ))
+            return out.select(
+                "side", "user_id", "p_event_id", "s_event_id",
+                "p_ts", "s_ts", "value",
+            )
+
+        state = (
+            cur.unionByName(tag(d_l, "L"))
+            .unionByName(tag(d_r, "R"))
+            .unionByName(tag(d_v, "V"))
+            .withColumn("_applied_batch_id", F2.lit(batch_id).cast("long"))
+        )
+        store.overwrite(query_name, state)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    return (
+        store.read(query_name)
+        .where(F.col("side") == "V")
+        .select("user_id", "p_event_id", "s_event_id", "p_ts", "s_ts", "value")
+    )

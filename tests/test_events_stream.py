@@ -541,3 +541,71 @@ def test_heavy_hitters_torn_batch_restart_is_exact(spark, events_dir, tmp_path):
         query_name="t_hh_torn",
     ).collect()
     assert got2[0]["total_rows"] == 2 * n
+
+
+def test_join_view_stream_matches_batch_join(spark, events_dir, tmp_path):
+    """Incremental join-view maintenance: after the stream drains, the
+    maintained purchases-join-signups view equals the one-shot batch
+    join of the full history (the delta-join identity is exact and
+    never duplicates a pair)."""
+    from fabric_claims_spark.streaming.events_stream import join_view_stream
+
+    got = join_view_stream(
+        spark, str(events_dir), str(tmp_path / "ckpt_jv"), "t_jv"
+    )
+    e = spark.read.parquet(str(events_dir)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), "value"
+    )
+    s = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("s_event_id")
+    )
+    want = {
+        (r["user_id"], r["p_event_id"], r["s_event_id"], r["value"])
+        for r in p.join(s, "user_id").collect()
+    }
+    g = {
+        (r["user_id"], r["p_event_id"], r["s_event_id"], r["value"])
+        for r in got.collect()
+    }
+    assert g == want and len(g) > 0
+
+
+def test_join_view_stream_joins_across_batches(spark, events_dir, tmp_path):
+    """The IVM terms that matter: a purchase arriving in batch 2 must
+    join signups from batch 1 (ΔL x R_old) and vice versa (L_old x
+    ΔR) — the maintained view after two batches equals the batch join
+    over BOTH files, with cross-batch pairs present."""
+    from fabric_claims_spark.streaming.events_stream import join_view_stream
+
+    ckpt = str(tmp_path / "ckpt_jv2")
+    join_view_stream(spark, str(events_dir), ckpt, "t_jv2")
+    shutil.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    got = join_view_stream(spark, str(events_dir), ckpt, "t_jv2")
+
+    e = spark.read.parquet(str(events_dir))
+    p = e.where(F.col("event_type") == "purchase")
+    s = e.where(F.col("event_type") == "signup")
+    # duplicated corpus: every (purchase, signup) user pair appears
+    # 2x2 = 4 ways via distinct event-id copies
+    want_rows = p.join(
+        s.select("user_id", F.col("event_id").alias("s_event_id")),
+        "user_id",
+    ).count()
+    assert got.count() == want_rows
+
+
+def test_join_view_stream_torn_batch_recovery(spark, events_dir, tmp_path):
+    """The single-table state discipline: tear the commit record, and
+    the redelivered batch must be skipped — no duplicated view rows,
+    no torn accumulator/view divergence (they share one atomic
+    commit)."""
+    from fabric_claims_spark.streaming.events_stream import join_view_stream
+
+    ckpt = str(tmp_path / "ckpt_jv3")
+    first = join_view_stream(spark, str(events_dir), ckpt, "t_jv3").count()
+    _tear_last_commit(ckpt)
+    again = join_view_stream(spark, str(events_dir), ckpt, "t_jv3").count()
+    assert again == first
