@@ -170,3 +170,135 @@ def compact_parquet_dir(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecar index: per-file membership filters for point /
+# IN-list lookups on a column min/max stats can't prune (high-churn
+# ids scattered across every file's value range). Each data file gets
+# an m-bit, k-hash bloom bitmap persisted in ONE tiny sidecar parquet
+# beside the table; a probe ANDs the key's k bit positions against
+# each file's bitmap and reads only the files that might contain it —
+# the pattern behind Delta/Iceberg bloom file skipping, built from
+# plain DataFrame ops (bit positions via xxhash64, bitmaps via
+# grouped bitwise-OR aggregation; no UDF, no driver loop over rows).
+#
+# Scale notes (100 TB): the index build is one linear pass with a
+# map-side-combinable aggregate (state = files x m/64 longs, tiny);
+# the sidecar is KBs per thousand files and broadcast at probe time;
+# false positives cost an extra file read, never a wrong result
+# (probe returns a superset of matching files).
+_BLOOM_WORDS = 64  # m = 64*64 = 4096 bits per file
+
+
+def _bloom_positions(key: Column, k: int) -> list[Column]:
+    m = _BLOOM_WORDS * 64
+    return [
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m))
+        for i in range(k)
+    ]
+
+
+def build_bloom_sidecar(
+    spark,
+    table_dir: str,
+    key_col: str,
+    k: int = 5,
+    sidecar_name: str = "_bloom_sidecar",
+) -> str:
+    """Scan ``table_dir`` once and write a per-file bloom bitmap
+    sidecar for ``key_col``. Returns the sidecar path."""
+    import os
+
+    df = spark.read.parquet(table_dir).select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("key")
+    )
+    pos = F.explode(F.array(*_bloom_positions(F.col("key"), k))).alias("pos")
+    bits = df.select("file", pos).select(
+        "file",
+        (F.col("pos") / 64).cast("int").alias("word"),
+        # F.shiftleft takes a Python-int bit count; a per-row bit
+        # count needs the SQL form (same trap as events_ewma_daily)
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "bit"
+        ),
+    )
+    # bitmap: per (file, word) OR of bits, then per file a dense
+    # word-indexed array — both aggregates map-side combinable
+    words = bits.groupBy("file", "word").agg(
+        F.bit_or("bit").alias("wordval")
+    )
+    sidecar = words.groupBy("file").agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("wordval")
+        ).alias("bitmap")
+    )
+    out = os.path.join(table_dir, sidecar_name)
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def bloom_probe_files(
+    spark,
+    table_dir: str,
+    key_value,
+    key_col: str,
+    k: int = 5,
+    sidecar_name: str = "_bloom_sidecar",
+) -> list[str]:
+    """Files that MIGHT contain ``key_value`` (superset semantics):
+    a file qualifies iff ALL k bit positions are set in its bitmap."""
+    import os
+
+    side = spark.read.parquet(os.path.join(table_dir, sidecar_name))
+    # evaluate the key's k bit positions once (1-row JVM projection —
+    # the probe must hash EXACTLY as the build did), then test them
+    # as plain int literals against each file's bitmap
+    pos_row = (
+        spark.range(1)
+        .select(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(
+                    _bloom_positions(F.lit(key_value), k)
+                )
+            ]
+        )
+        .first()
+    )
+    cond = F.lit(True)
+    for i in range(k):
+        p = int(pos_row[f"p{i}"])
+        s = p % 64
+        # JVM shiftleft(1L, 63) wraps to Long.MIN_VALUE; mirror the
+        # two's-complement value or the top-bit probe never matches
+        word, bit = p // 64, (1 << s) if s < 63 else -(1 << 63)
+        cond = cond & F.coalesce(
+            F.element_at(F.col("bitmap"), F.lit(word)).bitwiseAND(
+                F.lit(bit)
+            )
+            != 0,
+            F.lit(False),
+        )
+    return [r["file"] for r in side.where(cond).select("file").collect()]
+
+
+def bloom_pruned_read(
+    spark,
+    table_dir: str,
+    key_value,
+    key_col: str,
+    k: int = 5,
+    sidecar_name: str = "_bloom_sidecar",
+):
+    """Point-lookup read that opens only bloom-qualified files, then
+    applies the exact predicate (false positives filtered here)."""
+    files = bloom_probe_files(
+        spark, table_dir, key_value, key_col, k, sidecar_name
+    )
+    if not files:
+        base = spark.read.parquet(table_dir)
+        return base.where(F.lit(False))
+    return (
+        spark.read.parquet(*files).where(F.col(key_col) == F.lit(key_value))
+    )

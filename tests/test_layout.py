@@ -151,3 +151,43 @@ def test_compaction_rewrites_small_files(spark, tmp_path):
         )
     )
     assert "Exchange" not in plan
+
+
+def test_bloom_sidecar_prunes_files_and_is_exact(spark, tmp_path):
+    """The bloom sidecar must (a) never lose a row — the pruned point
+    lookup equals the full-scan filter, (b) genuinely skip files for
+    a key living in one file, (c) prune everything for an absent key
+    (modulo false positives, which only ever ADD files)."""
+    import os
+
+    from fabric_claims_spark.operators.layout import (
+        bloom_probe_files,
+        bloom_pruned_read,
+        build_bloom_sidecar,
+    )
+
+    src = str(tmp_path / "bloomed")
+    # 16 files, keys range-partitioned so each key lives in ~1 file
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.repartitionByRange(16, "o_orderkey").write.parquet(src)
+    n_files = len(
+        [p for p in os.listdir(src) if p.endswith(".parquet")]
+    )
+    assert n_files >= 8
+
+    build_bloom_sidecar(spark, src, "o_orderkey")
+    some_key = o.select("o_orderkey").orderBy("o_orderkey").first()[0]
+
+    files = bloom_probe_files(spark, src, some_key, "o_orderkey")
+    assert 1 <= len(files) < n_files / 2  # real skipping
+
+    got = bloom_pruned_read(spark, src, some_key, "o_orderkey").collect()
+    want = (
+        spark.read.parquet(src)
+        .where(F.col("o_orderkey") == some_key)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and want
+
+    absent = 10**12  # far outside the key domain
+    assert bloom_pruned_read(spark, src, absent, "o_orderkey").count() == 0
