@@ -1034,3 +1034,77 @@ def join_view_stream(
         .where(F.col("side") == "V")
         .select("user_id", "p_event_id", "s_event_id", "p_ts", "s_ts", "value")
     )
+
+
+def cms_maintenance_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    query_name: str = "stream_cms",
+) -> DataFrame:
+    """Streaming Count-Min Sketch — the mergeable-summary property in
+    action: CMS cells are pure counters, so maintaining the sketch
+    over a stream IS the additive-rollup fold (one state row per
+    (hash_row, bucket), d x w = 256 rows total no matter how much
+    data streams through), with the same applied-batch-id redelivery
+    guard as every foreachBatch sink here. The batch twin is
+    queries/stats.events_cms_user_counts; equivalence is pinned by
+    the stream==batch test probing estimates off the streamed cells.
+
+    Returns the cell table (i, bucket, n).
+    """
+    from pyspark.sql import functions as F2
+
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.queries.stats import _CMS_D, _CMS_W
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    seeds = F2.array(*[F2.lit(i) for i in range(_CMS_D)])
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .select(F2.col(key_col).alias("key"))
+        .withColumn("i", F2.explode(seeds))
+        .select(
+            "i",
+            (
+                F2.conv(
+                    F2.substring(
+                        F2.md5(
+                            F2.concat(
+                                F2.col("i").cast("string"),
+                                F2.lit(":"),
+                                F2.col("key").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CMS_W
+            ).alias("bucket"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store, query_name, batch_df, batch_id, keys=["i", "bucket"]
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    return store.read(query_name).drop(APPLIED_BATCH_COL)

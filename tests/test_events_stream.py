@@ -609,3 +609,50 @@ def test_join_view_stream_torn_batch_recovery(spark, events_dir, tmp_path):
     _tear_last_commit(ckpt)
     again = join_view_stream(spark, str(events_dir), ckpt, "t_jv3").count()
     assert again == first
+
+
+def test_cms_stream_cells_match_batch_sketch(spark, events_dir, tmp_path):
+    """The streamed CMS cell table equals the batch-built sketch (cell
+    counters are mergeable across micro-batch boundaries), estimates
+    probed from it satisfy the never-underestimate invariant, and a
+    second batch folds in additively."""
+    from fabric_claims_spark.queries.stats import _CMS_D, _CMS_W
+    from fabric_claims_spark.streaming.events_stream import (
+        cms_maintenance_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_cms")
+    cells = cms_maintenance_stream(spark, str(events_dir), ckpt,
+                                   query_name="t_cms")
+    e = spark.read.parquet(str(events_dir))
+    n = e.count()
+    got = {(r["i"], r["bucket"]): r["n"] for r in cells.collect()}
+    assert sum(v for (i, _), v in got.items() if i == 0) == n  # each row sums to n
+    assert all(0 <= b < _CMS_W and 0 <= i < _CMS_D for i, b in got)
+
+    # batch twin: estimates from the streamed cells are >= exact
+    def bucket(i, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i) + ":"),
+                                   F.col(key).cast("string"))), 1, 15),
+                16, 10,
+            ).cast("long") % _CMS_W
+        )
+
+    exact = {r["user_id"]: r["count"]
+             for r in e.groupBy("user_id").count().collect()}
+    probes = e.select("user_id").distinct().select(
+        "user_id", *[bucket(i, "user_id").alias(f"b{i}")
+                     for i in range(_CMS_D)]
+    ).collect()
+    for r in probes:
+        est = min(got[(i, r[f"b{i}"])] for i in range(_CMS_D))
+        assert est >= exact[r["user_id"]]
+
+    shutil.copy(f"{SF}/events.parquet", events_dir / "batch2.parquet")
+    cells2 = cms_maintenance_stream(spark, str(events_dir), ckpt,
+                                    query_name="t_cms")
+    got2 = {(r["i"], r["bucket"]): r["n"] for r in cells2.collect()}
+    assert all(got2[k] == 2 * v for k, v in got.items())
