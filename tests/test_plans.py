@@ -835,3 +835,24 @@ def test_asof_join_forward_semantics(spark):
         mid, right, key="k", ts="ts", right_value_cols=["name", "score"]
     ).collect()[0]
     assert (got2["asof_name"], got2["asof_score"]) == (None, None)
+
+
+def test_round6_queries_have_sane_plans(spark, registry):
+    """Round-6 additions: no CartesianProduct anywhere (the only
+    nested-loop joins allowed are broadcast scalar/tiny-frame
+    attachments); the curation funnel's pair join stays an equi join;
+    top-N+Other broadcasts its dimensions."""
+    for name in (
+        "docs_dedup_cascade",
+        "docs_cluster_quality_canonicals",
+        "docs_quality_nucleus",
+        "events_asof_next_purchase",
+        "events_hourly_locf",
+        "yoy_gap_ly_null_semantics",
+        "region_segment_top3_other",
+        "events_cms_user_counts",
+    ):
+        plan = _plan(spark, registry[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(spark, registry["region_segment_top3_other"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan  # nation/region dims broadcast
