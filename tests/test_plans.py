@@ -856,3 +856,18 @@ def test_round6_queries_have_sane_plans(spark, registry):
         assert "CartesianProduct" not in plan, name
     plan = _plan(spark, registry["region_segment_top3_other"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan  # nation/region dims broadcast
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, registry):
+    """Engine-wide structural invariant: every one of the registry's
+    queries must compile without a CartesianProduct — the one join
+    shape that cannot survive a 100x scale-up. Scalar/tiny-frame
+    attachments are fine (they plan as BroadcastNestedLoopJoin);
+    an unbroadcast cross join is not. Plan-only sweep (no execution),
+    so this also smoke-checks that every registered query BUILDS."""
+    offenders = []
+    for name, spec in registry.items():
+        plan = _plan(spark, spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
