@@ -369,14 +369,20 @@ def test_column_profile_single_scan(spark, registry):
     assert "Expand" in plan
 
 
-def test_dup_span_fraction_hashed_gram_shuffle_no_join(spark, registry):
-    """Span-dup is LINEAR: gram frequencies come from a window keyed
-    on the hashed gram (int64 shuffle payload, not gram text), and
-    there is no join anywhere — this is the metric, not a pair
-    generator."""
+def test_dup_span_fraction_hashed_gram_stats_stay_linear(spark, registry):
+    """Span-dup is LINEAR: gram frequencies shuffle on the HASHED gram
+    (int64 payload, not gram text), and the only join is the
+    df-statistic equi join back onto the gram stream (the round-6
+    skew playbook — never a gram-partitioned window, never a PAIR
+    join: this is the metric, not a pair generator)."""
     plan = _plan(spark, registry["docs_dup_span_fraction"].fn(spark, SF))
     assert "hashpartitioning(g#" in plan
-    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one join: the (g -> df) stats attach; its keys are the
+    # hashed gram on both sides
+    assert plan.count("Join [g#") + plan.count("Join [cast(g#") >= 1
+    assert plan.count("Join") == plan.count("Join [g#")
 
 
 def test_masked_view_rls_predicate_pushes_down(spark, registry):
