@@ -302,3 +302,57 @@ def bloom_pruned_read(
     return (
         spark.read.parquet(*files).where(F.col(key_col) == F.lit(key_value))
     )
+
+
+# ---------------------------------------------------------------------------
+# Min/max file-stats pruning — the range-predicate twin of the bloom
+# sidecar: parquet already persists per-column min/max in every file
+# footer, so a range scan only needs to OPEN the files whose
+# [min, max] box intersects the predicate. Spark's scan does this at
+# ROW-GROUP granularity once a file is opened; this helper prunes at
+# the FILE-LIST level first (footer reads are metadata-sized,
+# driver-side via pyarrow — the same information Delta keeps in its
+# transaction log as stats), which is what saves the cloud-storage
+# round-trips at 100 TB. Correct only with a clustered layout
+# (write_zordered / repartitionByRange) — on random layout every box
+# intersects and nothing prunes, which the helper reports honestly.
+def stats_prune_files(
+    table_dir: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Files whose [min, max] for ``col`` intersects [lo, hi].
+    Returns (qualifying files, total files). Footer-only reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    keep, total = [], 0
+    for fname in sorted(os.listdir(table_dir)):
+        if not fname.endswith(".parquet") or fname.startswith("_"):
+            continue
+        path = os.path.join(table_dir, fname)
+        total += 1
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(col)
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                fmin = None  # unknown stats → cannot prune this file
+                break
+            fmin = st.min if fmin is None or st.min < fmin else fmin
+            fmax = st.max if fmax is None or st.max > fmax else fmax
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            keep.append(path)
+    return keep, total
+
+
+def stats_pruned_read(spark, table_dir: str, col: str, lo, hi):
+    """Range read that opens only stats-qualified files, then applies
+    the exact predicate (files with unknown stats are read, never
+    skipped — superset semantics, same contract as the bloom probe)."""
+    files, _ = stats_prune_files(table_dir, col, lo, hi)
+    if not files:
+        return spark.read.parquet(table_dir).where(F.lit(False))
+    return spark.read.parquet(*files).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )

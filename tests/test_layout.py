@@ -191,3 +191,33 @@ def test_bloom_sidecar_prunes_files_and_is_exact(spark, tmp_path):
 
     absent = 10**12  # far outside the key domain
     assert bloom_pruned_read(spark, src, absent, "o_orderkey").count() == 0
+
+
+def test_stats_pruned_range_read_is_exact_and_skips(spark, tmp_path):
+    """File-level min/max pruning: on range-clustered data a narrow
+    range opens a small fraction of files and returns exactly the
+    full-scan result; on random layout it honestly reports no
+    pruning (every box intersects)."""
+    from fabric_claims_spark.operators.layout import (
+        stats_prune_files,
+        stats_pruned_read,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    clustered = str(tmp_path / "clustered")
+    o.repartitionByRange(16, "o_orderkey").write.parquet(clustered)
+
+    lo, hi = 100, 200
+    files, total = stats_prune_files(clustered, "o_orderkey", lo, hi)
+    assert total >= 8 and len(files) <= total / 4  # real skipping
+
+    got = stats_pruned_read(spark, clustered, "o_orderkey", lo, hi)
+    want = o.where(F.col("o_orderkey").between(lo, hi))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # random layout: boxes all overlap — no pruning, still exact
+    shuffled = str(tmp_path / "shuffled")
+    o.repartition(16).write.parquet(shuffled)
+    files2, total2 = stats_prune_files(shuffled, "o_orderkey", lo, hi)
+    assert len(files2) == total2
