@@ -407,6 +407,10 @@ GATE_PRIORITY: list[str] = [
     # round-6: Count-Min Sketch completes the mergeable-summary
     # family (KMV / Misra-Gries / HLL / CMS)
     "events_cms_user_counts",
+    # round-6: KMV set algebra, geometric mean, Mann-Whitney U
+    "events_kmv_set_operations",
+    "part_price_geomean_by_brand",
+    "order_value_mannwhitney",
 ]
 
 

@@ -1619,3 +1619,239 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("long").alias("cms_estimate"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set operations — the theta-sketch capability on the bottom-k
+# sketch: estimate |A ∪ B|, |A ∩ B| and Jaccard between two key sets
+# (view-users vs purchase-users) FROM THEIR SKETCHES ALONE. The union
+# sketch is the bottom-k of the merged sketches; intersection uses
+# the standard inclusion ratio rho = |K_union ∩ A ∩ B| / |K_union|
+# (membership via the per-side sketches is sound: an h in the union's
+# bottom-k that belongs to A necessarily sits in A's own bottom-k).
+# k=64 < the user domain at every tested sf, so the estimates are
+# genuine estimates; when a sketch holds the whole set (k_seen < k)
+# the estimator degrades to exact, both branches deterministic.
+# Exact values ride along, so the gate hash-checks the estimator AND
+# its measured error. Everything below the first distinct is
+# sketch-sized (bottom-k frames, TakeOrdered, no full-set joins).
+_KMVOP_K = 64
+_KMVOP_R = float(1 << 60)
+
+
+@query(
+    "events_kmv_set_operations",
+    oracle=f"""
+    WITH ah AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM events WHERE event_type = 'view'),
+    bh AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'),
+    ka AS (SELECT h FROM ah ORDER BY h LIMIT {_KMVOP_K}),
+    kb AS (SELECT h FROM bh ORDER BY h LIMIT {_KMVOP_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMVOP_K}),
+    u AS (SELECT MAX(h) AS kth, COUNT(*) AS kc FROM ku),
+    rho AS (
+      SELECT COUNT(*) AS in_both FROM ku
+      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    est AS (
+      SELECT u.kc, rho.in_both,
+             CASE WHEN u.kc < {_KMVOP_K} THEN CAST(u.kc AS DOUBLE)
+                  ELSE ({_KMVOP_K}.0 - 1.0) * {_KMVOP_R!r} / u.kth
+             END AS est_union
+      FROM u CROSS JOIN rho),
+    ex AS (
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT h FROM ah UNION SELECT h FROM bh))
+          AS exact_union,
+        (SELECT COUNT(*) FROM ah WHERE h IN (SELECT h FROM bh))
+          AS exact_intersection)
+    SELECT CAST({_KMVOP_K} AS BIGINT) AS k,
+           ROUND(est.est_union, 6) AS est_union,
+           ROUND(CAST(est.in_both AS DOUBLE) / est.kc * est.est_union, 6)
+             AS est_intersection,
+           ROUND(CAST(est.in_both AS DOUBLE) / est.kc, 6) AS est_jaccard,
+           CAST(ex.exact_union AS BIGINT) AS exact_union,
+           CAST(ex.exact_intersection AS BIGINT) AS exact_intersection
+    FROM est CROSS JOIN ex
+    """,
+)
+def events_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    e = load_table(spark, sf_dir, "events")
+
+    def side_hashes(t: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == t)
+            .select(md5_long(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    ah, bh = side_hashes("view"), side_hashes("purchase")
+    ka = ah.orderBy("h").limit(_KMVOP_K)
+    kb = bh.orderBy("h").limit(_KMVOP_K)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMVOP_K)
+    u = ku.agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("kc"))
+    in_both = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("in_both"))
+    )
+    exact_union = (
+        ah.unionByName(bh).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    exact_inter = ah.join(bh, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    est_union = F.when(
+        F.col("kc") < _KMVOP_K, F.col("kc").cast("double")
+    ).otherwise(F.lit(_KMVOP_K - 1.0) * F.lit(_KMVOP_R) / F.col("kth"))
+    return (
+        u.crossJoin(F.broadcast(in_both))
+        .crossJoin(F.broadcast(exact_union))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            F.lit(_KMVOP_K).cast("long").alias("k"),
+            F.round(est_union, 6).alias("est_union"),
+            F.round(
+                F.col("in_both").cast("double") / F.col("kc") * est_union, 6
+            ).alias("est_intersection"),
+            F.round(F.col("in_both").cast("double") / F.col("kc"), 6).alias(
+                "est_jaccard"
+            ),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_intersection")
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Geometric mean per brand — the multiplicative average (the right
+# mean for ratios/prices): exp(mean(ln x)). Per-value logs snap to
+# 6 dp and sum as exact MICRO-nat longs (the unigram-logprob
+# discipline — ln differs by 1 ulp between JVM and libm, and float
+# sums are partition-order-dependent); the only floating steps are
+# one division and one exp on a bit-identical input, rounded at
+# output. One hash aggregate; no windows, no sorts.
+@query(
+    "part_price_geomean_by_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS parts,
+           CAST(SUM(CAST(ROUND(ROUND(ln(CAST(p_retailprice AS DOUBLE)), 6)
+                               * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS log_mean,
+           ROUND(exp(CAST(SUM(CAST(ROUND(ROUND(ln(CAST(p_retailprice AS DOUBLE)), 6)
+                                         * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                     / (1000000.0 * COUNT(*))), 4) AS geomean_price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def part_price_geomean_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    micro_ln = F.round(
+        F.round(F.log(F.col("p_retailprice").cast("double")), 6) * 1_000_000,
+        0,
+    ).cast("long")
+    log_mean = F.sum(micro_ln).cast("double") / (
+        F.lit(1_000_000.0) * F.count(F.lit(1))
+    )
+    return (
+        p.withColumn("mln", micro_ln)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            (
+                F.sum("mln").cast("double")
+                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+            ).alias("log_mean"),
+            F.round(
+                F.exp(
+                    F.sum("mln").cast("double")
+                    / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+                ),
+                4,
+            ).alias("geomean_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U — the nonparametric two-sample test (does one group
+# stochastically dominate the other?), computed EXACTLY in integers:
+# tie-averaged ranks are half-integers, so everything runs in 2x
+# units (2·avg_rank = 2·cum_before + ties + 1 — an integer), rank
+# sums accumulate as exact longs over the VALUE-DOMAIN histogram
+# (never a global sort of fact rows), and the AUC effect size
+# U/(n1·n2) is the single final division. Compares fulfilled vs open
+# order amounts.
+@query(
+    "order_value_mannwhitney",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    h AS (
+      SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2, COUNT(*) AS t
+      FROM v GROUP BY v),
+    c AS (
+      SELECT *, SUM(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+               AS cum_before
+      FROM h),
+    agg AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * cum_before + t + 1)) AS r1_x2
+      FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ROUND(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * n1 * n2), 6) AS auc
+    FROM agg
+    """,
+)
+def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    v = o.select(
+        money("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g1"),
+    )
+    h = v.groupBy("v").agg(
+        F.sum("g1").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g1")).alias("c2"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.withColumn("cum_before", F.sum("t").over(w) - F.col("t"))
+    agg = c.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r1_x2"),
+    )
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1_x2.cast("long").alias("u1_x2"),
+        F.round(
+            u1_x2.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
+        ).alias("auc"),
+    )
