@@ -411,6 +411,9 @@ GATE_PRIORITY: list[str] = [
     "events_kmv_set_operations",
     "part_price_geomean_by_brand",
     "order_value_mannwhitney",
+    # round-6: Poisson bootstrap (the distributed bootstrap),
+    # deterministic hash-driven weights
+    "orders_bootstrap_ci",
 ]
 
 

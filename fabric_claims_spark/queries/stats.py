@@ -1855,3 +1855,111 @@ def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             u1_x2.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 6
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — THE distributed bootstrap
+# [Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google 2012]: classic resampling needs n draws per replicate from
+# the whole dataset (impossible shuffled at scale), but Binomial(n,
+# 1/n) -> Poisson(1) as n grows, so each ROW independently contributes
+# w ~ Poisson(1) copies to each replicate — embarrassingly parallel,
+# one pass, no sampling coordination. Here the Poisson draw is
+# DETERMINISTIC: u = md5-uniform from (order key, replicate id),
+# w = inverse-CDF via hard-coded Poisson(1) thresholds (identical
+# literals both engines), so every replicate mean is a pure function
+# of the data and the gate hash-checks the whole CI. Replicate means
+# use exact decimal numerators (w·x) with one final division; the
+# 2.5%/97.5% bounds are rank picks over the 64-replicate domain.
+_BOOT_B = 64
+_BOOT_THRESH = [
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+    0.999998874797,
+]
+
+
+def _bootstrap_oracle() -> str:
+    fold = " + ".join(
+        f"(CASE WHEN u >= {t!r} THEN 1 ELSE 0 END)" for t in _BOOT_THRESH
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    w AS (
+      SELECT r.b,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS x,
+             {fold} AS w
+      FROM orders o CROSS JOIN reps r
+      CROSS JOIN LATERAL (
+        SELECT ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                                   || CAST(r.b AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u) h),
+    m AS (
+      SELECT b,
+             CAST(ROUND(SUM(w * x), 4) AS DOUBLE) / SUM(w) AS mean_b
+      FROM w GROUP BY b),
+    r AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b) AS rk FROM m),
+    pt AS (
+      SELECT ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)
+                        AS DOUBLE) / COUNT(*), 6) AS point_mean
+      FROM orders)
+    SELECT CAST({_BOOT_B} AS BIGINT) AS replicates,
+           pt.point_mean,
+           ROUND((SELECT mean_b FROM r WHERE rk = 2), 6) AS ci_lo,
+           ROUND((SELECT mean_b FROM r WHERE rk = {_BOOT_B - 1}), 6) AS ci_hi
+    FROM pt
+    """
+
+
+@query("orders_bootstrap_ci", oracle=_bootstrap_oracle())
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", money("o_totalprice").alias("x")
+    )
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    u = md5_long(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    ) / F.lit(float(1 << 60))
+    w = sum(
+        F.when(u >= F.lit(t), 1).otherwise(0) for t in _BOOT_THRESH
+    )
+    reps = o.select("o_orderkey", "x", b).withColumn("w", w)
+    m = reps.groupBy("b").agg(
+        (
+            F.round(F.sum(F.col("w") * F.col("x")), 4).cast("double")
+            / F.sum("w")
+        ).alias("mean_b")
+    )
+    # rank pick over the bounded replicate domain (64 rows)
+    rk = F.row_number().over(Window.orderBy("mean_b"))
+    r = m.withColumn("rk", rk)
+    lo = r.where(F.col("rk") == 2).select(
+        F.round("mean_b", 6).alias("ci_lo")
+    )
+    hi = r.where(F.col("rk") == _BOOT_B - 1).select(
+        F.round("mean_b", 6).alias("ci_hi")
+    )
+    pt = o.agg(
+        F.round(
+            F.round(F.sum("x"), 4).cast("double") / F.count(F.lit(1)), 6
+        ).alias("point_mean")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("replicates"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
