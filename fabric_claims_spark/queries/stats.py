@@ -1932,7 +1932,23 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = sum(
         F.when(u >= F.lit(t), 1).otherwise(0) for t in _BOOT_THRESH
     )
-    reps = o.select("o_orderkey", "x", b).withColumn("w", w)
+    # parallelism first, hashing second: orders is a single file, and
+    # explode preserves the scan's partitioning — without the
+    # repartition the 9.6M md5 evaluations land on ONE task (measured
+    # 10s single-threaded vs sub-second spread). Hashing after the
+    # exchange puts the per-replicate hash work on every core; the
+    # barrier also stops projection collapse re-inlining the hash
+    # into each threshold CASE.
+    hashed = (
+        o.select("o_orderkey", "x", b)
+        .repartition(F.col("b"))
+        .withColumn("u", u)
+    )
+    wb = sum(
+        F.when(F.col("u") >= F.lit(t), 1).otherwise(0)
+        for t in _BOOT_THRESH
+    )
+    reps = hashed.withColumn("w", wb)
     m = reps.groupBy("b").agg(
         (
             F.round(F.sum(F.col("w") * F.col("x")), 4).cast("double")
