@@ -1252,9 +1252,12 @@ def docs_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.extensions.dedup import word_shingles
+    from fabric_claims_spark.operators.partitioning import spread
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     dg = d.select(
         "doc_id",
@@ -2157,9 +2160,12 @@ def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.extensions.dedup import word_shingles
+    from fabric_claims_spark.operators.partitioning import spread
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     dg = d.select(
         "doc_id",
