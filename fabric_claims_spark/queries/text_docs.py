@@ -919,9 +919,12 @@ _PROBE_MIN_SHARED = 2
 )
 def docs_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.extensions.dedup import word_shingles
+    from fabric_claims_spark.operators.partitioning import spread
 
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     dg = d.select(
         "doc_id",
@@ -1957,8 +1960,11 @@ _XS_GRAM = 8
 )
 def docs_cross_source_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.extensions.dedup import md5_long
+    from fabric_claims_spark.operators.partitioning import spread
 
-    d = load_table(spark, sf_dir, "documents")
+    # single-file scan + per-CHAR explode: without spread the gram
+    # hash pipeline is one task (see docs_dup_span_fraction)
+    d = spread(load_table(spark, sf_dir, "documents"))
     pos = F.explode(
         F.sequence(
             F.lit(1),
