@@ -1610,8 +1610,12 @@ _PMI_MIN_PAIR = 5
     """,
 )
 def docs_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
+    from fabric_claims_spark.operators.partitioning import spread
+
+    d = spread(
+        load_table(spark, sf_dir, "documents").where(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok")
