@@ -414,6 +414,8 @@ GATE_PRIORITY: list[str] = [
     # round-6: Poisson bootstrap (the distributed bootstrap),
     # deterministic hash-driven weights
     "orders_bootstrap_ci",
+    # round-6: hybrid lexical+semantic retrieval via RRF
+    "docs_hybrid_rrf_search",
 ]
 
 

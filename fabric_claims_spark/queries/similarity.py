@@ -1119,3 +1119,140 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval via Reciprocal Rank Fusion [Cormack, Clarke &
+# Buettcher, SIGIR 2009] — the standard way to combine a lexical and
+# a semantic ranking without score calibration: each list contributes
+# 1/(k + rank), k=60. Lexical side: token-set Jaccard vs the query
+# doc (shared-token candidates only — the query's token set
+# broadcasts). Semantic side: cosine vs the query vector (brute
+# force, the correctness baseline). Both sides cut to their TOP-100
+# by TakeOrderedAndProject — ranks are then row_numbers over 100-row
+# frames, never a global window on data-sized frames — and fusion
+# joins the two bounded lists on the shared id (docs without
+# embeddings simply can't fuse — the partial-coverage corpus at
+# sf0.1 exercises that honestly). Every rank and both divisions are
+# identical in the two engines; the fused score rounds to 6 dp.
+_RRF_K = 60
+_RRF_TOP = 100
+
+
+@query(
+    "docs_hybrid_rrf_search",
+    oracle=f"""
+    WITH qt AS (
+      SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id = 0),
+    qn AS (SELECT COUNT(*) AS qn FROM qt),
+    dt AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE doc_id != 0 AND length(trim(text)) > 0),
+    ds AS (SELECT DISTINCT doc_id, tok FROM dt),
+    dn AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY 1),
+    ov AS (
+      SELECT ds.doc_id, COUNT(*) AS inter
+      FROM ds JOIN qt ON qt.tok = ds.tok GROUP BY 1),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY jac DESC, doc_id) AS r_lex
+      FROM (
+        SELECT ov.doc_id,
+               ROUND(CAST(ov.inter AS DOUBLE)
+                     / (dn.n + qn.qn - ov.inter), 6) AS jac
+        FROM ov JOIN dn ON dn.doc_id = ov.doc_id CROSS JOIN qn
+        ORDER BY jac DESC, ov.doc_id LIMIT {_RRF_TOP})),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+      FROM (
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.embedding::DOUBLE[], q.v)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+        FROM embeddings e CROSS JOIN qv q WHERE e.vec_id != 0
+        ORDER BY cos DESC, e.vec_id LIMIT {_RRF_TOP}))
+    SELECT l.doc_id,
+           CAST(l.r_lex AS BIGINT) AS r_lex,
+           CAST(s.r_sem AS BIGINT) AS r_sem,
+           ROUND(1.0 / ({_RRF_K} + l.r_lex)
+                 + 1.0 / ({_RRF_K} + s.r_sem), 6) AS rrf_score
+    FROM lex l JOIN sem s ON s.vec_id = l.doc_id
+    ORDER BY rrf_score DESC, l.doc_id
+    LIMIT 10
+    """,
+)
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.partitioning import spread
+    from fabric_claims_spark.sources.parquet import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    qt = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .distinct()
+    )
+    qn = qt.count()  # bounded: one doc's vocabulary
+    ds = (
+        spread(docs.where((F.col("doc_id") != 0)
+                          & (F.length(F.trim(F.col("text"))) > 0)))
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .distinct()
+    )
+    dn = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ov = ds.join(F.broadcast(qt), "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n") + F.lit(qn) - F.col("inter")),
+        6,
+    )
+    lex_top = (
+        ov.join(dn, "doc_id")
+        .select("doc_id", jac.alias("jac"))
+        .orderBy(F.col("jac").desc(), F.col("doc_id").asc())
+        .limit(_RRF_TOP)
+    )
+    w_lex = Window.orderBy(F.col("jac").desc(), F.col("doc_id").asc())
+    lex = lex_top.withColumn("r_lex", F.row_number().over(w_lex)).select(
+        "doc_id", "r_lex"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", _as_double("embedding").alias("ev"))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(_RRF_TOP)
+    )
+    w_sem = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    sem = scored.withColumn("r_sem", F.row_number().over(w_sem)).select(
+        "vec_id", "r_sem"
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")),
+        6,
+    )
+    return (
+        lex.join(sem, lex["doc_id"] == sem["vec_id"])
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
