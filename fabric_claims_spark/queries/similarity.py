@@ -1175,13 +1175,13 @@ _RRF_TOP = 100
                         * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
         FROM embeddings e CROSS JOIN qv q WHERE e.vec_id != 0
         ORDER BY cos DESC, e.vec_id LIMIT {_RRF_TOP}))
-    SELECT l.doc_id,
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
            CAST(l.r_lex AS BIGINT) AS r_lex,
            CAST(s.r_sem AS BIGINT) AS r_sem,
-           ROUND(1.0 / ({_RRF_K} + l.r_lex)
-                 + 1.0 / ({_RRF_K} + s.r_sem), 6) AS rrf_score
-    FROM lex l JOIN sem s ON s.vec_id = l.doc_id
-    ORDER BY rrf_score DESC, l.doc_id
+           ROUND(COALESCE(1.0 / (60 + l.r_lex), 0)
+                 + COALESCE(1.0 / (60 + s.r_sem), 0), 6) AS rrf_score
+    FROM lex l FULL JOIN sem s ON s.vec_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id
     LIMIT 10
     """,
 )
@@ -1240,15 +1240,24 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = scored.withColumn("r_sem", F.row_number().over(w_sem)).select(
         "vec_id", "r_sem"
     )
+    # standard RRF handles partial membership: a doc absent from one
+    # list just loses that list's term (FULL outer fusion) — with the
+    # sf0.1 corpus only 2 of 5 docs carry embeddings, an inner fusion
+    # can legitimately be EMPTY (disjoint top-100s), which is a
+    # correct-but-useless retrieval surface
     rrf = F.round(
-        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))
-        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")),
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0)
+        ),
         6,
     )
     return (
-        lex.join(sem, lex["doc_id"] == sem["vec_id"])
+        lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
         .select(
-            "doc_id",
+            F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
             F.col("r_lex").cast("long").alias("r_lex"),
             F.col("r_sem").cast("long").alias("r_sem"),
             rrf.alias("rrf_score"),
