@@ -356,3 +356,105 @@ def stats_pruned_read(spark, table_dir: str, col: str, lo, hi):
     return spark.read.parquet(*files).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
+
+
+def update_bloom_sidecar(
+    spark,
+    table_dir: str,
+    key_col: str,
+    k: int = 5,
+    sidecar_name: str = "_bloom_sidecar",
+) -> int:
+    """Incremental index maintenance — the production shape: hash ONLY
+    files not yet in the sidecar (a streaming/append table indexes
+    each micro-batch's files once, never rescans history) and append
+    their bitmaps. Returns the number of newly indexed files.
+    Existing entries are never touched, so a crash mid-update at
+    worst leaves some new files unindexed — and an unindexed file is
+    simply not prunable, never wrongly skipped, because the probe
+    side (``bloom_probe_files``) consults the sidecar for
+    candidates... which means the CALLER must treat files absent from
+    the sidecar as always-qualifying; ``bloom_pruned_read_safe``
+    below does exactly that."""
+    import os
+
+    side_path = os.path.join(table_dir, sidecar_name)
+    have: set[str] = set()
+    if os.path.isdir(side_path):
+        have = {
+            r["file"]
+            for r in spark.read.parquet(side_path).select("file").collect()
+        }
+    all_files = {
+        "file:" + os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    }
+    # input_file_name() URIs: normalize by suffix match
+    def indexed(path: str) -> bool:
+        base = os.path.basename(path)
+        return any(h.endswith("/" + base) for h in have)
+
+    new_files = [p.replace("file:", "") for p in sorted(all_files)
+                 if not indexed(p)]
+    if not new_files:
+        return 0
+    df = spark.read.parquet(*new_files).select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("key")
+    )
+    pos = F.explode(F.array(*_bloom_positions(F.col("key"), k))).alias("pos")
+    bits = df.select("file", pos).select(
+        "file",
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+            "bit"
+        ),
+    )
+    words = bits.groupBy("file", "word").agg(F.bit_or("bit").alias("wordval"))
+    sidecar = words.groupBy("file").agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("wordval")
+        ).alias("bitmap")
+    )
+    sidecar.coalesce(1).write.mode("append").parquet(side_path)
+    return len(new_files)
+
+
+def bloom_pruned_read_safe(
+    spark,
+    table_dir: str,
+    key_value,
+    key_col: str,
+    k: int = 5,
+    sidecar_name: str = "_bloom_sidecar",
+):
+    """Point lookup that treats files ABSENT from the sidecar as
+    always-qualifying (the lag window between a file landing and its
+    index entry must widen the read, never lose rows)."""
+    import os
+
+    qualified = set(
+        bloom_probe_files(
+            spark, table_dir, key_value, key_col, k, sidecar_name
+        )
+    )
+    side_path = os.path.join(table_dir, sidecar_name)
+    have = {
+        os.path.basename(r["file"])
+        for r in spark.read.parquet(side_path).select("file").collect()
+    }
+    files = [
+        os.path.join(table_dir, f)
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet")
+        and not f.startswith("_")
+        and (
+            f not in have  # unindexed — must read
+            or any(q.endswith("/" + f) for q in qualified)
+        )
+    ]
+    if not files:
+        return spark.read.parquet(table_dir).where(F.lit(False))
+    return spark.read.parquet(*files).where(
+        F.col(key_col) == F.lit(key_value)
+    )

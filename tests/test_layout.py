@@ -221,3 +221,49 @@ def test_stats_pruned_range_read_is_exact_and_skips(spark, tmp_path):
     o.repartition(16).write.parquet(shuffled)
     files2, total2 = stats_prune_files(shuffled, "o_orderkey", lo, hi)
     assert len(files2) == total2
+
+
+def test_bloom_sidecar_incremental_update(spark, tmp_path):
+    """Index maintenance: update_bloom_sidecar hashes ONLY files not
+    yet indexed (0 work on a no-op call), keys in newly landed files
+    become findable, and the safe read treats unindexed files as
+    always-qualifying during the lag window."""
+    import os
+
+    from fabric_claims_spark.operators.layout import (
+        bloom_pruned_read_safe,
+        build_bloom_sidecar,
+        update_bloom_sidecar,
+    )
+
+    src = str(tmp_path / "grow")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    first = o.where(F.col("o_orderkey") < 1000)
+    first.repartitionByRange(8, "o_orderkey").write.parquet(src)
+    build_bloom_sidecar(spark, src, "o_orderkey")
+    assert update_bloom_sidecar(spark, src, "o_orderkey") == 0  # no-op
+
+    # land new files with the remaining keys
+    late = o.where(F.col("o_orderkey") >= 1000)
+    late.repartitionByRange(4, "o_orderkey").write.mode("append").parquet(src)
+    late_key = late.select(F.max("o_orderkey")).first()[0]
+
+    # lag window: key only findable via the SAFE read until indexed
+    got_safe = bloom_pruned_read_safe(
+        spark, src, late_key, "o_orderkey"
+    ).count()
+    want = o.where(F.col("o_orderkey") == late_key).count()
+    assert got_safe == want and want > 0
+
+    n_new = update_bloom_sidecar(spark, src, "o_orderkey")
+    assert n_new >= 4  # exactly the late files (+ none of the old)
+    got = bloom_pruned_read_safe(spark, src, late_key, "o_orderkey").count()
+    assert got == want
+    # and the indexed probe now prunes: far fewer files than total
+    from fabric_claims_spark.operators.layout import bloom_probe_files
+
+    n_total = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    files = bloom_probe_files(spark, src, late_key, "o_orderkey")
+    assert 1 <= len(files) < n_total / 2
