@@ -416,6 +416,8 @@ GATE_PRIORITY: list[str] = [
     "orders_bootstrap_ci",
     # round-6: hybrid lexical+semantic retrieval via RRF
     "docs_hybrid_rrf_search",
+    # round-6: PSI drift monitor (fixed-grid population stability)
+    "orders_value_psi_periods",
 ]
 
 

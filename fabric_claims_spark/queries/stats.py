@@ -1979,3 +1979,110 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index — the production drift monitor for any
+# scored/valued feature: bin the value in a FIXED grid (monitoring
+# bins must not move between periods, or the metric measures the
+# binning), compare two periods' bin shares, PSI = Σ (p−q)·ln(p/q)
+# with add-one smoothing so empty bins stay finite. Determinism: bin
+# indexes are integer arithmetic; p, q are exact rationals evaluated
+# in the same op order; ln snaps to 6 dp (the engine's ln-ulp rule);
+# each bin's term rounds to NANO-units and sums as exact longs —
+# never a float sum over an unordered group. Rule of thumb pinned in
+# the output: PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
+# Scale shape: two filtered aggregates over the fixed 10-bin domain;
+# everything after the scan is 10-row arithmetic.
+_PSI_BIN_W = 50_000  # fixed-width monitoring bins over o_totalprice
+_PSI_BINS = 10
+
+
+@query(
+    "orders_value_psi_periods",
+    oracle=f"""
+    WITH base AS (
+      SELECT LEAST({_PSI_BINS - 1},
+                   CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,4))
+                              / {_PSI_BIN_W}) AS INT)) AS bin,
+             (EXTRACT(year FROM o_orderdate) <= 1997) AS is_a
+      FROM orders),
+    bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+    h AS (
+      SELECT b.bin,
+             COALESCE(SUM(CASE WHEN base.is_a THEN 1 ELSE 0 END), 0) AS ca,
+             COALESCE(SUM(CASE WHEN NOT base.is_a THEN 1 ELSE 0 END), 0) AS cb
+      FROM bins b LEFT JOIN base ON base.bin = b.bin
+      GROUP BY b.bin),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h),
+    terms AS (
+      SELECT h.bin, h.ca, h.cb,
+             CAST(ROUND(
+               (CAST(h.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS})
+                - CAST(h.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))
+               * ROUND(ln((CAST(h.ca + 1 AS DOUBLE) / (t.na + {_PSI_BINS}))
+                          / (CAST(h.cb + 1 AS DOUBLE) / (t.nb + {_PSI_BINS}))), 6)
+               * 1000000000, 0) AS BIGINT) AS term_nano
+      FROM h CROSS JOIN t),
+    psi AS (SELECT SUM(term_nano) AS nano FROM terms)
+    SELECT CAST(terms.bin AS BIGINT) AS bin,
+           CAST(terms.ca AS BIGINT) AS count_a,
+           CAST(terms.cb AS BIGINT) AS count_b,
+           terms.term_nano,
+           CAST(psi.nano AS DOUBLE) / 1000000000.0 AS psi_total,
+           CASE WHEN psi.nano < 100000000 THEN 'stable'
+                WHEN psi.nano < 250000000 THEN 'moderate_shift'
+                ELSE 'shifted' END AS verdict
+    FROM terms CROSS JOIN psi
+    ORDER BY terms.bin
+    """,
+)
+def orders_value_psi_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(money("o_totalprice") / _PSI_BIN_W).cast("int"),
+        ).alias("bin"),
+        (F.year("o_orderdate") <= 1997).alias("is_a"),
+    )
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    h = (
+        bins.join(base, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_a"), 1).otherwise(0)), F.lit(0)
+            ).alias("ca"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_a"), 1).otherwise(0)), F.lit(0)
+            ).alias("cb"),
+        )
+    )
+    t = h.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + _PSI_BINS)
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    term_nano = F.round(
+        (p - q) * F.round(F.log(p / q), 6) * F.lit(1_000_000_000), 0
+    ).cast("long")
+    terms = h.crossJoin(F.broadcast(t)).select(
+        "bin", "ca", "cb", term_nano.alias("term_nano")
+    )
+    psi = terms.agg(F.sum("term_nano").alias("nano"))
+    return (
+        terms.crossJoin(F.broadcast(psi))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("ca").cast("long").alias("count_a"),
+            F.col("cb").cast("long").alias("count_b"),
+            "term_nano",
+            (F.col("nano").cast("double") / 1_000_000_000.0).alias(
+                "psi_total"
+            ),
+            F.when(F.col("nano") < 100_000_000, "stable")
+            .when(F.col("nano") < 250_000_000, "moderate_shift")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("bin")
+    )
