@@ -1108,3 +1108,112 @@ def cms_maintenance_stream(
     if not store.exists(query_name):
         raise ValueError("no batches processed")
     return store.read(query_name).drop(APPLIED_BATCH_COL)
+
+
+def psi_monitor_stream(
+    spark: SparkSession,
+    events_dir: str,
+    baseline_path: str,
+    checkpoint_dir: str,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    query_name: str = "psi_monitor",
+) -> DataFrame:
+    """Streaming drift monitor — the PSI query
+    (queries/stats.orders_value_psi_periods) as a continuously
+    maintained alarm: the live side's fixed-grid bin counts fold per
+    micro-batch through the idempotent additive rollup (n_bins rows
+    of state, the CMS discipline), and each read compares them to a
+    FROZEN baseline distribution with the same add-one-smoothed
+    PSI = Σ (p−q)·ln(p/q), 6dp-snapped logs, nano-unit exact term
+    sums. Emits one row per bin plus the total and the standard
+    stable / moderate_shift / shifted verdict — the feed a
+    model-serving pipeline pages on.
+
+    ``baseline_path``: parquet of reference events (the distribution
+    the model was trained/validated against); frozen by definition —
+    drift is measured AGAINST it, so it is read, binned once per
+    call, and never folded.
+    """
+    from pyspark.sql import functions as F2
+
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+
+    def bin_col(c):
+        return F2.least(
+            F2.lit(n_bins - 1),
+            F2.floor(c / F2.lit(bin_width)).cast("int"),
+        )
+
+    stream = _read_events_stream(spark, events_dir).select(
+        bin_col(F2.col("value")).alias("bin")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store, query_name, batch_df, batch_id, keys=["bin"]
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+
+    live = store.read(query_name).drop(APPLIED_BATCH_COL).select(
+        "bin", F2.col("n").alias("cb")
+    )
+    base = (
+        spark.read.parquet(baseline_path)
+        .select(bin_col(F2.col("value")).alias("bin"))
+        .groupBy("bin")
+        .agg(F2.count(F2.lit(1)).alias("ca"))
+    )
+    bins = spark.range(n_bins).select(F2.col("id").cast("int").alias("bin"))
+    h = (
+        bins.join(base, "bin", "left")
+        .join(live, "bin", "left")
+        .select(
+            "bin",
+            F2.coalesce("ca", F2.lit(0)).alias("ca"),
+            F2.coalesce("cb", F2.lit(0)).alias("cb"),
+        )
+    )
+    t = h.agg(F2.sum("ca").alias("na"), F2.sum("cb").alias("nb"))
+    p = (F2.col("ca") + 1).cast("double") / (F2.col("na") + n_bins)
+    q = (F2.col("cb") + 1).cast("double") / (F2.col("nb") + n_bins)
+    term_nano = F2.round(
+        (p - q) * F2.round(F2.log(p / q), 6) * F2.lit(1_000_000_000), 0
+    ).cast("long")
+    terms = h.crossJoin(F2.broadcast(t)).select(
+        "bin", "ca", "cb", term_nano.alias("term_nano")
+    )
+    psi = terms.agg(F2.sum("term_nano").alias("nano"))
+    return (
+        terms.crossJoin(F2.broadcast(psi))
+        .select(
+            F2.col("bin").cast("long").alias("bin"),
+            F2.col("ca").cast("long").alias("baseline_count"),
+            F2.col("cb").cast("long").alias("live_count"),
+            "term_nano",
+            (F2.col("nano").cast("double") / 1_000_000_000.0).alias(
+                "psi_total"
+            ),
+            F2.when(F2.col("nano") < 100_000_000, "stable")
+            .when(F2.col("nano") < 250_000_000, "moderate_shift")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("bin")
+    )

@@ -656,3 +656,44 @@ def test_cms_stream_cells_match_batch_sketch(spark, events_dir, tmp_path):
                                     query_name="t_cms")
     got2 = {(r["i"], r["bucket"]): r["n"] for r in cells2.collect()}
     assert all(got2[k] == 2 * v for k, v in got.items())
+
+
+def test_psi_monitor_stream_matches_batch_and_detects_shift(
+    spark, events_dir, tmp_path
+):
+    """Streaming drift alarm: against ITSELF as baseline the live
+    distribution is maximally stable (every term ~0, verdict stable);
+    the redelivery guard holds after a torn commit; and against a
+    SHIFTED baseline the verdict escalates."""
+    from fabric_claims_spark.streaming.events_stream import (
+        psi_monitor_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_psi")
+    base_self = str(events_dir / "batch1.parquet")
+    out = psi_monitor_stream(
+        spark, str(events_dir), base_self, ckpt, query_name="t_psi"
+    ).collect()
+    assert len(out) == 10
+    assert out[0]["verdict"] == "stable"
+    assert abs(out[0]["psi_total"]) < 1e-6  # identical distributions
+    n = spark.read.parquet(str(events_dir)).count()
+    assert sum(r["live_count"] for r in out) == n
+
+    # torn commit: redelivered batch must not double-fold
+    _tear_last_commit(ckpt)
+    out2 = psi_monitor_stream(
+        spark, str(events_dir), base_self, ckpt, query_name="t_psi"
+    ).collect()
+    assert sum(r["live_count"] for r in out2) == n
+
+    # shifted baseline (values scaled 3x -> mass moves across bins)
+    shifted = str(tmp_path / "shifted_base")
+    spark.read.parquet(str(events_dir)).withColumn(
+        "value", F.col("value") * 3
+    ).write.parquet(shifted)
+    out3 = psi_monitor_stream(
+        spark, str(events_dir), shifted, ckpt, query_name="t_psi"
+    ).collect()
+    assert out3[0]["psi_total"] > out[0]["psi_total"]
+    assert out3[0]["verdict"] in ("moderate_shift", "shifted")
