@@ -418,6 +418,8 @@ GATE_PRIORITY: list[str] = [
     "docs_hybrid_rrf_search",
     # round-6: PSI drift monitor (fixed-grid population stability)
     "orders_value_psi_periods",
+    # round-6: robust anomaly flag (modified z via grouped MAD)
+    "events_daily_modified_zscore",
 ]
 
 

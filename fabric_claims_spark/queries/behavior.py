@@ -2077,3 +2077,108 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("cnt").isNull().alias("was_gap"),
     ).orderBy("event_type", "hour")
+
+
+# --------------------------------------------------------------------------
+# Modified z-score anomalies (Iglewicz & Hoaglin, "How to Detect and
+# Handle Outliers"): the robust outlier flag 0.6745·(x − med)/MAD —
+# mean/stddev z-scores move with the outliers they hunt; the median /
+# median-absolute-deviation pair does not. Grouped per event type
+# over the daily-count series, both medians LOWER medians picked from
+# per-group value-domain histograms (order_value_mad's machinery,
+# PARTITIONed BY type — bounded frames, no fact-row sorts; all
+# decimal/integer until the one z division). MAD = 0 (more than half
+# the days tie) yields NULL z via try_divide — undefined, not
+# infinite. Flags |z| > 3.5 (the paper's cut).
+@query(
+    "events_daily_modified_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    h AS (SELECT event_type, cnt AS v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) - c
+               AS prev_cum
+      FROM h),
+    med AS (
+      SELECT cum.event_type, cum.v AS med FROM cum JOIN t USING (event_type)
+      WHERE cum.prev_cum < (t.n + 1) // 2 AND (t.n + 1) // 2 <= cum.cum),
+    dev AS (
+      SELECT d.event_type, ABS(d.cnt - med.med) AS dv
+      FROM d JOIN med USING (event_type)),
+    dh AS (SELECT event_type, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+    dcum AS (
+      SELECT event_type, dv,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY dv) - c
+               AS prev_cum
+      FROM dh),
+    mad AS (
+      SELECT dcum.event_type, dcum.dv AS mad
+      FROM dcum JOIN t USING (event_type)
+      WHERE dcum.prev_cum < (t.n + 1) // 2 AND (t.n + 1) // 2 <= dcum.cum)
+    SELECT d.event_type, d.day, d.cnt,
+           CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+           ROUND(0.6745 * (d.cnt - med.med) / NULLIF(mad.mad, 0), 6)
+             AS mod_z,
+           COALESCE(ABS(0.6745 * (d.cnt - med.med) / NULLIF(mad.mad, 0))
+                    > 3.5, FALSE) AS is_outlier
+    FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_daily_modified_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def grouped_lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        h = frame.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = h.select(
+            "event_type",
+            F.col(col).alias("v"),
+            F.sum("c").over(w).alias("cum"),
+            (F.sum("c").over(w) - F.col("c")).alias("prev_cum"),
+        )
+        k = F.expr("(n + 1) div 2")
+        return (
+            cum.join(t, "event_type")
+            .where((F.col("prev_cum") < k) & (k <= F.col("cum")))
+            .select("event_type", F.col("v").alias(out))
+        )
+
+    med = grouped_lower_median(d, "cnt", "med")
+    dev = d.join(med, "event_type").select(
+        "event_type", F.abs(F.col("cnt") - F.col("med")).alias("dv")
+    )
+    mad = grouped_lower_median(dev, "dv", "mad")
+    z = F.lit(0.6745) * (F.col("cnt") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0)
+    )
+    return (
+        d.join(med, "event_type")
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            F.round(z, 6).alias("mod_z"),
+            F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
