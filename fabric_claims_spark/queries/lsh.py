@@ -889,19 +889,29 @@ def docs_quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-proven dedup stages end-to-end so the FUNNEL itself (stage
 # ordering, survivor joins) is hash-checked, not just the parts.
 # Scale shape: each stage is the already-audited plan (hash-group,
-# banded LSH); the composition adds only survivor semi/anti joins.
+# banded LSH) run over the PREVIOUS stage's survivors — the whole
+# point of a funnel: the LSH signature pass shingles+hashes only the
+# exact survivors, so signature work scales with the deduped corpus,
+# not the raw one (on a crawl corpus with 50% exact copies that
+# halves the most expensive stage). Equivalent to LSH-over-raw +
+# survivor post-filter because exact copies carry identical text and
+# hence identical signatures — except where a band bucket exceeds
+# bucket_cap only because duplicate copies padded it; running on
+# survivors keeps such buckets (a strict recall improvement). The
+# oracle runs the same order: exact dedup first, CTE chain over the
+# survivor docs.
 @query(
     "docs_dedup_cascade",
     oracle=f"""
-    WITH {_neardup_ctes()},
-    es AS (
+    WITH es AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sdocs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN es ON es.doc_id = d.doc_id),
+    {_neardup_ctes(src="sdocs")},
     drp AS (
-      SELECT DISTINCT p.doc_b AS doc_id
-      FROM est p
-      JOIN es a ON a.doc_id = p.doc_a
-      JOIN es b ON b.doc_id = p.doc_b
-      WHERE p.est_jaccard >= 0.5),
+      SELECT DISTINCT doc_b AS doc_id FROM est
+      WHERE est_jaccard >= 0.5),
     ns AS (
       SELECT doc_id FROM es
       WHERE doc_id NOT IN (SELECT doc_id FROM drp))
@@ -919,8 +929,9 @@ def docs_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_surv = docs.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id")
     )
+    surv_docs = docs.join(exact_surv.select("doc_id"), "doc_id", "semi")
     pairs = minhash_near_dups(
-        docs,
+        surv_docs,
         "doc_id",
         "text",
         threshold=0.5,
@@ -928,16 +939,9 @@ def docs_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         hasher="md5",
     ).select("doc_a", "doc_b")
-    # a pair prunes doc_b only if BOTH ends survived the exact stage
-    # (pairs whose endpoints were exact-dup copies are already gone
-    # with their copy; the canonical carries the same signature)
-    a = exact_surv.select(F.col("doc_id").alias("doc_a"))
-    b = exact_surv.select(F.col("doc_id").alias("doc_b"))
-    dropped = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # every pair's endpoints are exact survivors by construction;
+    # greedy lower-id keep drops doc_b
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     near_surv = exact_surv.join(dropped, "doc_id", "left_anti")
 
     def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:

@@ -1761,7 +1761,7 @@ def part_price_geomean_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("p_retailprice").cast("double")), 6) * 1_000_000,
         0,
     ).cast("long")
-    log_mean = F.sum(micro_ln).cast("double") / (
+    log_mean = F.sum("mln").cast("double") / (
         F.lit(1_000_000.0) * F.count(F.lit(1))
     )
     return (
@@ -1769,17 +1769,8 @@ def part_price_geomean_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("parts"),
-            (
-                F.sum("mln").cast("double")
-                / (F.lit(1_000_000.0) * F.count(F.lit(1)))
-            ).alias("log_mean"),
-            F.round(
-                F.exp(
-                    F.sum("mln").cast("double")
-                    / (F.lit(1_000_000.0) * F.count(F.lit(1)))
-                ),
-                4,
-            ).alias("geomean_price"),
+            log_mean.alias("log_mean"),
+            F.round(F.exp(log_mean), 4).alias("geomean_price"),
         )
         .orderBy("p_brand")
     )
@@ -1872,6 +1863,7 @@ def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # use exact decimal numerators (w·x) with one final division; the
 # 2.5%/97.5% bounds are rank picks over the 64-replicate domain.
 _BOOT_B = 64
+_BOOT_SALT = 64  # salt buckets per replicate in the bootstrap exchange
 _BOOT_THRESH = [
     0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
     0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
@@ -1922,27 +1914,37 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", money("o_totalprice").alias("x")
     )
     b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
-    u = md5_long(
-        F.concat(
-            F.col("o_orderkey").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
-        )
-    ) / F.lit(float(1 << 60))
-    w = sum(
-        F.when(u >= F.lit(t), 1).otherwise(0) for t in _BOOT_THRESH
-    )
     # parallelism first, hashing second: orders is a single file, and
     # explode preserves the scan's partitioning — without the
     # repartition the 9.6M md5 evaluations land on ONE task (measured
     # 10s single-threaded vs sub-second spread). Hashing after the
     # exchange puts the per-replicate hash work on every core; the
     # barrier also stops projection collapse re-inlining the hash
-    # into each threshold CASE.
+    # into each threshold CASE. The exchange key is (b, salt), not b
+    # alone: keyed only by replicate id, at most _BOOT_B=64 shuffle
+    # partitions ever carry data — a hard parallelism cap on a
+    # 1000-executor cluster. Salting by a row-hash spreads each
+    # replicate over _BOOT_SALT buckets (64×64 = 4096 distinct keys);
+    # groupBy("b") downstream still reduces via map-side partial
+    # aggregation, and the decimal sum is associative, so the result
+    # (and the gate hash) is unchanged.
     hashed = (
         o.select("o_orderkey", "x", b)
-        .repartition(F.col("b"))
-        .withColumn("u", u)
+        .repartition(
+            F.col("b"),
+            F.pmod(F.hash(F.col("o_orderkey")), F.lit(_BOOT_SALT)),
+        )
+        .withColumn(
+            "u",
+            md5_long(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            / F.lit(float(1 << 60)),
+        )
     )
     wb = sum(
         F.when(F.col("u") >= F.lit(t), 1).otherwise(0)

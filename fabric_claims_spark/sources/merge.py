@@ -198,14 +198,27 @@ class TableStore:
                 return int(metrics.get("numDeletedRows", 0))
             except Exception:  # metrics shape varies across Delta versions
                 # fallback: recount the predicate against the
-                # PRE-delete snapshot via time travel — race-free (the
-                # version is pinned) and scan-costed only on this
-                # path. Never surface a negative flag value: erasure
-                # audit rows consume this count verbatim.
-                v = int(t.history(1).select("version").first()[0])
+                # PRE-delete snapshot via time travel. The version is
+                # pinned from the DELETE commit itself (not history(1),
+                # which a concurrent writer may already have displaced
+                # — versionAsOf v-1 would then read the wrong
+                # snapshot and silently mis-count the erasure). Never
+                # surface a negative flag value: erasure audit rows
+                # consume this count verbatim.
+                dv = (
+                    t.history()
+                    .where(F.col("operation") == "DELETE")
+                    .agg(F.max("version"))
+                    .first()[0]
+                )
+                if dv is None or int(dv) < 1:
+                    raise RuntimeError(
+                        f"cannot pin pre-delete snapshot for {name!r}: "
+                        f"no DELETE commit with a predecessor in history"
+                    )
                 prev = (
                     self.spark.read.format("delta")
-                    .option("versionAsOf", v - 1)
+                    .option("versionAsOf", int(dv) - 1)
                     .load(self._dir(name))
                 )
                 return prev.where(condition.eqNullSafe(F.lit(True))).count()

@@ -1145,14 +1145,27 @@ def psi_monitor_stream(
 
     store = TableStore(spark, f"{checkpoint_dir}_table")
 
+    # Binning must be total over real inputs, or the monitor lies:
+    # least() skips NULLs (least(9, NULL) = 9 — NULL mass silently
+    # lands in the TOP bin) and negative values floor to negative bin
+    # ids that drop out of the 0..n_bins-1 spine join. NULLs are
+    # filtered (a drift monitor measures the value distribution;
+    # missingness is a different alarm), negatives clamp into bin 0
+    # with greatest() — in BOTH the live and baseline binning, since
+    # an asymmetric fix would register the fix itself as drift.
     def bin_col(c):
         return F2.least(
             F2.lit(n_bins - 1),
-            F2.floor(c / F2.lit(bin_width)).cast("int"),
+            F2.greatest(
+                F2.lit(0),
+                F2.floor(c / F2.lit(bin_width)).cast("int"),
+            ),
         )
 
-    stream = _read_events_stream(spark, events_dir).select(
-        bin_col(F2.col("value")).alias("bin")
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .where(F2.col("value").isNotNull())
+        .select(bin_col(F2.col("value")).alias("bin"))
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -1176,6 +1189,7 @@ def psi_monitor_stream(
     )
     base = (
         spark.read.parquet(baseline_path)
+        .where(F2.col("value").isNotNull())
         .select(bin_col(F2.col("value")).alias("bin"))
         .groupBy("bin")
         .agg(F2.count(F2.lit(1)).alias("ca"))

@@ -385,6 +385,28 @@ def test_dup_span_fraction_hashed_gram_stats_stay_linear(spark, registry):
     assert plan.count("Join") == plan.count("Join [g#")
 
 
+def test_bootstrap_replicate_exchange_is_salted(spark, registry):
+    """The Poisson-bootstrap explode must NOT repartition on the
+    replicate id alone — 64 distinct keys caps a 1000-executor
+    cluster at 64 tasks each holding a full copy of orders. The
+    exchange key is (b, pmod(hash(o_orderkey), salt)) → 4096
+    distinct keys, and the per-replicate reduction happens via
+    map-side partial aggregation before the groupBy("b") exchange
+    (decimal sums are associative, so results are unchanged)."""
+    plan = _plan(spark, registry["orders_bootstrap_ci"].fn(spark, SF))
+    import re
+
+    salted = re.search(
+        r"hashpartitioning\(b#\d+, pmod\(hash\(o_orderkey#\d+L, \d+\), 64\)",
+        plan,
+    )
+    assert salted, "bootstrap exchange lost its salt key"
+    # no exchange keyed on the bare replicate id other than the
+    # post-partial-agg ENSURE_REQUIREMENTS one
+    bare = re.findall(r"hashpartitioning\(b#\d+, 32\), (\w+)", plan)
+    assert all(k == "ENSURE_REQUIREMENTS" for k in bare)
+
+
 def test_masked_view_rls_predicate_pushes_down(spark, registry):
     """The RLS predicate must reach the parquet scan even through the
     masking projection (masking is projection-only, so Catalyst can
