@@ -67,7 +67,14 @@ GATE_PRIORITY: list[str] = [
     "claims_pipeline_e2e",
     "star_revenue_by_region_year",
     "quality_split_buckets",
-    "predicate_rule_counts",
+    # round-7 swap: P5-P7 set-membership/regex/range predicates stay
+    # prefix-checked via dq_reasons_orders (same operators/quality.py
+    # rule set, evaluated per-row into the reason array); the
+    # per-rule violation counts move to the tail (still
+    # oracle-checked locally) so the Poisson bootstrap — the one
+    # perf-weak-flagged query of round 6, now salted — gains a
+    # driver row.
+    "orders_bootstrap_ci",
     "dq_reasons_orders",
     # round-5 swap: the CDC feed's update rows ARE null-safe change
     # detection (operators/cdc.table_diff eqNullSafe classify), so the
@@ -76,7 +83,13 @@ GATE_PRIORITY: list[str] = [
     # to the tail (still oracle-checked by the local replica).
     "customers_snapshot_diff",
     "conditional_status_aggregates",
-    "customers_without_urgent_orders",
+    # round-7 swap: J1 left-anti stays prefix-checked twice over —
+    # not_in_null_semantics is the null-aware anti join and the
+    # newly-promoted docs_dedup_cascade prunes near-dup survivors
+    # with a left_anti join; customers_without_urgent_orders moves
+    # to the tail (still oracle-checked locally) so the PSI drift
+    # monitor gains a driver row.
+    "orders_value_psi_periods",
     "distinct_customer_profile",
     "dedup_latest_order_per_customer",
     "unique_customers_per_status",
@@ -98,7 +111,14 @@ GATE_PRIORITY: list[str] = [
     # free a driver row for a round-6 flagship below.
     "incremental_slice_after_watermark",
     "state_latest_per_user",
-    "events_hourly_tumbling",
+    # round-7 swap: fixed-bucket time aggregation stays
+    # prefix-checked via the daily date_trunc grouping inside the
+    # modified z-score (same truncate-then-groupBy machinery as the
+    # hourly tumbling window, which moves to the tail — still
+    # oracle-checked locally, and its streaming twin remains pinned
+    # by tests/test_events_stream.py); the robust anomaly flag
+    # (grouped exact median/MAD) gains the driver row.
+    "events_daily_modified_zscore",
     "events_session_window",
     "events_asof_last_purchase",
     "pivot_status_by_priority",
@@ -109,7 +129,13 @@ GATE_PRIORITY: list[str] = [
     "orders_price_band_range_join",
     "order_value_quartiles",
     "order_value_stats",
-    "docs_exact_dedup",
+    # round-7 swap: exact dedup stays prefix-checked as stage 1 of
+    # the cascade (the same groupBy(md5(text)) -> min(doc_id)
+    # survivor fold, its survivor count hash-checked in the funnel
+    # rows); the standalone docs_exact_dedup moves to the tail
+    # (still oracle-checked locally) so the full funnel composition
+    # gains the driver row.
+    "docs_dedup_cascade",
     "docs_clean_corpus",
     "docs_quality_score",
     "docs_langid_stopwords",
@@ -140,7 +166,13 @@ GATE_PRIORITY: list[str] = [
     # oracle-checked by the local replica).
     "docs_split_leakage",
     "embeddings_ivf_search",
-    "embeddings_neardup_pairs",
+    # round-7 swap: embedding-cosine pair machinery stays
+    # prefix-checked via embeddings_semantic_dedup (within-cluster
+    # cosine-threshold pair join over the same normalized dot) while
+    # embeddings_neardup_pairs moves to the tail (still
+    # oracle-checked locally); hybrid lexical+semantic RRF fusion
+    # gains the driver row.
+    "docs_hybrid_rrf_search",
     # round-6 flagship rows (the four rotated IN, VERDICT r5 item 2):
     # the sanctioned applyInPandas escape hatch, the null-aware anti
     # join, the correlated-having TPC-H shape, and Lloyd-trained
@@ -157,6 +189,13 @@ GATE_PRIORITY: list[str] = [
     "docs_simhash",
     "unpivot_status_counts",
     "date_spine_daily_orders",
+    # round-7 demotions (operators stay prefix-covered — see the
+    # inline notes at their former prefix slots):
+    "predicate_rule_counts",
+    "customers_without_urgent_orders",
+    "events_hourly_tumbling",
+    "docs_exact_dedup",
+    "embeddings_neardup_pairs",
     # qtd/mtd demoted (round 3), yoy (round 4, for the Claim Status
     # calc group row) and rolling_12m (round 4, for the SimHash pair
     # generator): their driver hash rows are traded for local-replica
@@ -391,9 +430,9 @@ GATE_PRIORITY: list[str] = [
     # round-6: first oracle pin of with_time_calc itself — LY/YoY
     # NULL semantics at mid-series year-boundary gaps
     "yoy_gap_ly_null_semantics",
-    # round-6: curation-story compositions — the dedup funnel, the
-    # quality-aware cluster survivor, the per-source quality budget
-    "docs_dedup_cascade",
+    # round-6: curation-story compositions — the quality-aware
+    # cluster survivor and the per-source quality budget (the dedup
+    # funnel itself was promoted to the prefix in round 7)
     "docs_cluster_quality_canonicals",
     "docs_quality_nucleus",
     # round-6: forward as-of join, LOCF gap imputation, exact MAD
@@ -411,15 +450,16 @@ GATE_PRIORITY: list[str] = [
     "events_kmv_set_operations",
     "part_price_geomean_by_brand",
     "order_value_mannwhitney",
-    # round-6: Poisson bootstrap (the distributed bootstrap),
-    # deterministic hash-driven weights
-    "orders_bootstrap_ci",
-    # round-6: hybrid lexical+semantic retrieval via RRF
-    "docs_hybrid_rrf_search",
-    # round-6: PSI drift monitor (fixed-grid population stability)
-    "orders_value_psi_periods",
-    # round-6: robust anomaly flag (modified z via grouped MAD)
-    "events_daily_modified_zscore",
+    # (round-6 flagships orders_bootstrap_ci, docs_hybrid_rrf_search,
+    # orders_value_psi_periods and events_daily_modified_zscore were
+    # promoted to the 50-row prefix in round 7.)
+    # round-7: SemDeDup quality gate — pair recall of the trained
+    # clustering vs the brute-force cosine-threshold ground truth
+    "embeddings_semdedup_recall",
+    # round-7: served-retrieval RRF — candidate generation from the
+    # df-pruned inverted index (rarest-terms fallback), exact scoring
+    # via forward-index fetch; pytest pins indexed == scan top-10
+    "docs_hybrid_rrf_indexed",
 ]
 
 

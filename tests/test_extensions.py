@@ -314,6 +314,95 @@ def test_connected_components_warn_mode_returns_partial(spark):
     assert len(rows) == 11  # partial labels still cover every node
 
 
+def test_star_contraction_matches_propagation_labels(spark):
+    """connected_components(algorithm='star') — the Kiveris et al.
+    alternating large-star/small-star contraction — must produce the
+    exact (node, cluster) labels propagation does, on the mixed
+    chain/triangle/pair graph AND on the real LSH near-dup cluster
+    edges at sf0.001 (the graph docs_dup_clusters feeds it)."""
+    from fabric_claims_spark.extensions.graph import connected_components
+    from fabric_claims_spark.extensions.dedup import minhash_near_dups
+    from fabric_claims_spark.queries.lsh import _BANDS, _NUM_HASHES
+    from fabric_claims_spark.sources.parquet import load_table
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("b", "c"), ("c", "d"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("q", "p"),
+        ],
+        "src string, dst string",
+    )
+    star = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            edges, "src", "dst", algorithm="star"
+        ).collect()
+    }
+    assert star == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "z": "x",
+        "p": "p", "q": "p",
+    }
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text",
+        threshold=0.5, num_hashes=_NUM_HASHES, bands=_BANDS, hasher="md5",
+    ).select("doc_a", "doc_b").localCheckpoint()
+    prop = connected_components(pairs, "doc_a", "doc_b")
+    cont = connected_components(pairs, "doc_a", "doc_b", algorithm="star")
+    prop_rows = {(r["node"], r["cluster"]) for r in prop.collect()}
+    star_rows = {(r["node"], r["cluster"]) for r in cont.collect()}
+    assert prop_rows == star_rows and len(prop_rows) > 0
+
+
+def test_star_contraction_converges_where_propagation_exhausts(spark):
+    """A diameter-39 chain needs ~39 min-label rounds (propagation
+    ConvergenceErrors at max_iter=8) but star contraction is
+    O(log n) and must finish inside the same budget."""
+    from fabric_claims_spark.extensions.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)],
+        "src string, dst string",
+    )
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iter=8)
+    rows = connected_components(
+        edges, "src", "dst", max_iter=8, algorithm="star"
+    ).collect()
+    assert len(rows) == 40
+    assert {r["cluster"] for r in rows} == {"n00"}
+
+
+def test_star_contraction_raises_on_exhaustion(spark):
+    from fabric_claims_spark.extensions.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)],
+        "src string, dst string",
+    )
+    with pytest.raises(ConvergenceError, match="star contraction"):
+        connected_components(
+            edges, "src", "dst", max_iter=1, algorithm="star"
+        )
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, "src", "dst", algorithm="bogus")
+
+
 def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     from fabric_claims_spark.extensions.graph import connected_components
 
@@ -714,6 +803,58 @@ def test_semdedup_trained_centroids_beat_seeded(spark, sf_dir):
         return _lloyd_assign(ev, cents).agg(F.avg("d")).first()[0]
 
     assert sse(trained) < sse(seeded)
+
+
+def test_semdedup_pair_recall_floor(spark, sf_dir):
+    """Quality gate behind the embeddings_semdedup_recall eval query
+    (VERDICT r6 item 6): determinism hashes don't prove the trained
+    clustering actually SEES the duplicate pairs. Recall of
+    above-threshold cosine pairs captured within-cluster must clear
+    (a) an absolute floor and (b) the random-collocation baseline
+    Σ C(n_c,2) / C(n,2) — what a cluster-blind random partition of
+    the same sizes would capture. Measured: 0.344 at sf0.01, 0.272
+    at sf0.1, vs baselines ≈ 0.13 (SCALING.md §round-7)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    row = reg["embeddings_semdedup_recall"].fn(spark, sf_dir).first()
+    assert row["true_pairs"] > 0
+    recall = row["pair_recall"]
+    assert recall >= 0.2, recall
+
+    sizes = [
+        r["n"]
+        for r in reg["embeddings_kmeans"]
+        .fn(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    n = sum(sizes)
+    baseline = sum(c * (c - 1) for c in sizes) / (n * (n - 1))
+    assert recall > baseline, (recall, baseline)
+
+
+def test_rrf_indexed_matches_scan_top10(spark, sf_dir):
+    """The served-retrieval RRF (inverted-index candidate generation
+    + forward-index exact scoring, VERDICT r6 item 7) must return the
+    exact rows the full-scan twin returns — candidate generation with
+    the rarest-terms fallback reaches every doc in the true lexical
+    top-100, and the scoring arithmetic is shared, so the fused
+    top-10 is identical (also holds at sf0.01/sf0.1: the tri-scale
+    oracle hashes match docs_hybrid_rrf_search's)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    scan = [
+        tuple(r)
+        for r in reg["docs_hybrid_rrf_search"].fn(spark, sf_dir).collect()
+    ]
+    idx = [
+        tuple(r)
+        for r in reg["docs_hybrid_rrf_indexed"].fn(spark, sf_dir).collect()
+    ]
+    assert idx == scan and len(idx) == 10
 
 
 def test_multimodal_resize_stub_shapes(docs):

@@ -191,6 +191,58 @@ def test_round6_flagship_rotation():
         assert demoted not in prefix, demoted
 
 
+def test_round7_flagship_rotation():
+    """Round-7 curation (VERDICT r6 item 3): the five round-6
+    flagships the driver has never hash-checked gain driver rows —
+    the salted Poisson bootstrap, the PSI drift monitor, the grouped
+    modified z-score, the dedup funnel, and hybrid RRF retrieval.
+    The five demoted twins stay registered with oracles, and their
+    operators stay prefix-covered:
+
+    * predicate_rule_counts -> tail: P5-P7 predicates stay
+      prefix-checked via dq_reasons_orders (same operators/quality.py
+      rule set, per-row into the reason array).
+    * customers_without_urgent_orders -> tail: J1 left-anti stays
+      prefix-checked via not_in_null_semantics (null-aware anti) and
+      docs_dedup_cascade's left_anti survivor prune.
+    * events_hourly_tumbling -> tail: fixed-bucket time aggregation
+      stays prefix-checked via the daily date_trunc grouping inside
+      events_daily_modified_zscore; the streaming twin remains
+      pinned by tests/test_events_stream.py.
+    * docs_exact_dedup -> tail: exact dedup IS stage 1 of
+      docs_dedup_cascade (same groupBy(md5(text)) -> min(doc_id)
+      fold, survivor count hash-checked in the funnel rows).
+    * embeddings_neardup_pairs -> tail: embedding-cosine pair
+      machinery stays prefix-checked via embeddings_semantic_dedup's
+      within-cluster cosine-threshold pair join."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "orders_bootstrap_ci",
+        "orders_value_psi_periods",
+        "events_daily_modified_zscore",
+        "docs_dedup_cascade",
+        "docs_hybrid_rrf_search",
+    ):
+        assert promoted in prefix, promoted
+    for covering in (
+        "dq_reasons_orders",
+        "not_in_null_semantics",
+        "events_session_window",
+        "embeddings_semantic_dedup",
+    ):
+        assert covering in prefix, covering
+    for demoted in (
+        "predicate_rule_counts",
+        "customers_without_urgent_orders",
+        "events_hourly_tumbling",
+        "docs_exact_dedup",
+        "embeddings_neardup_pairs",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
+
+
 def test_round5_additions_registered_with_oracles():
     """Round-5 queries (tail, hash-checked by the local replica):
     hopping windows, EWMA, attribution, heavy hitters, Gini, fuzzy
