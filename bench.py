@@ -70,10 +70,12 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_FULL=0) and reported alongside.
     timings: dict[str, float] = {}
 
-    def run_one(name: str) -> None:
+    def run_one(name: str, into: dict[str, float] | None = None) -> None:
         t0 = time.time()
         registry[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        (timings if into is None else into)[name] = round(
+            time.time() - t0, 3
+        )
         # Several registered queries cache intermediates (scan
         # amortization inside one query); clear between queries so a
         # full-suite session doesn't accrete executor storage — each
@@ -102,6 +104,40 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE},
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+
+    # Cadence guard (VERDICT r6 item 9): identical code benched
+    # 11.32-12.82 s across solo runs this host — one sample per round
+    # makes every cross-round delta an argument about noise. Run the
+    # headline set N=3 times in-band and record per-run totals plus
+    # the per-query MEDIANS as their own JSON line, so next round's
+    # drift analysis reads medians, not single draws. `value` above
+    # stays the first run for cross-round continuity with r1-r6.
+    solo_runs: list[dict[str, float]] = [dict(timings)]
+    for _ in range(2):
+        rerun: dict[str, float] = {}
+        for name in HEADLINE:
+            run_one(name, rerun)
+        solo_runs.append(rerun)
+    run_totals = [round(sum(r.values()), 3) for r in solo_runs]
+
+    def _median3(xs: list[float]) -> float:
+        return sorted(xs)[1]
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_solo_median",
+                "value": _median3(run_totals),
+                "unit": "sec",
+                "runs": run_totals,
+                "queries": {
+                    n: _median3([r[n] for r in solo_runs]) for n in HEADLINE
+                },
                 "sf": sf,
             }
         ),
