@@ -8,6 +8,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from fabric_claims_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale-evidence tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("fabric-claims-tests", shuffle_partitions=8)

@@ -65,3 +65,49 @@ def test_aqe_splits_skewed_join_partition(skew_session):
     # correctness unchanged by the split: every left row joins exactly
     # one dim row (keys 0..49 all present on the right)
     assert rows[0]["n"] == 300000
+
+
+@pytest.mark.slow
+def test_aqe_skew_split_blind_to_inline_aggregate_build_side(skew_session):
+    """The join-back shape `facts JOIN (facts GROUP BY k)` — the
+    engine's standard hot-key-safe aggregate + join-back — can NOT be
+    skew-split by AQE while the aggregate sits inline above its
+    shuffle: OptimizeSkewedJoin pattern-matches Sort-over-shuffle-
+    stage children only, so the pattern never matches regardless of
+    thresholds. Staging the aggregate as its own materialization
+    boundary restores the split. Measured by
+    tools/scale_round6_skew.aqe_skew_probe (SCALING.md round-7
+    table: inline 32 tasks / 85k-row hot task at every threshold;
+    staged 107 tasks / 5.5k-row max). This pins the reason the
+    grouped join-back's memory-safety argument rests on the STREAMING
+    merge join, not on AQE splitting."""
+    spark = skew_session
+    left = spark.range(0, 300000).select(
+        F.when(F.col("id") % 10 < 9, 0)
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).localCheckpoint()
+
+    def run(staged: bool):
+        stats = left.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+        if staged:
+            stats = stats.localCheckpoint()
+        agg = (
+            left.join(stats, "k")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("df").alias("s"),
+                F.max("payload").alias("mx"),
+            )
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().toString()
+        return rows[0], ("skew=true" in plan)
+
+    inline_row, inline_skew = run(staged=False)
+    staged_row, staged_skew = run(staged=True)
+    assert not inline_skew  # the blindness, pinned
+    assert staged_skew  # same data, same thresholds, staged -> splits
+    assert tuple(inline_row) == tuple(staged_row)  # results unchanged

@@ -8,7 +8,10 @@ ships all N occurrences of that gram to one task (and sorts them
 there), so one key serializes the stage. The round-6 rewrite uses
 grouped aggregates + join-back instead — map-side partial aggregation
 reduces the hot gram's shuffle payload to one partial row per map
-task, and the join back is AQE-skew-splittable.
+task, and the join back streams (no per-key buffer). Whether AQE can
+additionally SPLIT the join-back's hot partition is measured by the
+round-7 probe at the bottom of this file — the short answer is "only
+when the aggregate build side is staged", see the addendum comment.
 
 This tool measures both shapes on a synthetic corpus where EVERY doc
 shares the same viral sentence (maximum skew: the hot gram's df ==
@@ -160,12 +163,144 @@ def main() -> int:
             f" {tw:.2f} | {tg:.2f} |"
         )
         print(lines[-1], flush=True)
+    lines.append("")
+    lines.append("AQE skew-split probe (join-back shape, 80k docs):")
+    lines.extend(aqe_skew_probe(spark))
     out = "\n".join(lines)
     print(out)
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             f.write(out + "\n")
     return 0
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round-7 addendum: the AQE skew-split minimal repro, folded in-band
+# (VERDICT r6 item 8). Two findings, both reproducible here:
+#
+# 1. THRESHOLDS vs COMPRESSION: when column pruning cuts the probe
+#    side to bare keys, the hot partition is a run of ONE constant
+#    8-byte key and LZ4-compresses below any byte threshold — skew
+#    detection is structurally quiet on key-only shuffles (drop the
+#    payload from the probe below to reproduce). With a realistic
+#    payload carried through, the same hot partition (~22 MB raw)
+#    clears even the 1 MiB test threshold — so at production widths
+#    detection works, and the round-6 "LZ4 artifact" applies
+#    specifically to key-only (or constant-payload) exchanges.
+#
+# 2. PLAN-SHAPE BLINDNESS (the sharper finding): OptimizeSkewedJoin
+#    pattern-matches a sort-merge join whose children are Sort over a
+#    bare shuffle stage. The join-back shape `dg JOIN (dg GROUP BY g)`
+#    keeps the aggregate INLINE above its shuffle on the build side —
+#    the pattern never matches, so AQE cannot split the probe side NO
+#    MATTER the thresholds. Staging the aggregate as its own
+#    materialization boundary (checkpoint/persist — or any reused
+#    exchange) restores the match. The grouped join-back therefore
+#    relies on the STREAMING merge join (no per-key buffering, unlike
+#    a window) for memory safety on the hot key; wall-clock splitting
+#    of that key additionally needs the build side staged, which the
+#    cluster-scale pipeline (persisted gram-stats table) does anyway.
+
+
+_AQE_BASE = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def aqe_skew_probe(spark, n_docs: int = 80_000) -> list[str]:
+    """Split-count table: the join-back join under (threshold x build
+    side). Returns markdown lines; asserts identical row counts across
+    all variants (the split must never change results)."""
+    from pyspark.sql.functions import spark_partition_id
+
+    d = degenerate_corpus(spark, n_docs)
+    pay = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(f"s{i}"),
+                    F.col("g").cast("string"),
+                )
+            )
+            for i in range(8)
+        ]
+    )
+    dg = (
+        grams(d)
+        .withColumn("payload", pay)
+        .repartition(32)
+        .localCheckpoint()
+    )
+    before = {k: spark.conf.get(k, None) for k in _AQE_BASE}
+    for k, v in _AQE_BASE.items():
+        spark.conf.set(k, v)
+    lines = [
+        "| threshold | build side | skew fired | join tasks |"
+        " max rows/task |",
+        "|---|---|---|---|---|",
+    ]
+    expected = None
+    try:
+        for thresh, adv, tl in (
+            (1 << 20, 1 << 19, "1 MiB"),
+            (1 << 18, 1 << 17, "256 KiB"),
+        ):
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                str(thresh),
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(adv)
+            )
+            for staged, bl in ((False, "inline agg"), (True, "staged agg")):
+                gstats = dg.groupBy("g").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+                if staged:
+                    gstats = gstats.localCheckpoint()
+                # the payload must survive the join's column pruning:
+                # a pruned-to-keys probe side is constant per hot
+                # partition and LZ4-compresses below ANY threshold
+                # (same near-miss tests/test_aqe.py documents)
+                jp = dg.join(gstats, "g").select(
+                    spark_partition_id().alias("p"), "payload"
+                )
+                dist = jp.groupBy("p").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("payload").alias("mx"),
+                )
+                rows = dist.collect()
+                total = sum(r["n"] for r in rows)
+                if expected is None:
+                    expected = total
+                assert total == expected, "split changed the result size"
+                plan = (
+                    dist._jdf.queryExecution().executedPlan().toString()
+                )
+                fired = "yes" if "skew=true" in plan else "no"
+                lines.append(
+                    f"| {tl} | {bl} | {fired} | {len(rows)} |"
+                    f" {max(r['n'] for r in rows):,} |"
+                )
+                print(lines[-1], flush=True)
+    finally:
+        for k, v in before.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return lines
 
 
 if __name__ == "__main__":
