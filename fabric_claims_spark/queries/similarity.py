@@ -31,6 +31,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Perf note for pair scans (measured on the semdedup-recall
+# brute-force scan, 2M pairs at sf0.1): Catalyst's array HOFs
+# (zip_with/aggregate) are CodegenFallback — every element evaluates
+# through an interpreted closure — but the tempting fixes are WORSE:
+# a 64-term unrolled getItem chain exceeds codegen limits and
+# interprets a 64-deep expression tree (33 s vs the HOF's 13 s), and
+# unpacking to 64 plain double columns puts the join row past
+# spark.sql.codegen.maxFields (wide-row WSCG measured 32 s; the
+# default 100-field cutoff is protective). What actually pays:
+# keep the join condition trivial (block-pair equi-join, never a
+# pair-expression theta condition — BNLJ conditions evaluate
+# interpreted per candidate), project the cosine once per pair, and
+# bound the pair space itself (eval cohort). The HOF fold stays the
+# canonical dot — bit-exact with DuckDB's list_dot_product.
+
+
 def _as_double(c: str | Column) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.transform(c, lambda x: x.cast("double"))
@@ -1124,18 +1140,23 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SemDeDup QUALITY gate — hashes prove the within-cluster pair pass
 # is deterministic, not that the clustering finds the duplicate
-# pairs. This eval measures pair recall: of ALL vector pairs whose
-# exact cosine clears the SemDeDup threshold (brute-force C(n,2)
-# ground truth — an eval-harness cost, NOT the production path; the
-# production dedup only ever enumerates within-cluster pairs), what
-# fraction lands in the same trained Lloyd cluster and is therefore
-# visible to embeddings_semantic_dedup? One broadcast nested-loop
-# pair scan with the cluster ids carried along: true_pairs = all
-# above-threshold pairs, hit_pairs = the same-cluster subset, recall
-# = hits/true. Cosine rounds to 6 dp on both engines (the exact
-# expression the dedup itself uses), so the gate is hash-exact.
-# tests/test_extensions.py asserts the recall floor; SCALING.md
-# records the measured number per scale.
+# pairs. This eval measures pair recall: of the vector pairs whose
+# exact cosine clears the SemDeDup threshold (brute-force ground
+# truth — an eval-harness computation, NOT the production path),
+# what fraction lands in the same trained Lloyd cluster and is
+# therefore visible to embeddings_semantic_dedup? The CLUSTERING
+# under evaluation trains on the full corpus; the ground-truth pair
+# scan runs over a fixed EVAL COHORT (vec_id < _RECALL_COHORT) so
+# the eval's cost is constant in corpus size — a C(n,2) eval that
+# grows with the corpus would itself be the scale bug. true_pairs =
+# above-threshold cohort pairs, hit_pairs = the same-cluster subset,
+# recall = hits/true. Cosine rounds to 6 dp on both engines (the
+# exact expression the dedup itself uses), so the gate is
+# hash-exact. tests/test_extensions.py asserts the recall floor;
+# SCALING.md records the measured numbers per scale.
+_RECALL_COHORT = 1024
+
+
 @query(
     "embeddings_semdedup_recall",
     oracle=f"""
@@ -1150,7 +1171,8 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT a.cluster AS ca, b.cluster AS cb
       FROM asgf a JOIN asgf b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.v, b.v)
+      WHERE a.vec_id < {{cohort}} AND b.vec_id < {{cohort}}
+        AND ROUND(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))), 6)
             >= {{thresh}})
@@ -1168,6 +1190,7 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_KM_ITERS,
         k=_KM_K,
         thresh=_SEMDEDUP_THRESH,
+        cohort=_RECALL_COHORT,
     ),
 )
 def embeddings_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,30 +1205,69 @@ def embeddings_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     withn = _lloyd_assign(ev, cents).withColumn(
         "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    a = withn.select(
+    # Pair enumeration is a BLOCK-PAIR EQUI-JOIN, not a nested-loop
+    # theta join. A BroadcastNestedLoopJoin on id_a < id_b evaluates
+    # its condition interpreted per ordered candidate and was measured
+    # at 28 s for 2000 vectors at sf0.1 (70 s with the cosine pushed
+    # into the join condition — Catalyst pushes any pair-referencing
+    # predicate there, so the threshold must fold into aggregate
+    # conditions, never a pair-level WHERE). Instead: block
+    # p = vec_id % B, the C(B+1,2) ordered block pairs (pa <= pb)
+    # broadcast, each cohort vector replicates to its partner blocks,
+    # and a BroadcastHashJoin on the partner-block key emits exactly
+    # the C(n,2) unordered pairs (diagonal blocks keep id_a < id_b).
+    # The cosine projects ONCE per pair (HOF fold — the bit-exact
+    # DuckDB twin; a 64-term unrolled chain was tried and is SLOWER:
+    # it blows past codegen limits and falls back to interpreting a
+    # 64-deep expression tree). 28 s -> ~14 s at sf0.1, constant
+    # beyond the cohort.
+    cohort = withn.where(F.col("vec_id") < _RECALL_COHORT)
+    n_blocks = 16
+    a = cohort.select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster").alias("c_a"),
         F.col("v").alias("ev_a"),
         F.col("nrm").alias("n_a"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("pa"),
     )
-    b = withn.select(
+    b = cohort.select(
         F.col("vec_id").alias("id_b"),
         F.col("cluster").alias("c_b"),
         F.col("v").alias("ev_b"),
         F.col("nrm").alias("n_b"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("pb"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "pa int, pb int",
+    )
+    rep = a.join(
+        F.broadcast(block_pairs.withColumn("pa", F.col("pa").cast("bigint"))),
+        "pa",
+    )
+    pairs = rep.join(F.broadcast(b), "pb").where(
+        (F.col("pa") != F.col("pb")) | (F.col("id_a") < F.col("id_b"))
     )
     pair_cos = F.round(
-        _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("n_a") * F.col("n_b")), 6
+        _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("n_a") * F.col("n_b")),
+        6,
     )
-    hit = F.sum(
-        F.when(F.col("c_a") == F.col("c_b"), 1).otherwise(0)
-    ).cast("bigint")
+    scored = pairs.select(
+        pair_cos.alias("cs"),
+        (F.col("c_a") == F.col("c_b")).alias("same_cluster"),
+    )
+    above = F.col("cs") >= F.lit(float(_SEMDEDUP_THRESH))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .where(pair_cos >= F.lit(float(_SEMDEDUP_THRESH)))
+        scored
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("true_pairs"),
-            hit.alias("hit_pairs"),
+            F.sum(F.when(above, 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_pairs"),
+            F.sum(
+                F.when(above & F.col("same_cluster"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hit_pairs"),
         )
         .select(
             F.lit(_KM_K).cast("bigint").alias("clusters"),

@@ -812,8 +812,9 @@ def test_semdedup_pair_recall_floor(spark, sf_dir):
     above-threshold cosine pairs captured within-cluster must clear
     (a) an absolute floor and (b) the random-collocation baseline
     Σ C(n_c,2) / C(n,2) — what a cluster-blind random partition of
-    the same sizes would capture. Measured: 0.344 at sf0.01, 0.272
-    at sf0.1, vs baselines ≈ 0.13 (SCALING.md §round-7)."""
+    the same sizes would capture. Measured: 0.344 at sf0.01, 0.270
+    at sf0.1 (fixed eval cohort), vs baselines ≈ 0.13
+    (SCALING.md §round-7)."""
     from fabric_claims_spark.queries import load_all_queries
 
     reg = load_all_queries()
