@@ -115,6 +115,70 @@ def measure(edges: DataFrame) -> dict[str, int]:
         labels = prop
         if changed == 0 or rounds > 50:
             break
+    # star-contraction rounds (mirrors graph.py:_star_components —
+    # the O(log n) alternative for exactly the high-diameter replica
+    # graphs where propagation's round count blows up), plus a label
+    # parity check against the production implementation
+    pairs = (
+        edges.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    star_rounds = 0
+    while star_rounds <= 50:
+        star_rounds += 1
+        nbrs = pairs.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(
+            pairs.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mm = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            nbrs.join(mm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        sm = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        stepped = (
+            ls.join(sm, "hi")
+            .select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
+            .where(F.col("lo") != F.col("hi"))
+            .unionByName(
+                sm.select(F.col("m").alias("lo"), F.col("hi").alias("hi"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        done = (
+            stepped.count() == pairs.count()
+            and stepped.subtract(pairs).limit(1).count() == 0
+        )
+        pairs = stepped
+        if done:
+            break
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    star = connected_components(
+        edges, "doc_a", "doc_b", max_iter=60, algorithm="star"
+    )
+    label_mismatch = (
+        star.join(
+            labels.select(
+                F.col("u").alias("node"), F.col("lab").alias("prop_cluster")
+            ),
+            "node",
+        )
+        .where(F.col("cluster") != F.col("prop_cluster"))
+        .count()
+    )
     deg.unpersist()
     return {
         "n": n,
@@ -124,6 +188,8 @@ def measure(edges: DataFrame) -> dict[str, int]:
         "m15_bound": int(m * (2 * m) ** 0.5),
         "max_outdeg": int(max_od),
         "cc_rounds": rounds,
+        "star_rounds": star_rounds,
+        "star_label_mismatch": label_mismatch,
         "cc_rows_per_round": 2 * m + n,
         "pr_rows_per_round": m + n,
     }
@@ -151,16 +217,18 @@ def main() -> None:
         with open(sys.argv[1], "w") as f:
             f.write(
                 "| corpus | nodes | edges | wedges naive | wedges oriented "
-                "| m·√(2m) bound | max out-deg | cc rounds "
-                "| cc rows/round | pr rows/round |\n"
+                "| m·√(2m) bound | max out-deg | cc rounds | star rounds "
+                "| star label mismatches | cc rows/round | pr rows/round |\n"
             )
-            f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+            f.write("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
             for label, r in rows:
                 f.write(
                     f"| {label} | {r['n']:,} | {r['m']:,} "
                     f"| {r['wedges_naive']:,} | {r['wedges_oriented']:,} "
                     f"| {r['m15_bound']:,} | {r['max_outdeg']:,} "
-                    f"| {r['cc_rounds']} | {r['cc_rows_per_round']:,} "
+                    f"| {r['cc_rounds']} | {r['star_rounds']} "
+                    f"| {r['star_label_mismatch']} "
+                    f"| {r['cc_rows_per_round']:,} "
                     f"| {r['pr_rows_per_round']:,} |\n"
                 )
 
