@@ -2133,52 +2133,17 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_daily_modified_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.anomaly import (
+        modified_zscore_from_counts,
+    )
+
     e = load_table(spark, sf_dir, "events")
     d = e.groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    t = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-
-    def grouped_lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
-        h = frame.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
-        w = (
-            Window.partitionBy("event_type")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = h.select(
-            "event_type",
-            F.col(col).alias("v"),
-            F.sum("c").over(w).alias("cum"),
-            (F.sum("c").over(w) - F.col("c")).alias("prev_cum"),
-        )
-        k = F.expr("(n + 1) div 2")
-        return (
-            cum.join(t, "event_type")
-            .where((F.col("prev_cum") < k) & (k <= F.col("cum")))
-            .select("event_type", F.col("v").alias(out))
-        )
-
-    med = grouped_lower_median(d, "cnt", "med")
-    dev = d.join(med, "event_type").select(
-        "event_type", F.abs(F.col("cnt") - F.col("med")).alias("dv")
-    )
-    mad = grouped_lower_median(dev, "dv", "mad")
-    z = F.lit(0.6745) * (F.col("cnt") - F.col("med")) / F.nullif(
-        F.col("mad"), F.lit(0)
-    )
-    return (
-        d.join(med, "event_type")
-        .join(mad, "event_type")
-        .select(
-            "event_type",
-            "day",
-            "cnt",
-            F.col("med").cast("long").alias("med"),
-            F.col("mad").cast("long").alias("mad"),
-            F.round(z, 6).alias("mod_z"),
-            F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_outlier"),
-        )
-        .orderBy("event_type", "day")
-    )
+    # scoring core shared verbatim with the streaming twin
+    # (streaming/events_stream.zscore_monitor_stream): the stream
+    # folds the same (event_type, day) counts through the idempotent
+    # rollup and feeds them to this exact arithmetic
+    return modified_zscore_from_counts(d)

@@ -1231,3 +1231,70 @@ def psi_monitor_stream(
         )
         .orderBy("bin")
     )
+
+
+def zscore_monitor_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "zscore_monitor",
+) -> DataFrame:
+    """Streaming robust-anomaly monitor — the grouped modified
+    z-score (queries/behavior.events_daily_modified_zscore) as a
+    continuously maintained alarm. Per micro-batch, the live
+    (event_type, day) counts fold through the idempotent additive
+    rollup (state = one row per group x day, never event-sized;
+    at-least-once redelivery is a no-op); each read feeds the folded
+    counts to the SAME scoring core the batch query uses
+    (operators/anomaly.modified_zscore_from_counts — shared verbatim,
+    so stream==batch is structural, not coincidental). Exact grouped
+    medians/MADs; a day's verdict can change as late data arrives,
+    which is the correct monitor semantics (median/MAD are not
+    incrementally summarizable — the rollup folds COUNTS, and the
+    robust statistics recompute over the bounded count table at read
+    time).
+
+    NULL timestamps are filtered at entry (same policy as every
+    events stream here — a bucket monitor measures the time
+    distribution; missingness is a different alarm).
+    """
+    from fabric_claims_spark.operators.anomaly import (
+        modified_zscore_from_counts,
+    )
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store, query_name, batch_df, batch_id,
+            keys=["event_type", "day"],
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    d = store.read(query_name).drop(APPLIED_BATCH_COL).select(
+        "event_type", "day", F.col("n").alias("cnt")
+    )
+    return modified_zscore_from_counts(d)

@@ -697,3 +697,73 @@ def test_psi_monitor_stream_matches_batch_and_detects_shift(
     ).collect()
     assert out3[0]["psi_total"] > out[0]["psi_total"]
     assert out3[0]["verdict"] in ("moderate_shift", "shifted")
+
+
+def test_zscore_monitor_stream_matches_batch(spark, events_dir, tmp_path):
+    """Streaming robust-anomaly monitor: after one availableNow pass
+    over the seeded events, the stream's output must equal the batch
+    query row-for-row (the scoring core is shared, so equality proves
+    the folded counts are right); a torn commit must not double-fold;
+    and a second file with a flood day must flip that day to an
+    outlier."""
+    from fabric_claims_spark.streaming.events_stream import (
+        zscore_monitor_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_z")
+    out = zscore_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_z"
+    )
+    batch = load_all_queries()["events_daily_modified_zscore"].fn(spark, SF)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+    # torn commit: redelivery of the same batch_id must be a no-op
+    _tear_last_commit(ckpt)
+    out2 = zscore_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_z"
+    )
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+    # flood one day for one type: that (type, day) must flag
+    e = spark.read.parquet(str(events_dir / "batch1.parquet"))
+    flood_type, flood_day = (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .count()
+        .orderBy("event_type", "day")
+        .first()[:2]
+    )
+    # build a 20x flood of that day's slice OUTSIDE the watched dir,
+    # then drop it in as one new file (the stream source tracks
+    # files, not nested directories)
+    import glob
+    import shutil as _sh
+
+    build = str(tmp_path / "flood_build")
+    (
+        e.where(
+            (F.col("event_type") == flood_type)
+            & (F.date_trunc("day", F.col("ts")).cast("date") == flood_day)
+        )
+        .crossJoin(spark.range(20).select(F.lit(1).alias("_r")))
+        .drop("_r")
+        .coalesce(1)
+        .write.parquet(build)
+    )
+    part = glob.glob(f"{build}/part-*.parquet")[0]
+    _sh.copy(part, events_dir / "batch2_flood.parquet")
+    out3 = zscore_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_z"
+    )
+    got = {
+        (r["event_type"], r["day"]): r for r in out3.collect()
+    }
+    r = got[(flood_type, flood_day)]
+    assert r["is_outlier"] and r["mod_z"] > 3.5
