@@ -1457,7 +1457,11 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic side and the RRF fusion are shared with the scan twin
 # verbatim. Cites reference NB_GOLD report queries only by family;
 # the serving design is standard IR (Manning et al., IIR ch.5-7).
-_IDX_DF_CAP = 400  # = text_docs._POSTINGS_MAX_DF (the index's cap)
+# the retrieval index IS docs_posting_lists' index — share its cap so
+# the two can never drift
+from fabric_claims_spark.queries.text_docs import (  # noqa: E402
+    _POSTINGS_MAX_DF as _IDX_DF_CAP,
+)
 _IDX_RAREST = 4
 
 
