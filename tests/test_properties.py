@@ -505,3 +505,78 @@ def test_cms_never_underestimates(spark):
     assert rows
     assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
     assert any(r["cms_estimate"] > r["exact_count"] for r in rows)
+
+
+# -- star contraction == propagation on arbitrary graphs --------------------
+edge_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=edge_st)
+@settings(**_SETTINGS)
+def test_star_contraction_equals_propagation_property(spark, edges):
+    """For ANY undirected edge list (self-loops, duplicates, multiple
+    components, chains, cliques — hypothesis picks), the Kiveris
+    star contraction must produce exactly the (node, min-reachable-id)
+    labels min-label propagation produces. The 15-node id space
+    guarantees collisions, self-loops, and mixed component shapes
+    within 30 edges."""
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(f"n{a:02d}", f"n{b:02d}") for a, b in edges],
+        "src string, dst string",
+    )
+    # drop pure self-loop graphs: propagation defines labels for
+    # self-looped isolated nodes too, star's pair set drops them —
+    # restrict the comparison to nodes on a real edge
+    real = e.where(F.col("src") != F.col("dst"))
+    if real.count() == 0:
+        return
+    prop = {
+        (r["node"], r["cluster"])
+        for r in connected_components(real, "src", "dst", max_iter=40).collect()
+    }
+    star = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            real, "src", "dst", max_iter=40, algorithm="star"
+        ).collect()
+    }
+    assert star == prop
+
+
+# -- cascade stage-order equivalence ----------------------------------------
+doc_st = st.lists(
+    # tiny word alphabet + short docs → exact copies AND near-dups
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=3, max_size=6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(docs=doc_st)
+@settings(**_SETTINGS)
+def test_cascade_reorder_equivalence_property(spark, docs):
+    """LSH-over-exact-survivors must keep the same near-dup survivor
+    set as LSH-over-raw + both-endpoint post-filter, for ANY corpus
+    (the round-7 reorder's equivalence claim, generatively): exact
+    copies carry identical text, hence identical signatures, so
+    running the signature stage on survivors only drops pairs whose
+    endpoint was already gone with its exact copy."""
+    from tools.scale_round7 import cascade_survivors
+
+    d = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    old = {r["doc_id"] for r in cascade_survivors(d, lsh_over_raw=True).collect()}
+    new = {r["doc_id"] for r in cascade_survivors(d, lsh_over_raw=False).collect()}
+    assert new == old
