@@ -899,3 +899,28 @@ def test_no_registry_query_plans_a_cartesian_product(spark, registry):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_rrf_indexed_plan_shape(spark, registry):
+    """The served-retrieval RRF must keep the serving plan shape: the
+    tiny frames (query terms, block-pair list if any, the query
+    vector) broadcast into hash joins — never a shuffled join keyed
+    on the query's vocabulary — both ranking cuts compile to
+    TakeOrderedAndProject (per-partition heaps), and no
+    CartesianProduct anywhere."""
+    plan = _plan(spark, registry["docs_hybrid_rrf_indexed"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_recall_pair_join_is_hash_not_nested_loop(spark, registry):
+    """The recall eval's pair enumeration must stay the block-pair
+    BroadcastHashJoin — a BroadcastNestedLoopJoin on the id
+    inequality is the measured 28-70 s trap (SCALING.md round-7), and
+    a pair-level Filter on the cosine would mean the threshold leaked
+    out of the aggregate conditions back into a per-pair predicate."""
+    plan = _plan(spark, registry["embeddings_semdedup_recall"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
