@@ -460,6 +460,9 @@ GATE_PRIORITY: list[str] = [
     # df-pruned inverted index (rarest-terms fallback), exact scoring
     # via forward-index fetch; pytest pins indexed == scan top-10
     "docs_hybrid_rrf_indexed",
+    # round-7: censoring-aware retention — Kaplan-Meier survival over
+    # user lifetimes (micro-nat exact step products)
+    "events_user_survival_km",
 ]
 
 

@@ -2088,3 +2088,159 @@ def orders_value_psi_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion — the censoring-aware survival
+# curve (Kaplan & Meier, JASA 1958). Naive "average days to first
+# purchase" is biased: users still inside their follow-up window who
+# haven't converted yet aren't failures, and dropping them
+# OVER-states conversion speed. KM treats them as censored — they
+# leave the at-risk pool at their censoring time without counting as
+# events. Subject = user; clock starts at the user's first event;
+# the event is the first 'purchase'; follow-up is administratively
+# capped at _KM_HORIZON days (and by the corpus edge for late
+# joiners — both censoring mechanisms occur in the fixture data, and
+# at sf0.001 the last step converts its entire at-risk pool, which
+# exercises the factor-0 guard below).
+#
+# Exactness discipline: every count (at-risk, converted, censored)
+# is an integer; each step factor (1 - d/n) is one IEEE division;
+# its ln rounds to 6 dp and scales to micro-nat longs (the geomean /
+# unigram-logprob trick), so the cumulative product is an EXACT
+# integer window sum with one exp at the end. A step where every
+# at-risk user converts (factor 0) poisons ln — a running "hit zero"
+# max pins survival to 0.0 from that step on, in both engines.
+# Scale shape: two hash aggregates (per-user, per-duration) and one
+# cumulative window over the DURATION DOMAIN (<= _KM_HORIZON rows,
+# bounded — the value-domain discipline order_value_mad uses),
+# never a window over users or events.
+_KM_HORIZON = 5
+
+
+@query(
+    "events_user_survival_km",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS maxd FROM events),
+    u AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS f
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS fp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lif AS (
+      SELECT CASE WHEN conv THEN tconv ELSE fup END AS dur, conv
+      FROM (
+        SELECT date_diff('day', u.f, p.fp) AS tconv,
+               LEAST({_KM_HORIZON}, date_diff('day', u.f, b.maxd)) AS fup,
+               (p.fp IS NOT NULL
+                AND date_diff('day', u.f, p.fp)
+                    <= LEAST({_KM_HORIZON}, date_diff('day', u.f, b.maxd)))
+                 AS conv
+        FROM u LEFT JOIN p USING (user_id) CROSS JOIN bounds b)),
+    t AS (
+      SELECT dur,
+             SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN conv THEN 0 ELSE 1 END) AS c
+      FROM lif GROUP BY 1),
+    r AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM t),
+    s AS (
+      SELECT dur, d, c, n,
+             SUM(CASE WHEN d > 0 AND d < n THEN
+                   CAST(ROUND(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n), 6)
+                              * 1000000, 0) AS BIGINT)
+                 ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_micro,
+             MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS hit_zero
+      FROM r)
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS converted,
+           CAST(c AS BIGINT) AS censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(cum_micro AS DOUBLE) / 1000000.0), 6)
+           END AS km_survival
+    FROM s
+    ORDER BY duration_days
+    """,
+)
+def events_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
+    bounds = e.agg(day(F.max("ts")).alias("maxd"))
+    u = e.groupBy("user_id").agg(day(F.min("ts")).alias("f"))
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(day(F.min("ts")).alias("fp"))
+    )
+    fup = F.least(
+        F.lit(_KM_HORIZON), F.datediff("maxd", "f")
+    )  # follow-up: horizon-capped, corpus-edge-capped for late joiners
+    conv = F.col("fp").isNotNull() & (F.datediff("fp", "f") <= fup)
+    lif = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(conv, F.datediff("fp", "f")).otherwise(fup).alias("dur"),
+            conv.alias("conv"),
+        )
+    )
+    t = lif.groupBy("dur").agg(
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("conv"), 0).otherwise(1)).alias("c"),
+    )
+    # cumulative windows over the bounded duration domain (<= window
+    # days): at-risk counts look forward, the product folds backward
+    w_fwd = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_back = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_fwd))
+    step_micro = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n")),
+        F.round(
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n")), 6
+            )
+            * 1_000_000,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    s = r.select(
+        "dur",
+        "d",
+        "c",
+        "n",
+        F.sum(step_micro).over(w_back).alias("cum_micro"),
+        F.max(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_back)
+        .alias("hit_zero"),
+    )
+    return s.select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n").cast("long").alias("at_risk"),
+        F.col("d").cast("long").alias("converted"),
+        F.col("c").cast("long").alias("censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("cum_micro").cast("double") / 1_000_000.0), 6
+            )
+        )
+        .alias("km_survival"),
+    ).orderBy("duration_days")

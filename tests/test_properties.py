@@ -580,3 +580,43 @@ def test_cascade_reorder_equivalence_property(spark, docs):
     old = {r["doc_id"] for r in cascade_survivors(d, lsh_over_raw=True).collect()}
     new = {r["doc_id"] for r in cascade_survivors(d, lsh_over_raw=False).collect()}
     assert new == old
+
+
+def test_kaplan_meier_laws(spark):
+    """KM invariants on the fixture curve (sf0.001 exercises the
+    factor-0 tail, sf0.01 exercises horizon censoring): the at-risk
+    pool telescopes (n_{t+1} = n_t - d_t - c_t), survival is monotone
+    non-increasing from 1, and every value equals the running product
+    of (1 - d/n) through the micro-nat pipeline (recomputed here with
+    the same rounding discipline)."""
+    import math
+
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    for sf, expect_censored in (
+        ("/root/testdata/sf0.001", False),
+        ("/root/testdata/sf0.01", True),
+    ):
+        rows = reg["events_user_survival_km"].fn(spark, sf).collect()
+        assert rows, sf
+        prev_s = 1.0
+        cum_micro = 0
+        hit_zero = False
+        for i, r in enumerate(rows):
+            n, d, c = r["at_risk"], r["converted"], r["censored"]
+            assert d + c <= n
+            if i + 1 < len(rows):
+                assert rows[i + 1]["at_risk"] == n - d - c
+            if d == n:
+                hit_zero = True
+            if not hit_zero and 0 < d:
+                cum_micro += int(round(round(math.log(1.0 - d / n), 6) * 1e6))
+            want = 0.0 if hit_zero else round(math.exp(cum_micro / 1e6), 6)
+            assert abs(r["km_survival"] - want) < 1e-12, (sf, r)
+            assert r["km_survival"] <= prev_s + 1e-12
+            prev_s = r["km_survival"]
+        if expect_censored:
+            assert sum(r["censored"] for r in rows) > 0
+        else:
+            assert rows[-1]["km_survival"] == 0.0  # factor-0 tail
