@@ -461,8 +461,10 @@ GATE_PRIORITY: list[str] = [
     # via forward-index fetch; pytest pins indexed == scan top-10
     "docs_hybrid_rrf_indexed",
     # round-7: censoring-aware retention — Kaplan-Meier survival over
-    # user lifetimes (micro-nat exact step products)
+    # user lifetimes (micro-nat exact step products), and the
+    # log-rank A/B comparison of the same study design
     "events_user_survival_km",
+    "events_conversion_logrank",
 ]
 
 

@@ -2090,6 +2090,33 @@ def orders_value_psi_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conversion_lifetimes(e: DataFrame) -> DataFrame:
+    """(user_id, dur, conv) per user: duration to first purchase when
+    it lands inside the follow-up window (horizon-capped, corpus-edge
+    capped for late joiners), else the censoring duration. Shared by
+    the KM curve and the log-rank test so the two can never disagree
+    about the study design."""
+    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
+    bounds = e.agg(day(F.max("ts")).alias("maxd"))
+    u = e.groupBy("user_id").agg(day(F.min("ts")).alias("f"))
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(day(F.min("ts")).alias("fp"))
+    )
+    fup = F.least(F.lit(_KM_HORIZON), F.datediff("maxd", "f"))
+    conv = F.col("fp").isNotNull() & (F.datediff("fp", "f") <= fup)
+    return (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(conv, F.datediff("fp", "f")).otherwise(fup).alias("dur"),
+            conv.alias("conv"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Kaplan-Meier time-to-conversion — the censoring-aware survival
 # curve (Kaplan & Meier, JASA 1958). Naive "average days to first
@@ -2176,26 +2203,7 @@ def events_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
-    bounds = e.agg(day(F.max("ts")).alias("maxd"))
-    u = e.groupBy("user_id").agg(day(F.min("ts")).alias("f"))
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(day(F.min("ts")).alias("fp"))
-    )
-    fup = F.least(
-        F.lit(_KM_HORIZON), F.datediff("maxd", "f")
-    )  # follow-up: horizon-capped, corpus-edge-capped for late joiners
-    conv = F.col("fp").isNotNull() & (F.datediff("fp", "f") <= fup)
-    lif = (
-        u.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            F.when(conv, F.datediff("fp", "f")).otherwise(fup).alias("dur"),
-            conv.alias("conv"),
-        )
-    )
+    lif = _conversion_lifetimes(e)
     t = lif.groupBy("dur").agg(
         F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("d"),
         F.sum(F.when(F.col("conv"), 0).otherwise(1)).alias("c"),
@@ -2244,3 +2252,192 @@ def events_user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("km_survival"),
     ).orderBy("duration_days")
+
+
+# --------------------------------------------------------------------------
+# Log-rank test — "did arm B convert faster than arm A?" with
+# censoring handled correctly (Mantel, 1966; the standard two-sample
+# comparison of survival curves). Arms come from a deterministic
+# id-bucket assignment (pmod(user_id, 2) — the parity stand-in for a
+# platform's hash-bucket split); the study design (clock start, event,
+# horizon + corpus-edge censoring) is shared VERBATIM with the KM
+# curve via _conversion_lifetimes. At every duration with at least
+# one conversion: observed arm-1 conversions d1t vs expected
+# E1t = dt*n1t/nt under the null, with hypergeometric variance
+# Vt = dt*(n1t/nt)*(1-n1t/nt)*(nt-dt)/(nt-1); the statistic
+# (O1-E1)^2/V is chi-square with 1 df.
+#
+# Exactness discipline: all counts integer; per-duration E and V
+# terms round to nano-units and sum as exact longs (the PSI
+# discipline); the final statistic is one double expression over the
+# two integer sums, rounded to 6 dp. Scale shape: per-user aggregate,
+# per-(arm, duration) aggregate, forward window over the bounded
+# (arm x duration-domain) grid, one global fold — never a window
+# over users.
+_LOGRANK_CRIT_95 = 3.841459  # chi-square 1-df upper 5% point
+
+
+@query(
+    "events_conversion_logrank",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS maxd FROM events),
+    u AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS f
+      FROM events GROUP BY 1),
+    p AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS fp
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    lif AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN conv THEN tconv ELSE fup END AS dur, conv
+      FROM (
+        SELECT u.user_id, date_diff('day', u.f, p.fp) AS tconv,
+               LEAST({_KM_HORIZON}, date_diff('day', u.f, b.maxd)) AS fup,
+               (p.fp IS NOT NULL
+                AND date_diff('day', u.f, p.fp)
+                    <= LEAST({_KM_HORIZON}, date_diff('day', u.f, b.maxd)))
+                 AS conv
+        FROM u LEFT JOIN p USING (user_id) CROSS JOIN bounds b)),
+    t AS (
+      SELECT arm, dur, SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS tot
+      FROM lif GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT dur FROM t),
+    grid AS (
+      SELECT s.dur, a.arm, COALESCE(t.d, 0) AS d, COALESCE(t.tot, 0) AS tot
+      FROM spine s CROSS JOIN (SELECT 0 AS arm UNION ALL SELECT 1) a
+      LEFT JOIN t ON t.dur = s.dur AND t.arm = a.arm),
+    r AS (
+      SELECT dur, arm, d,
+             SUM(tot) OVER (PARTITION BY arm ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid),
+    w AS (
+      SELECT dur,
+             SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n1,
+             SUM(d) AS dt, SUM(n) AS nt
+      FROM r GROUP BY 1),
+    sums AS (
+      SELECT
+        SUM(CASE WHEN dt > 0 THEN d1 ELSE 0 END) AS o1,
+        SUM(CASE WHEN dt > 0 THEN
+              CAST(ROUND(CAST(dt AS DOUBLE) * n1 / nt * 1000000000, 0)
+                   AS BIGINT) ELSE 0 END) AS e1_nano,
+        SUM(CASE WHEN dt > 0 AND nt > 1 THEN
+              CAST(ROUND(CAST(dt AS DOUBLE) * (n1 * 1.0 / nt)
+                         * (1 - n1 * 1.0 / nt)
+                         * ((nt - dt) * 1.0 / (nt - 1))
+                         * 1000000000, 0) AS BIGINT) ELSE 0 END) AS v_nano
+      FROM w),
+    arms AS (
+      SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS users_a,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS users_b,
+             SUM(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS conv_a,
+             SUM(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS conv_b
+      FROM lif)
+    SELECT CAST(arms.users_a AS BIGINT) AS users_a,
+           CAST(arms.users_b AS BIGINT) AS users_b,
+           CAST(arms.conv_a AS BIGINT) AS conv_a,
+           CAST(arms.conv_b AS BIGINT) AS conv_b,
+           CAST(sums.o1 AS BIGINT) AS observed_b,
+           ROUND(CAST(sums.e1_nano AS DOUBLE) / 1000000000.0, 6)
+             AS expected_b,
+           ROUND(CAST(sums.v_nano AS DOUBLE) / 1000000000.0, 6)
+             AS variance,
+           ROUND(CAST(sums.o1 * 1000000000 - sums.e1_nano AS DOUBLE)
+                 * CAST(sums.o1 * 1000000000 - sums.e1_nano AS DOUBLE)
+                 / (CAST(sums.v_nano AS DOUBLE) * 1000000000.0), 6)
+             AS chi2,
+           (CAST(sums.o1 * 1000000000 - sums.e1_nano AS DOUBLE)
+            * CAST(sums.o1 * 1000000000 - sums.e1_nano AS DOUBLE)
+            / (CAST(sums.v_nano AS DOUBLE) * 1000000000.0))
+             > {_LOGRANK_CRIT_95} AS significant_95
+    FROM sums CROSS JOIN arms
+    """,
+)
+def events_conversion_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    lif = _conversion_lifetimes(e).select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), "dur", "conv"
+    )
+    t = lif.groupBy("arm", "dur").agg(
+        F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    spine = t.select("dur").distinct()
+    arms = spark.range(2).select(F.col("id").alias("arm"))
+    grid = (
+        spine.crossJoin(F.broadcast(arms))
+        .join(t, ["dur", "arm"], "left")
+        .select(
+            "dur",
+            "arm",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("tot", F.lit(0)).alias("tot"),
+        )
+    )
+    w_fwd = (
+        Window.partitionBy("arm")
+        .orderBy("dur")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r = grid.withColumn("n", F.sum("tot").over(w_fwd))
+    wt = r.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum("d").alias("dt"),
+        F.sum("n").alias("nt"),
+    )
+    nano = F.lit(1_000_000_000)
+    e1_term = F.round(
+        F.col("dt").cast("double") * F.col("n1") / F.col("nt") * nano, 0
+    ).cast("long")
+    share = F.col("n1") * F.lit(1.0) / F.col("nt")
+    v_term = F.round(
+        F.col("dt").cast("double")
+        * share
+        * (F.lit(1) - share)
+        * ((F.col("nt") - F.col("dt")) * F.lit(1.0) / (F.col("nt") - 1))
+        * nano,
+        0,
+    ).cast("long")
+    sums = wt.agg(
+        F.sum(F.when(F.col("dt") > 0, F.col("d1")).otherwise(0)).alias("o1"),
+        F.sum(F.when(F.col("dt") > 0, e1_term).otherwise(F.lit(0))).alias(
+            "e1_nano"
+        ),
+        F.sum(
+            F.when((F.col("dt") > 0) & (F.col("nt") > 1), v_term).otherwise(
+                F.lit(0)
+            )
+        ).alias("v_nano"),
+    )
+    arm_tot = lif.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("users_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("users_b"),
+        F.sum(
+            F.when((F.col("arm") == 0) & F.col("conv"), 1).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when((F.col("arm") == 1) & F.col("conv"), 1).otherwise(0)
+        ).alias("conv_b"),
+    )
+    diff = (F.col("o1") * nano - F.col("e1_nano")).cast("double")
+    chi2 = diff * diff / (F.col("v_nano").cast("double") * F.lit(1e9))
+    return sums.crossJoin(F.broadcast(arm_tot)).select(
+        F.col("users_a").cast("long"),
+        F.col("users_b").cast("long"),
+        F.col("conv_a").cast("long"),
+        F.col("conv_b").cast("long"),
+        F.col("o1").cast("long").alias("observed_b"),
+        F.round(F.col("e1_nano").cast("double") / 1e9, 6).alias(
+            "expected_b"
+        ),
+        F.round(F.col("v_nano").cast("double") / 1e9, 6).alias("variance"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(_LOGRANK_CRIT_95)).alias("significant_95"),
+    )

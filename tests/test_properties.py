@@ -620,3 +620,42 @@ def test_kaplan_meier_laws(spark):
             assert sum(r["censored"] for r in rows) > 0
         else:
             assert rows[-1]["km_survival"] == 0.0  # factor-0 tail
+
+
+def test_logrank_detects_separated_arms(spark, tmp_path):
+    """Power check for the log-rank query: on a synthetic corpus
+    where even-id users convert on day 0 and odd-id users only on
+    day 5 (the horizon edge), the statistic must flag significance;
+    the fixture corpora's parity split is a true null (pinned
+    non-significant by the oracle gate). The query reads whatever
+    sf_dir it is given, so the synthetic corpus is just another
+    events.parquet."""
+    import datetime as dt
+
+    from fabric_claims_spark.queries import load_all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        rows.append((eid, base, uid, "signup", 1.0, None)); eid += 1
+        delay = 0 if uid % 2 == 0 else 5
+        rows.append(
+            (eid, base + dt.timedelta(days=delay), uid, "purchase", 1.0, None)
+        ); eid += 1
+    # a late sentinel keeps everyone's follow-up at the full horizon
+    rows.append((eid, base + dt.timedelta(days=12), 0, "view", 1.0, None))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = (
+        load_all_queries()["events_conversion_logrank"]
+        .fn(spark, str(tmp_path))
+        .first()
+    )
+    assert out["users_a"] == out["users_b"] == 20
+    assert out["conv_a"] == out["conv_b"] == 20  # both arms convert...
+    assert out["significant_95"]  # ...but at maximally separated times
+    assert out["chi2"] > 3.841459
