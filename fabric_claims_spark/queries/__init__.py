@@ -465,6 +465,9 @@ GATE_PRIORITY: list[str] = [
     # log-rank A/B comparison of the same study design
     "events_user_survival_km",
     "events_conversion_logrank",
+    # round-7: windowed conversion funnel (per-step conversion window,
+    # strict-sequence first-match, chained min-aggregate joins)
+    "events_funnel_windowed",
 ]
 
 

@@ -2147,3 +2147,119 @@ def events_daily_modified_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds the same (event_type, day) counts through the idempotent
     # rollup and feeds them to this exact arithmetic
     return modified_zscore_from_counts(d)
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel WITH a per-step conversion window
+# (signup -> view -> click -> purchase) — the semantics the
+# unwindowed events_funnel_conversion above cannot express, and what
+# product-analytics tools mean by "conversion window": a user
+# reaches step k iff their EARLIEST step-(k-1) completion is
+# followed by a step-k event within _FUNNEL_WINDOW_H hours. On an
+# always-active population the unwindowed funnel saturates (every
+# user eventually does everything); the window is what produces real
+# drop-off (150 -> 39 -> 16 -> 5 at sf0.01). First-match: each
+# step anchors at the MIN qualifying timestamp, so a funnel is a
+# chain of conditional min-aggregates, not a pattern-match over the
+# whole history). Entirely relational — one min-aggregate + equi-join
+# per step, no per-user event buffering, no window over events — so
+# each step is a hash aggregate + broadcast-joinable frame at any
+# corpus size, and step k's work is bounded by step k-1's survivors
+# (the funnel IS a dedup-cascade shape over events). Rates round to
+# 6 dp from exact integer counts.
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WINDOW_H = 24
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY 1),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t
+        AND e.ts <= s3.t + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY 1),
+    counts AS (
+      SELECT 1 AS step, 'signup' AS step_name,
+             (SELECT COUNT(*) FROM s1) AS users
+      UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           CAST(users AS BIGINT) AS users,
+           ROUND(CAST(users AS DOUBLE)
+                 / NULLIF(LAG(users) OVER (ORDER BY step), 0), 6)
+             AS conv_from_prev,
+           ROUND(CAST(users AS DOUBLE)
+                 / NULLIF(FIRST_VALUE(users) OVER (ORDER BY step), 0), 6)
+             AS conv_from_start
+    FROM counts
+    ORDER BY step
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    window_s = _FUNNEL_WINDOW_H * 3600
+    prev = (
+        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frames = [prev]
+    for step_type in _FUNNEL_STEPS[1:]:
+        nxt = (
+            e.join(prev, "user_id")
+            .where(
+                (F.col("event_type") == step_type)
+                & (F.col("ts") > F.col("t"))
+                & (
+                    F.col("ts")
+                    <= F.col("t") + F.expr(f"INTERVAL {window_s} SECOND")
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        frames.append(nxt)
+        prev = nxt
+    counts = None
+    for i, (name, fr) in enumerate(zip(_FUNNEL_STEPS, frames), start=1):
+        row = fr.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("users").cast("long"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step")
+    return (
+        counts.select(
+            "step",
+            "step_name",
+            "users",
+            F.round(
+                F.col("users").cast("double")
+                / F.nullif(F.lag("users").over(w), F.lit(0)),
+                6,
+            ).alias("conv_from_prev"),
+            F.round(
+                F.col("users").cast("double")
+                / F.nullif(F.first("users").over(w), F.lit(0)),
+                6,
+            ).alias("conv_from_start"),
+        )
+        .orderBy("step")
+    )
