@@ -468,6 +468,9 @@ GATE_PRIORITY: list[str] = [
     # round-7: windowed conversion funnel (per-step conversion window,
     # strict-sequence first-match, chained min-aggregate joins)
     "events_funnel_windowed",
+    # round-7: RFM lifecycle segmentation (deterministic quintiles
+    # via the distributed selection operator)
+    "events_user_rfm_segments",
 ]
 
 

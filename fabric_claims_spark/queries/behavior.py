@@ -2263,3 +2263,121 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic marketing/lifecycle segmentation
+# (Recency = days since last purchase, Frequency = purchase count,
+# Monetary = purchase value), each scored into deterministic
+# quintiles and mapped to named segments. Scores use the engine's
+# distributed selection operator (operators/ranking.with_global_rank:
+# range repartition -> per-bucket rank -> broadcast offsets — no
+# partitionless window) with NTILE-of-known-total arithmetic, total
+# order guaranteed by the (metric, user_id) tiebreak. Monetary sums
+# fold as exact micro-unit longs (value is a double; a raw double
+# sum would be partition-order-dependent). Output is the per-segment
+# profile a lifecycle team reads: user count and the average R/F/M
+# per segment, every average one exact-integer-sum / count division.
+_RFM_SEGMENTS_CASE = """
+CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+     WHEN f_score >= 4 THEN 'loyal'
+     WHEN m_score >= 4 THEN 'big_spender'
+     WHEN r_score <= 2 AND f_score <= 2 THEN 'dormant'
+     WHEN r_score <= 2 THEN 'at_risk'
+     ELSE 'casual' END
+"""
+
+
+@query(
+    "events_user_rfm_segments",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS maxd FROM events),
+    rfm AS (
+      SELECT e.user_id,
+             date_diff('day', CAST(date_trunc('day', MAX(e.ts)) AS DATE),
+                       b.maxd) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(e.value * 1000000, 0) AS BIGINT)) AS m_micro
+      FROM events e CROSS JOIN bounds b
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id, b.maxd),
+    scored AS (
+      SELECT user_id, recency_days, frequency, m_micro,
+             6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY m_micro, user_id) AS m_score
+      FROM rfm),
+    seg AS (
+      SELECT {_RFM_SEGMENTS_CASE} AS segment, recency_days, frequency,
+             m_micro
+      FROM scored)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS users,
+           ROUND(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6)
+             AS avg_recency_days,
+           ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6)
+             AS avg_frequency,
+           ROUND(CAST(SUM(m_micro) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+             AS avg_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def events_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.ranking import (
+        ntile_by_rank,
+        with_global_rank,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
+    bounds = e.agg(day(F.max("ts")).alias("maxd"))
+    rfm = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            day(F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias(
+                "m_micro"
+            ),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.datediff("maxd", "last_day").alias("recency_days"),
+            "frequency",
+            "m_micro",
+        )
+    )
+    scored = rfm
+    for metric, score, invert in (
+        ("recency_days", "r_score", True),
+        ("frequency", "f_score", False),
+        ("m_micro", "m_score", False),
+    ):
+        ranked, n = with_global_rank(
+            scored, [metric, "user_id"], rank_col="_rank"
+        )
+        tile = ntile_by_rank("_rank", n, 5)
+        scored = ranked.withColumn(
+            score, (F.lit(6) - tile) if invert else tile
+        ).drop("_rank", "_pid")
+    seg = scored.withColumn("segment", F.expr(_RFM_SEGMENTS_CASE))
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.round(
+                F.sum("recency_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum("frequency").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_frequency"),
+            F.round(
+                F.sum("m_micro").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
