@@ -471,6 +471,9 @@ GATE_PRIORITY: list[str] = [
     # round-7: RFM lifecycle segmentation (deterministic quintiles
     # via the distributed selection operator)
     "events_user_rfm_segments",
+    # round-7: data-driven attribution — Markov removal effects via
+    # exact micro-unit matrix squarings (completes last-touch/linear)
+    "events_attribution_markov",
 ]
 
 

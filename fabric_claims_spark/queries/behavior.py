@@ -2381,3 +2381,271 @@ def events_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov (removal-effect) attribution — the data-driven complement to
+# the last-touch and linear attribution queries above (Anderl et al.,
+# 2014; the standard "Markov chain attribution" of marketing
+# analytics). Journeys = each user's ordered events strictly before
+# their first purchase (ties broken by event_id — a total order both
+# engines share); states = start, the four channel event types, and
+# the absorbing conv/fail states. A channel's REMOVAL EFFECT is how
+# much the model's conversion probability drops when every transition
+# into that channel is redirected to fail; attribution shares
+# normalize the removal effects.
+#
+# The conversion probability is DEFINED as 64-step absorption,
+# computed by 6 successive matrix squarings (P^2, P^4, ... P^64) —
+# the fixed-iteration discipline pagerank uses, squarings instead of
+# steps so the chain is 6 joins, not 64. Matrix entries live in
+# micro-units (longs): each squaring term is ROUND(a.p * b.p / 1e6)
+# where the double product of two <= 1e6 micro-values is EXACT
+# (< 2^53), and the <= |states| -term sums are integer — so every
+# entry is bit-identical across engines and partition orders. All
+# five scenarios (full + 4 removals) ride one frame with a scenario
+# column: the whole post-aggregate computation operates on
+# <= 5 x 7 x 7 rows (the PSI "bin-domain arithmetic" discipline).
+_MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+_MARKOV_SQUARINGS = 6  # P^(2^6) = 64-step absorption
+
+
+def _markov_square_ctes(iters: int = _MARKOV_SQUARINGS) -> str:
+    ctes = []
+    prev = "m0"
+    for k in range(iters):
+        nxt = f"m{k + 1}"
+        ctes.append(f"""{nxt} AS MATERIALIZED (
+      SELECT a.scenario, a.src, b.dst,
+             SUM(CAST(ROUND(CAST(a.p AS DOUBLE) * b.p / 1000000, 0)
+                      AS BIGINT)) AS p
+      FROM {prev} a JOIN {prev} b
+        ON a.scenario = b.scenario AND a.dst = b.src
+      GROUP BY 1, 2, 3)""")
+        prev = nxt
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "events_attribution_markov",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, date_trunc('second', ts) AS ts_s,
+             event_id
+      FROM events),
+    fp AS (SELECT user_id, MIN(ts_s) AS pt FROM e
+           WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (
+      SELECT e.user_id, e.event_type, e.ts_s, e.event_id,
+             (fp.user_id IS NOT NULL) AS converts
+      FROM e LEFT JOIN fp USING (user_id)
+      WHERE fp.pt IS NULL OR e.ts_s < fp.pt),
+    seq AS (
+      SELECT user_id, event_type, converts,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_s, event_id) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_s, event_id) AS rn
+      FROM j),
+    tr AS (
+      SELECT 'start' AS src, event_type AS dst FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT event_type,
+             COALESCE(nxt, CASE WHEN converts THEN 'conv' ELSE 'fail' END)
+      FROM seq),
+    cnt AS MATERIALIZED (SELECT src, dst, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+    tot AS (SELECT src, SUM(c) AS t FROM cnt GROUP BY 1),
+    prob AS (
+      SELECT cnt.src, cnt.dst,
+             CAST(ROUND(CAST(cnt.c AS DOUBLE) * 1000000 / tot.t, 0)
+                  AS BIGINT) AS p
+      FROM cnt JOIN tot USING (src)),
+    scen AS (SELECT unnest(['full', 'click', 'error', 'signup', 'view'])
+               AS scenario),
+    m0 AS MATERIALIZED (
+      SELECT scenario, src, dst, SUM(p) AS p FROM (
+        SELECT s.scenario, prob.src,
+               CASE WHEN prob.dst = s.scenario THEN 'fail'
+                    ELSE prob.dst END AS dst,
+               prob.p
+        FROM prob CROSS JOIN scen s
+        WHERE prob.src != s.scenario
+        UNION ALL
+        SELECT s.scenario, x.st, x.st, 1000000 FROM scen s
+        CROSS JOIN (SELECT 'conv' AS st UNION ALL SELECT 'fail') x)
+      GROUP BY 1, 2, 3),
+    {_markov_square_ctes()},
+    conv AS (
+      SELECT scenario, p FROM m{_MARKOV_SQUARINGS}
+      WHERE src = 'start' AND dst = 'conv'),
+    base AS (SELECT p AS bp FROM conv WHERE scenario = 'full'),
+    re AS (
+      SELECT conv.scenario AS channel, base.bp, conv.p AS rp,
+             1.0 - CAST(conv.p AS DOUBLE) / base.bp AS effect
+      FROM conv CROSS JOIN base WHERE conv.scenario != 'full'),
+    tot_re AS (SELECT SUM(effect) AS s FROM re)
+    SELECT re.channel,
+           ROUND(CAST(re.bp AS DOUBLE) / 1000000.0, 6) AS base_conversion,
+           ROUND(CAST(re.rp AS DOUBLE) / 1000000.0, 6)
+             AS removed_conversion,
+           ROUND(re.effect, 6) AS removal_effect,
+           ROUND(re.effect / tot_re.s, 6) AS attribution_share
+    FROM re CROSS JOIN tot_re
+    ORDER BY re.channel
+    """,
+)
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events_s(spark, sf_dir).select(
+        "user_id", "event_type", "ts_s", "event_id"
+    )
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("pt"))
+    )
+    j = (
+        e.join(fp, "user_id", "left")
+        .where(F.col("pt").isNull() | (F.col("ts_s") < F.col("pt")))
+        .select(
+            "user_id",
+            "event_type",
+            "ts_s",
+            "event_id",
+            F.col("pt").isNotNull().alias("converts"),
+        )
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    seq = j.select(
+        "user_id",
+        "event_type",
+        "converts",
+        F.lead("event_type").over(w_u).alias("nxt"),
+        F.row_number().over(w_u).alias("rn"),
+    )
+    tr = seq.where(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("event_type").alias("dst")
+    ).unionByName(
+        seq.select(
+            F.col("event_type").alias("src"),
+            F.coalesce(
+                "nxt",
+                F.when(F.col("converts"), "conv").otherwise("fail"),
+            ).alias("dst"),
+        )
+    )
+    cnt = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    prob = cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        F.round(F.col("c").cast("double") * 1_000_000 / F.col("t"), 0)
+        .cast("long")
+        .alias("p"),
+    )
+    # scenario expansion via a literal-array explode — NOT a
+    # crossJoin of driver-created frames (two BroadcastNestedLoopJoin
+    # broadcasts on a 24-row input measured 13.5 s of pure overhead;
+    # the explode is plan-local and costs nothing)
+    scens = ["full"] + list(_MARKOV_CHANNELS)
+    absorbing = spark.createDataFrame(
+        [(s, st, st, 1_000_000) for s in scens for st in ("conv", "fail")],
+        "scenario string, src string, dst string, p long",
+    )
+    m = (
+        prob.select(
+            F.explode(
+                F.array(*[F.lit(s) for s in scens])
+            ).alias("scenario"),
+            "src",
+            "dst",
+            "p",
+        )
+        .where(F.col("src") != F.col("scenario"))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), "fail")
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .unionByName(absorbing)
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+        # each squaring below references the matrix TWICE — without
+        # truncation the plan doubles per squaring (2^6 copies of the
+        # whole journey pipeline; measured minutes instead of
+        # seconds). The frame is <= scenarios x states^2 rows, so the
+        # materialization is free.
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MARKOV_SQUARINGS):
+        a = m.select(
+            "scenario",
+            F.col("src").alias("a_src"),
+            F.col("dst").alias("mid"),
+            F.col("p").alias("a_p"),
+        )
+        b = m.select(
+            "scenario",
+            F.col("src").alias("mid"),
+            F.col("dst").alias("b_dst"),
+            F.col("p").alias("b_p"),
+        )
+        m = (
+            a.join(b, ["scenario", "mid"])
+            .groupBy(
+                "scenario",
+                F.col("a_src").alias("src"),
+                F.col("b_dst").alias("dst"),
+            )
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("a_p").cast("double")
+                        * F.col("b_p")
+                        / 1_000_000,
+                        0,
+                    ).cast("long")
+                ).alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+    conv = m.where(
+        (F.col("src") == "start") & (F.col("dst") == "conv")
+    ).select("scenario", "p")
+    base = conv.where(F.col("scenario") == "full").select(
+        F.col("p").alias("bp")
+    )
+    re = (
+        conv.where(F.col("scenario") != "full")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            "bp",
+            F.col("p").alias("rp"),
+            (
+                F.lit(1.0) - F.col("p").cast("double") / F.col("bp")
+            ).alias("effect"),
+        )
+    )
+    tot_re = re.agg(F.sum("effect").alias("s"))
+    return (
+        re.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            F.round(F.col("bp").cast("double") / 1e6, 6).alias(
+                "base_conversion"
+            ),
+            F.round(F.col("rp").cast("double") / 1e6, 6).alias(
+                "removed_conversion"
+            ),
+            F.round(F.col("effect"), 6).alias("removal_effect"),
+            F.round(F.col("effect") / F.col("s"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )
