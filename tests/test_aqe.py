@@ -82,17 +82,26 @@ def test_aqe_skew_split_blind_to_inline_aggregate_build_side(skew_session):
     grouped join-back's memory-safety argument rests on the STREAMING
     merge join, not on AQE splitting."""
     spark = skew_session
-    left = spark.range(0, 300000).select(
-        F.when(F.col("id") % 10 < 9, 0)
-        .otherwise(F.col("id") % 50)
-        .alias("k"),
-        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
-    ).localCheckpoint()
+    checkpointed = []
+
+    def ckpt(df):
+        out = df.localCheckpoint()
+        checkpointed.append(out)
+        return out
+
+    left = ckpt(
+        spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+    )
 
     def run(staged: bool):
         stats = left.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
         if staged:
-            stats = stats.localCheckpoint()
+            stats = ckpt(stats)
         agg = (
             left.join(stats, "k")
             .groupBy()
@@ -106,8 +115,20 @@ def test_aqe_skew_split_blind_to_inline_aggregate_build_side(skew_session):
         plan = agg._jdf.queryExecution().toString()
         return rows[0], ("skew=true" in plan)
 
-    inline_row, inline_skew = run(staged=False)
-    staged_row, staged_skew = run(staged=True)
+    try:
+        inline_row, inline_skew = run(staged=False)
+        staged_row, staged_skew = run(staged=True)
+    finally:
+        # localCheckpoint blocks persist for the SESSION; the shared
+        # fixture later runs test_caching's persistent-RDD censuses,
+        # which assume a clean slate. df.rdd.unpersist() does NOT
+        # release the internal checkpoint RDD, so sweep the JVM
+        # registry the way bench.py does between queries.
+        del checkpointed
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
     assert not inline_skew  # the blindness, pinned
     assert staged_skew  # same data, same thresholds, staged -> splits
     assert tuple(inline_row) == tuple(staged_row)  # results unchanged
