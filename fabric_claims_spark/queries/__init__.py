@@ -474,6 +474,9 @@ GATE_PRIORITY: list[str] = [
     # round-7: data-driven attribution — Markov removal effects via
     # exact micro-unit matrix squarings (completes last-touch/linear)
     "events_attribution_markov",
+    # round-7: TextRank keyword extraction (co-occurrence graph ->
+    # weighted pagerank -> top-k; pure operator composition)
+    "docs_textrank_keywords",
 ]
 
 

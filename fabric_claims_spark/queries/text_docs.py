@@ -2285,3 +2285,117 @@ def docs_quality_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "docs_total", "docs_kept", "chars_total", "chars_kept")
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords (Mihalcea & Tarau, EMNLP 2004) — graph-based
+# keyword extraction as a COMPOSITION of shipped operators: the word
+# co-occurrence graph (adjacent-token pairs per document, undirected,
+# count-weighted, built with a per-document lead window — bounded by
+# document length, never corpus-global) feeds the same weighted
+# PageRank brand_pagerank pins green (extensions/graph.pagerank:
+# per-round one co-partitioned join + one aggregate, 12-dp rounded
+# ranks, 9-dp out-weight ratios), and the top keywords are one
+# TakeOrderedAndProject. The oracle unrolls the identical 5 rounds.
+_TEXTRANK_ITERS = 5
+_TEXTRANK_TOPK = 15
+
+
+def _textrank_oracle(iters: int = _TEXTRANK_ITERS) -> str:
+    head = """
+    WITH toks AS (
+      SELECT doc_id, tok, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                     regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+            FROM documents WHERE length(trim(text)) > 0)),
+    adj AS (
+      SELECT a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+      WHERE a.tok <> b.tok),
+    upper_p AS (
+      SELECT LEAST(w1, w2) AS src, GREATEST(w1, w2) AS dst, COUNT(*) AS w
+      FROM adj GROUP BY 1, 2),
+    pairs AS (
+      SELECT src, dst, w FROM upper_p
+      UNION ALL
+      SELECT dst, src, w FROM upper_p),
+    outw AS (SELECT src, SUM(w) AS out_w FROM pairs GROUP BY 1),
+    er AS (SELECT p.src, p.dst, ROUND(CAST(p.w AS DOUBLE) / o.out_w, 9) AS r
+           FROM pairs p JOIN outw o ON p.src = o.src),
+    nodes AS (SELECT DISTINCT src AS node FROM pairs),
+    t AS (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS (SELECT node, ROUND(CAST(1 AS DOUBLE) / t.n, 12) AS pr
+            FROM nodes CROSS JOIN t)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    c{k} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(ROUND(p.pr * e.r, 12) AS DECIMAL(20,12))) AS s
+      FROM er e JOIN it{k - 1} p ON e.src = p.node GROUP BY 1),
+    it{k} AS (
+      SELECT n.node,
+             ROUND(CAST(0.15 AS DOUBLE) / t.n
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(COALESCE(c.s, CAST(0 AS DECIMAL(20,12)))
+                            AS DOUBLE), 12) AS pr
+      FROM nodes n CROSS JOIN t LEFT JOIN c{k} c ON n.node = c.node)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT)
+             AS rank,
+           node AS word, pr AS textrank
+    FROM it{iters}
+    ORDER BY pr DESC, node LIMIT {_TEXTRANK_TOPK}"""
+    )
+
+
+@query("docs_textrank_keywords", oracle=_textrank_oracle())
+def docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.extensions.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.select(
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w_doc).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull() & (F.col("w1") != F.col("w2")))
+    )
+    upper = (
+        adj.select(
+            F.least("w1", "w2").alias("src"),
+            F.greatest("w1", "w2").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = upper.unionByName(
+        upper.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(edges, "src", "dst", weight="w", iters=_TEXTRANK_ITERS)
+    top = (
+        pr.orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(_TEXTRANK_TOPK)
+    )
+    w_rank = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.col("node").alias("word"),
+        F.col("pr").alias("textrank"),
+    )
