@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from fabric_claims_spark.queries import load_all_queries  # noqa: E402
 from fabric_claims_spark.session import get_spark  # noqa: E402
+from tools.bench_compare import CANARY  # noqa: E402
 
 HEADLINE = [
     "pricing_summary",
@@ -97,6 +98,16 @@ def main() -> None:
     # JSON line (per-query detail limited to the headline set), so a
     # tail-truncated capture still carries the round's metric; the
     # full per-query dict follows as its own JSON line.
+    # The canary times ride along in-band (VERDICT r7 item 8): the
+    # drift-normalization basis (tools/bench_compare.CANARY — queries
+    # unchanged since round 1) is auditable from this JSON alone,
+    # without reconstructing it from the per-query dict.
+    canary = {
+        "canary_queries": {n: timings[n] for n in CANARY if n in timings},
+        "canary_total": round(
+            sum(timings[n] for n in CANARY if n in timings), 3
+        ),
+    }
     print(
         json.dumps(
             {
@@ -104,6 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE},
+                **canary,
                 "sf": sf,
             }
         ),
@@ -138,6 +150,12 @@ def main() -> None:
                 "queries": {
                     n: _median3([r[n] for r in solo_runs]) for n in HEADLINE
                 },
+                "canary_total": round(
+                    _median3(
+                        [sum(r[n] for n in CANARY if n in r) for r in solo_runs]
+                    ),
+                    3,
+                ),
                 "sf": sf,
             }
         ),
@@ -156,6 +174,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "full_suite_total": round(sum(timings.values()), 3),
+                    **canary,
                     "sf": sf,
                 }
             ),
@@ -206,6 +225,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE},
+                **canary,
                 "sf": sf,
             }
         ),

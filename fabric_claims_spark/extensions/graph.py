@@ -161,13 +161,34 @@ def _star_components(e, _ckpt, max_iter: int, on_exhaustion: str) -> DataFrame:
     by set equality against the previous round's pairs (count match
     + empty one-way subtract — exact, not a fingerprint); both
     frames are already checkpoint-materialized so the probe is
-    cheap."""
+    cheap.
+
+    Nodes whose ONLY edges are self-loops vanish from the pair set
+    (which keeps lo < hi); they are singleton components and are
+    unioned back in as (node, node) at the end, so the output covers
+    every node appearing in ``edges`` — identical to propagation,
+    which labels them through its symmetric-closure groupBy."""
     pairs = _ckpt(
         e.where(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
         )
         .distinct()
+    )
+    # singleton components the pair set cannot represent: nodes seen
+    # only in self-loop edges. Both sides are checkpointed/small.
+    selfloop_only = (
+        e.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .join(
+            pairs.select(F.col("lo").alias("node"))
+            .union(pairs.select(F.col("hi").alias("node")))
+            .distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.col("node").alias("cluster"))
     )
     converged = False
     for _ in range(max_iter):
@@ -209,17 +230,32 @@ def _star_components(e, _ckpt, max_iter: int, on_exhaustion: str) -> DataFrame:
             f"star contraction did not converge in {max_iter} rounds "
             "(needs O(log n)); raise max_iter"
         )
-        if on_exhaustion == "warn":
-            warnings.warn(msg, RuntimeWarning, stacklevel=3)
-        else:
+        if on_exhaustion != "warn":
             raise ConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+        # Non-converged pairs are NOT a star forest: a node can appear
+        # under conflicting partial labels (member of one pair, root of
+        # another). Collapse to one row per node with the minimum label
+        # seen — the same one-partial-row-per-node contract
+        # propagation's warn mode gives.
+        partial = (
+            pairs.select(F.col("hi").alias("node"), F.col("lo").alias("c"))
+            .unionByName(
+                pairs.select(F.col("lo").alias("node"), F.col("lo").alias("c"))
+            )
+            .groupBy("node")
+            .agg(F.min("c").alias("cluster"))
+        )
+        return partial.unionByName(selfloop_only)
     # fixpoint pairs are (root, member): labels read directly off them
     roots = pairs.select(F.col("lo").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster")
     )
-    return pairs.select(
-        F.col("hi").alias("node"), F.col("lo").alias("cluster")
-    ).unionByName(roots)
+    return (
+        pairs.select(F.col("hi").alias("node"), F.col("lo").alias("cluster"))
+        .unionByName(roots)
+        .unionByName(selfloop_only)
+    )
 
 
 def triangles(
@@ -298,6 +334,7 @@ def pagerank(
     damping: float = 0.85,
     teleport: float = 0.15,
     redistribute_dangling: bool = False,
+    hot_degree_cap: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list: (node, pr) after ``iters``
     synchronous rounds. Each round is one co-partitioned equi-join of
@@ -324,6 +361,22 @@ def pagerank(
     extra tiny aggregate + broadcast per round over the loop-invariant
     dangling-node set. Lineage grows linearly in ``iters``; for long
     runs wrap with the checkpointing used by connected_components.
+
+    ``hot_degree_cap`` — skew guard for Zipfian-degree graphs (token
+    co-occurrence graphs on natural text: stopword hubs own a huge
+    fraction of all edges, so the per-round rank join's shuffle puts a
+    hub's ENTIRE adjacency in one reducer task). Nodes whose
+    out-degree exceeds the cap form a loop-invariant hot set (tiny —
+    the head of the Zipf curve); each round their rank rows are
+    BROADCAST into the contribution join while the long tail
+    shuffle-joins exactly as before — the classic hot-key split.
+    Per-edge contribution rows are identical and the per-dst sums fold
+    as exact decimals, so results are bit-identical with the guard on
+    or off (pinned by tests). The rank frame is localCheckpoint'd per
+    round in this mode so the broadcast subtree reads a materialized
+    frame instead of re-deriving the whole iteration chain.
+    ``None`` disables (the default — keeps single-exchange plans for
+    the near-uniform-degree graphs the fixture corpora produce).
     """
     w = F.col(weight) if weight else F.lit(1)
     e = edges.select(
@@ -359,10 +412,31 @@ def pagerank(
         if redistribute_dangling
         else None
     )
+    hot_keys = er_hot = er_cold = None
+    if hot_degree_cap is not None:
+        # loop-invariant hot-key split: the hot set is the Zipf head
+        # (tiny), so both it and its per-round rank rows broadcast
+        deg = er.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        hot_keys = (
+            deg.where(F.col("_d") > F.lit(int(hot_degree_cap)))
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        er_hot = tracked_cache(er.join(F.broadcast(hot_keys), "src"))
+        er_cold = tracked_cache(
+            er.join(F.broadcast(hot_keys), "src", "left_anti")
+        )
+        pr = pr.localCheckpoint(eager=True)
     for _ in range(iters):
-        contrib = er.join(
-            pr.select(F.col("node").alias("src"), "pr"), "src"
-        ).select(
+        pr_src = pr.select(F.col("node").alias("src"), "pr")
+        if hot_keys is None:
+            joined = er.join(pr_src, "src")
+        else:
+            pr_hot = pr_src.join(F.broadcast(hot_keys), "src")
+            joined = er_cold.join(pr_src, "src").unionByName(
+                er_hot.join(F.broadcast(pr_hot), "src")
+            )
+        contrib = joined.select(
             "dst",
             F.round(F.col("pr") * F.col("r"), 12)
             .cast("decimal(20,12)")
@@ -393,6 +467,12 @@ def pagerank(
                 12,
             ).alias("pr"),
         )
+        if hot_keys is not None:
+            # materialize per round: the NEXT round's broadcast rank
+            # subtree must read a checkpointed frame, not re-derive
+            # the whole iteration chain (which the cold join would
+            # also re-derive — O(iters^2) recompute otherwise)
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("node", "pr")
 
 

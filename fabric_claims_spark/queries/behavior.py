@@ -2096,7 +2096,7 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(*) AS cnt
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     t AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
     h AS (SELECT event_type, cnt AS v, COUNT(*) AS c FROM d GROUP BY 1, 2),
     cum AS (
@@ -2138,7 +2138,12 @@ def events_daily_modified_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(
+    # NULL-ts policy matches the streaming twin (which filters ts IS
+    # NOT NULL at the source): a NULL timestamp has no day and is not
+    # monitorable — without this, data containing NULL ts would grow a
+    # NULL-day group in batch only and break the stream==batch
+    # row-for-row invariant the twin test pins
+    d = e.where(F.col("ts").isNotNull()).groupBy(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
@@ -2214,10 +2219,16 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts"
     )
     window_s = _FUNNEL_WINDOW_H * 3600
+    # each step frame is consumed TWICE (the next step's join and its
+    # own count row) — localCheckpoint materializes it once, so the
+    # events scan runs once per step instead of O(steps^2) times and
+    # step k's work really is bounded by step k-1's survivors. The
+    # frames are tiny: one (user_id, t) row per surviving user.
     prev = (
         e.where(F.col("event_type") == _FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=True)
     )
     frames = [prev]
     for step_type in _FUNNEL_STEPS[1:]:
@@ -2233,6 +2244,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
         )
         frames.append(nxt)
         prev = nxt

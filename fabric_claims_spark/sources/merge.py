@@ -188,40 +188,53 @@ class TableStore:
             from delta.tables import DeltaTable
 
             t = DeltaTable.forPath(self.spark, self._dir(name))
-            t.delete(condition)
-            # the commit records the count — a metadata read, not two
-            # full-table scans (which would also race concurrent writes)
             try:
-                metrics = (
-                    t.history(1).select("operationMetrics").first()[0] or {}
+                v0 = t.history(1).select("version").first()[0]
+            except Exception:  # odd/empty history: no pre-version pin
+                v0 = None
+            t.delete(condition)
+            # Pin OUR DELETE commit: the EARLIEST DELETE commit newer
+            # than the pre-delete version observed above. Both
+            # history(1) and max(version) race concurrent writers —
+            # in particular a concurrent DELETE committed after ours
+            # wins max(version), and versionAsOf dv-1 would then read
+            # a post-our-delete snapshot and silently mis-count the
+            # erasure. min(version > v0) identifies ours as tightly as
+            # the history API allows without a transaction id.
+            hist = t.history().where(F.col("operation") == "DELETE")
+            if v0 is not None:
+                hist = hist.where(F.col("version") > F.lit(int(v0)))
+            ours = (
+                hist.orderBy("version")
+                .select("version", "operationMetrics")
+                .first()
+            )
+            if ours is None:
+                raise RuntimeError(
+                    f"cannot pin DELETE commit for {name!r}: no DELETE "
+                    f"newer than version {v0} in history"
                 )
-                return int(metrics.get("numDeletedRows", 0))
-            except Exception:  # metrics shape varies across Delta versions
-                # fallback: recount the predicate against the
-                # PRE-delete snapshot via time travel. The version is
-                # pinned from the DELETE commit itself (not history(1),
-                # which a concurrent writer may already have displaced
-                # — versionAsOf v-1 would then read the wrong
-                # snapshot and silently mis-count the erasure). Never
-                # surface a negative flag value: erasure audit rows
-                # consume this count verbatim.
-                dv = (
-                    t.history()
-                    .where(F.col("operation") == "DELETE")
-                    .agg(F.max("version"))
-                    .first()[0]
+            metrics = ours["operationMetrics"] or {}
+            if "numDeletedRows" in metrics:
+                # the commit records the count — a metadata read, not
+                # two full-table scans
+                return int(metrics["numDeletedRows"])
+            # metrics shape varies across Delta versions — recount the
+            # predicate against the snapshot immediately before OUR
+            # pinned commit via time travel. Never surface a negative
+            # flag value: erasure audit rows consume this verbatim.
+            dv = int(ours["version"])
+            if dv < 1:
+                raise RuntimeError(
+                    f"cannot pin pre-delete snapshot for {name!r}: "
+                    f"DELETE commit {dv} has no predecessor"
                 )
-                if dv is None or int(dv) < 1:
-                    raise RuntimeError(
-                        f"cannot pin pre-delete snapshot for {name!r}: "
-                        f"no DELETE commit with a predecessor in history"
-                    )
-                prev = (
-                    self.spark.read.format("delta")
-                    .option("versionAsOf", int(dv) - 1)
-                    .load(self._dir(name))
-                )
-                return prev.where(condition.eqNullSafe(F.lit(True))).count()
+            prev = (
+                self.spark.read.format("delta")
+                .option("versionAsOf", dv - 1)
+                .load(self._dir(name))
+            )
+            return prev.where(condition.eqNullSafe(F.lit(True))).count()
         current = self.read(name)
         # SQL DELETE semantics: remove rows where the condition is
         # TRUE; NULL-condition rows are KEPT (three-valued logic —

@@ -699,6 +699,43 @@ def test_psi_monitor_stream_matches_batch_and_detects_shift(
     assert out3[0]["verdict"] in ("moderate_shift", "shifted")
 
 
+def test_zscore_stream_batch_parity_on_null_ts(spark, tmp_path):
+    """NULL-ts policy parity: the stream filters ts IS NULL at the
+    source, so the batch query must apply the same policy — on data
+    containing NULL timestamps the stream==batch row-for-row
+    invariant must hold (no batch-only NULL-day group)."""
+    from fabric_claims_spark.sources.parquet import load_table
+    from fabric_claims_spark.streaming.events_stream import (
+        zscore_monitor_stream,
+    )
+
+    base = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value", "props",
+    )
+    withnull = base.unionByName(
+        base.limit(7).withColumn("ts", F.lit(None).cast("timestamp"))
+    )
+    sf_like = tmp_path / "sf_null"
+    sf_like.mkdir()
+    withnull.coalesce(1).write.parquet(str(sf_like / "events.parquet"))
+
+    batch = load_all_queries()["events_daily_modified_zscore"].fn(
+        spark, str(sf_like)
+    )
+    assert batch.where(F.col("day").isNull()).count() == 0
+
+    ev_dir = str(tmp_path / "ev_null")
+    withnull.coalesce(1).write.parquet(ev_dir)
+    out = zscore_monitor_stream(
+        spark, ev_dir, str(tmp_path / "ckpt_znull"), query_name="t_znull"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+
+
 def test_zscore_monitor_stream_matches_batch(spark, events_dir, tmp_path):
     """Streaming robust-anomaly monitor: after one availableNow pass
     over the seeded events, the stream's output must equal the batch

@@ -395,6 +395,53 @@ def test_star_contraction_raises_on_exhaustion(spark):
         )
 
 
+def test_star_contraction_labels_selfloop_only_nodes(spark):
+    """Nodes whose only edges are self-loops are singleton components;
+    star's pair set (lo < hi) cannot carry them, so they are unioned
+    back as (node, node) — identical to propagation's contract that
+    every node appearing in edges gets a label."""
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # s: self-loop ONLY (must appear as its own cluster);
+        # b: self-loop AND a real edge (must NOT be duplicated)
+        [("a", "b"), ("s", "s"), ("b", "b")],
+        "src string, dst string",
+    )
+    for algo in ("propagation", "star"):
+        rows = connected_components(
+            edges, "src", "dst", algorithm=algo
+        ).collect()
+        got = {r["node"]: r["cluster"] for r in rows}
+        assert got == {"a": "a", "b": "a", "s": "s"}, algo
+        assert len(rows) == 3, algo  # one row per node, no duplicates
+
+
+def test_star_contraction_warn_mode_one_row_per_node(spark):
+    """With on_exhaustion='warn' on a non-converged run, the partial
+    pair set is not a star forest — a node can sit under conflicting
+    labels. The warn path must collapse to exactly one row per node
+    (min partial label), matching propagation's warn contract."""
+    import warnings
+
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)],
+        "src string, dst string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = connected_components(
+            edges, "src", "dst",
+            max_iter=1, algorithm="star", on_exhaustion="warn",
+        ).collect()
+    assert any("star contraction" in str(w.message) for w in caught)
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == 40
+    assert len(set(nodes)) == 40  # one row per node, no conflicts
+
+
 def test_connected_components_rejects_unknown_algorithm(spark):
     from fabric_claims_spark.extensions.graph import connected_components
 
@@ -554,6 +601,32 @@ def test_pagerank_star_graph_center_dominates(spark):
     assert len(set(leaves)) == 1
     # no dangling nodes → total mass conserved (up to rounding)
     assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_hot_key_split_is_bit_identical(spark):
+    """hot_degree_cap (the Zipfian stopword-hub skew guard) must
+    produce the exact ranks the default single-exchange plan produces:
+    the split only changes WHERE contribution rows are joined, and
+    per-dst sums fold as exact decimals. Graph: two hubs over a long
+    tail plus a disconnected pair, weighted edges."""
+    from fabric_claims_spark.extensions.graph import pagerank
+
+    rows = []
+    for i in range(40):  # hub h0 touches 40 nodes, h1 touches 25
+        rows += [("h0", f"t{i:02d}", 1 + i % 3), (f"t{i:02d}", "h0", 1)]
+    for i in range(25):
+        rows += [("h1", f"t{i:02d}", 2), (f"t{i:02d}", "h1", 1)]
+    rows += [("p", "q", 3), ("q", "p", 3)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w int")
+    base = {
+        r["node"]: r["pr"] for r in pagerank(edges, weight="w").collect()
+    }
+    split = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, weight="w", hot_degree_cap=10).collect()
+    }
+    assert split == base  # bit-identical, not approximately equal
+    assert len(base) == 44
 
 
 def test_pagerank_uniform_on_cycle(spark):

@@ -533,20 +533,16 @@ def test_star_contraction_equals_propagation_property(spark, edges):
         [(f"n{a:02d}", f"n{b:02d}") for a, b in edges],
         "src string, dst string",
     )
-    # drop pure self-loop graphs: propagation defines labels for
-    # self-looped isolated nodes too, star's pair set drops them —
-    # restrict the comparison to nodes on a real edge
-    real = e.where(F.col("src") != F.col("dst"))
-    if real.count() == 0:
-        return
+    # self-loops stay in: both algorithms must label self-loop-only
+    # nodes as their own singleton component (node, node)
     prop = {
         (r["node"], r["cluster"])
-        for r in connected_components(real, "src", "dst", max_iter=40).collect()
+        for r in connected_components(e, "src", "dst", max_iter=40).collect()
     }
     star = {
         (r["node"], r["cluster"])
         for r in connected_components(
-            real, "src", "dst", max_iter=40, algorithm="star"
+            e, "src", "dst", max_iter=40, algorithm="star"
         ).collect()
     }
     assert star == prop
