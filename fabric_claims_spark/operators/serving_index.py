@@ -1,0 +1,325 @@
+"""Materialized serving indexes — persisted via ``TableStore``,
+maintained incrementally (VERDICT r7 item 2).
+
+``docs_hybrid_rrf_indexed`` notes that in serving the posting / df /
+doc-length frames "are materialized once" — but every gate query
+builds them in-plan, and the LSH near-dup machinery (signatures, band
+table, pair table) is likewise recomputed cold by each consumer
+(cascade / canonicals / clusters). This module persists both index
+families and folds each new corpus increment in at O(batch) cost, so
+a serving layer pays the corpus-sized build exactly once:
+
+Lexical index (``docs_posting_lists`` shape — reference NB_GOLD's
+report-index family, re-expressed as stored Spark tables):
+
+* ``lex_postings`` (doc_id, term)  — append-only per batch
+* ``lex_doclen``  (doc_id, n)      — append-only per batch
+* ``lex_df``      (term, df)       — additive rollup (vocabulary-sized
+  state, rewritten per batch via the same idempotent fold the gold
+  rollups use — ``operators/rollup.py``)
+
+LSH near-dup index (``minhash_near_dups`` shape):
+
+* ``lsh_mins``  (doc, h0..h63)            — append-only per batch
+* ``lsh_bands`` (doc, band_idx, band_hash) — append-only per batch
+* ``lsh_pairs`` (doc_a, doc_b, est_jaccard) — append-only: each batch
+  contributes batch-vs-corpus pairs (the batch's band keys joined
+  against the STORED band table, hot buckets capped exactly as in
+  ``extensions.dedup.incremental_dedup``) plus batch-internal pairs
+  (``minhash_near_dups`` over the batch alone)
+
+Exactly-once visibility (the bloom sidecar at ``operators/layout.py``
+tolerates partial updates because an unindexed file is merely
+unprunable; here a double-applied batch would DUPLICATE postings and
+pairs, so appends need a commit protocol):
+
+* every appended row carries an opaque ``_token`` unique to the apply
+  ATTEMPT; a tiny ``*_commits`` table (batch_id, token) — rewritten
+  atomically via the TableStore pointer swap — is the visibility
+  watermark. Readers semi-join the committed tokens (one row per
+  batch: a broadcast, not a shuffle).
+* apply order: idempotent rollups first (they skip an already-applied
+  batch_id themselves), then the token-stamped appends, then the
+  commit. Crash before the commit leaves orphan rows with a token
+  that is never committed — invisible to every reader, reclaimable by
+  ``vacuum_uncommitted``. Redelivery of a committed batch_id is a
+  no-op. Net: at-least-once delivery, exactly-once visible state —
+  the same contract ``maintain_additive_rollup_idempotent`` gives the
+  streaming sinks.
+
+Scale notes (100 TB corpus, GB-scale daily batch): nothing here scans
+the stored corpus per batch — the corpus appears only behind
+equi-joins on precomputed keys (content hash, band key, doc id). In
+production the stored tables are hive-bucketed on those keys
+(``operators/bucketing.py``) so only the batch side shuffles; the
+commit/meta tables stay one-row-per-batch and broadcast.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fabric_claims_spark.operators.rollup import (
+    maintain_additive_rollup_idempotent,
+)
+from fabric_claims_spark.sources.merge import TableStore
+
+LEX_POSTINGS = "lex_postings"
+LEX_DOCLEN = "lex_doclen"
+LEX_DF = "lex_df"
+LEX_COMMITS = "lex_commits"
+
+LSH_MINS = "lsh_mins"
+LSH_BANDS = "lsh_bands"
+LSH_PAIRS = "lsh_pairs"
+LSH_COMMITS = "lsh_commits"
+
+_TOKEN = "_token"
+
+
+# -- commit protocol ---------------------------------------------------------
+
+
+def _applied(store: TableStore, commits_table: str, batch_id: int) -> bool:
+    if not store.exists(commits_table):
+        return False
+    row = (
+        store.read(commits_table)
+        .where(F.col("batch_id") == F.lit(int(batch_id)))
+        .head()
+    )
+    return row is not None
+
+
+def _commit(
+    store: TableStore, commits_table: str, batch_id: int, token: str
+) -> None:
+    new = store.spark.createDataFrame(
+        [(int(batch_id), token)], "batch_id long, token string"
+    )
+    if store.exists(commits_table):
+        cur = store.read(commits_table).where(
+            F.col("batch_id") != F.lit(int(batch_id))
+        )
+        new = cur.unionByName(new)
+    # one row per committed batch — atomic pointer-swap overwrite
+    store.overwrite(commits_table, new.coalesce(1))
+
+
+def _committed_rows(store: TableStore, table: str, commits_table: str) -> DataFrame:
+    """Reader view: only rows whose token was committed. The commit
+    table holds one row per batch — the semi-join broadcasts."""
+    rows = store.read(table)
+    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
+    return rows.join(F.broadcast(tokens), _TOKEN, "left_semi").drop(_TOKEN)
+
+
+def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int:
+    """Reclaim orphan rows left by a crash between append and commit.
+    Returns the number of rows removed. O(table) — a maintenance
+    action, never on the apply path."""
+    if not store.exists(table) or not store.exists(commits_table):
+        return 0
+    rows = store.read(table)
+    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
+    keep = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    removed = rows.count() - keep.count()
+    if removed:
+        store.overwrite(table, keep)
+    return removed
+
+
+# -- lexical index -----------------------------------------------------------
+
+
+def lexical_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The canonical posting-pair expressions — the exact shape
+    ``docs_posting_lists`` / ``docs_hybrid_rrf_indexed`` pin (distinct
+    whitespace-token explode over non-blank docs)."""
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(text_col), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+
+
+def apply_lexical_batch(
+    store: TableStore,
+    batch_docs: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold one corpus increment into the stored lexical index.
+    O(batch) work; idempotent on ``batch_id``; documents are treated
+    as append-only (the immutable-corpus-snapshot shape — a rewrite
+    pipeline versions whole partitions instead)."""
+    if _applied(store, LEX_COMMITS, batch_id):
+        return
+    td = lexical_postings(batch_docs, id_col, text_col).localCheckpoint()
+    # 1) df rollup first — itself idempotent on batch_id, so a torn
+    #    apply that reached only this step re-runs safely
+    maintain_additive_rollup_idempotent(
+        store, LEX_DF, td, batch_id, keys=["term"], count_col="df"
+    )
+    # 2) token-stamped appends (invisible until committed)
+    token = uuid.uuid4().hex
+    store.append(LEX_POSTINGS, td.withColumn(_TOKEN, F.lit(token)))
+    store.append(
+        LEX_DOCLEN,
+        td.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(_TOKEN, F.lit(token)),
+    )
+    # 3) visibility commit
+    _commit(store, LEX_COMMITS, batch_id, token)
+
+
+def read_lexical_index(
+    store: TableStore,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, df, doclen) — committed rows only. The df rollup is
+    exactly-once by construction (idempotent fold), so it reads
+    directly."""
+    td = _committed_rows(store, LEX_POSTINGS, LEX_COMMITS)
+    dn = _committed_rows(store, LEX_DOCLEN, LEX_COMMITS)
+    dfc = store.read(LEX_DF).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+    return td, dfc, dn
+
+
+# -- LSH near-dup index ------------------------------------------------------
+
+
+def apply_lsh_batch(
+    store: TableStore,
+    batch_docs: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    hasher: str = "xxhash64",
+    bucket_cap: int | None = 64,
+) -> None:
+    """Fold one corpus increment into the stored near-dup index:
+    signatures + band keys for the batch (O(batch)), new pairs =
+    batch-vs-corpus (batch band keys joined against the STORED band
+    table, corpus hot buckets capped — ``incremental_dedup``'s exact
+    candidate discipline) plus batch-internal pairs. The stored pair
+    table is append-only: pairs, once found, never change (signatures
+    are pure functions of immutable text).
+
+    Capping note: the cap is evaluated against the band table AS OF
+    this batch — the same order-dependence every incremental LSH has.
+    Consumers that need the one-shot capping semantics rebuild from
+    ``lsh_mins`` (which is cap-free and lossless)."""
+    from fabric_claims_spark.extensions.dedup import (
+        _band_key_cols,
+        _minhash_mins,
+        _shingle_frame,
+        minhash_near_dups,
+    )
+
+    if _applied(store, LSH_COMMITS, batch_id):
+        return
+    rows = num_hashes // bands
+    mins_b = _minhash_mins(
+        _shingle_frame(batch_docs, id_col, text_col, k, "char"),
+        num_hashes,
+        hasher,
+    ).localCheckpoint()
+    band_keys = _band_key_cols(rows, bands, hasher)
+    bands_b = mins_b.select(
+        "doc",
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+    ).localCheckpoint()
+
+    # batch-internal pairs (first batch: this IS the full build)
+    internal = minhash_near_dups(
+        batch_docs,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        hasher=hasher,
+        bucket_cap=bucket_cap,
+    )
+
+    pairs_new = internal
+    if store.exists(LSH_BANDS):
+        bands_c = _committed_rows(store, LSH_BANDS, LSH_COMMITS)
+        if bucket_cap is not None:
+            w_bucket = Window.partitionBy("band_idx", "band_hash")
+            bands_c = (
+                bands_c.withColumn("_bs", F.count(F.lit(1)).over(w_bucket))
+                .where(F.col("_bs") <= bucket_cap)
+                .drop("_bs")
+            )
+        cand = (
+            bands_b.join(
+                bands_c.select(
+                    "band_idx",
+                    "band_hash",
+                    F.col("doc").alias("_cdoc"),
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("doc", "_cdoc")
+            .distinct()
+        )
+        mins_c = _committed_rows(store, LSH_MINS, LSH_COMMITS)
+        ma = mins_b.select(
+            F.col("doc").alias("_bdoc"),
+            *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+        )
+        mb = mins_c.select(
+            F.col("doc").alias("_cdoc"),
+            *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+        )
+        eq_sum = sum(
+            (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int")
+            for i in range(num_hashes)
+        )
+        cross = (
+            cand.join(ma, cand["doc"] == ma["_bdoc"])
+            .join(mb, "_cdoc")
+            .select(
+                # canonical pair order (doc_a < doc_b), independent of
+                # which increment a doc arrived in
+                F.least("_bdoc", "_cdoc").alias("doc_a"),
+                F.greatest("_bdoc", "_cdoc").alias("doc_b"),
+                (eq_sum.cast("double") / F.lit(num_hashes)).alias(
+                    "est_jaccard"
+                ),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        pairs_new = pairs_new.unionByName(cross)
+
+    token = uuid.uuid4().hex
+    store.append(LSH_MINS, mins_b.withColumn(_TOKEN, F.lit(token)))
+    store.append(LSH_BANDS, bands_b.withColumn(_TOKEN, F.lit(token)))
+    store.append(
+        LSH_PAIRS, pairs_new.distinct().withColumn(_TOKEN, F.lit(token))
+    )
+    _commit(store, LSH_COMMITS, batch_id, token)
+
+
+def read_lsh_pairs(store: TableStore) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — committed rows only."""
+    return _committed_rows(store, LSH_PAIRS, LSH_COMMITS)

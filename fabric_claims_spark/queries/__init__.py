@@ -98,7 +98,14 @@ GATE_PRIORITY: list[str] = [
     "rollup_revenue_year_priority",
     "surrogate_date_key",
     "ytd_running_revenue",
-    "status_calc_order_amounts",
+    # round-8 swap: A9 filtered aggregates (CALCULATE family) stay
+    # prefix-checked via conditional_status_aggregates (same
+    # filter-inside-aggregate machinery); the calc-group twin
+    # status_calc_order_amounts moves to the tail (still
+    # oracle-checked locally) so the windowed conversion funnel — a
+    # round-7 flagship the driver has never hash-checked — gains a
+    # driver row.
+    "events_funnel_windowed",
     "kpi_monthly_fulfillment_trend",
     "calendar_attributes",
     "retention_stamps",
@@ -136,7 +143,14 @@ GATE_PRIORITY: list[str] = [
     # (still oracle-checked locally) so the full funnel composition
     # gains the driver row.
     "docs_dedup_cascade",
-    "docs_clean_corpus",
+    # round-8 swap: the cleaning pipeline's gates stay prefix-checked
+    # standalone (docs_quality_score = the quality thresholds,
+    # docs_langid_stopwords = the language gate); the composition
+    # docs_clean_corpus moves to the tail (still oracle-checked
+    # locally) so RFM lifecycle segmentation — three exact-quintile
+    # passes through the distributed selection operator — gains a
+    # driver row.
+    "events_user_rfm_segments",
     "docs_quality_score",
     "docs_langid_stopwords",
     "scd2_customer_history",
@@ -164,15 +178,35 @@ GATE_PRIORITY: list[str] = [
     # split-leakage composition (SimHash pairs x hash-split) gains
     # the driver row; ivf_assign moves to the tail (still
     # oracle-checked by the local replica).
-    "docs_split_leakage",
-    "embeddings_ivf_search",
+    # round-8 swap: split_leakage is a composition of two checked
+    # pieces — SimHash near-dup pairs (prefix via docs_simhash_neardup)
+    # and the deterministic hash split (tail docs_hash_split, still
+    # oracle-checked locally) — so it moves to the tail and
+    # censoring-aware Kaplan-Meier survival (micro-nat exact step
+    # products over user lifetimes) gains a driver row; its log-rank
+    # sibling shares _conversion_lifetimes verbatim so the study
+    # design is prefix-covered through this row too.
+    "events_user_survival_km",
+    # round-8 swap: IVF search moves to the tail (still oracle-checked
+    # locally) — centroid-assignment argmax stays prefix-checked via
+    # embeddings_semantic_dedup (Lloyd-trained assign) and top-k
+    # cosine via embeddings_pq_adc_knn; the SemDeDup recall gate —
+    # which recomputes the assignment AND the brute-force cosine
+    # ground truth over the fixed eval cohort — gains the driver row.
+    "embeddings_semdedup_recall",
     # round-7 swap: embedding-cosine pair machinery stays
     # prefix-checked via embeddings_semantic_dedup (within-cluster
     # cosine-threshold pair join over the same normalized dot) while
     # embeddings_neardup_pairs moves to the tail (still
     # oracle-checked locally); hybrid lexical+semantic RRF fusion
     # gains the driver row.
-    "docs_hybrid_rrf_search",
+    # round-8 swap: that RRF row now belongs to the SERVED variant —
+    # docs_hybrid_rrf_indexed generates candidates from the df-pruned
+    # inverted index and scores them exactly; pytest pins its fused
+    # top-10 identical to the scan twin, so the fusion semantics stay
+    # prefix-checked while docs_hybrid_rrf_search moves to the tail
+    # (still oracle-checked locally).
+    "docs_hybrid_rrf_indexed",
     # round-6 flagship rows (the four rotated IN, VERDICT r5 item 2):
     # the sanctioned applyInPandas escape hatch, the null-aware anti
     # join, the correlated-having TPC-H shape, and Lloyd-trained
@@ -453,30 +487,39 @@ GATE_PRIORITY: list[str] = [
     # (round-6 flagships orders_bootstrap_ci, docs_hybrid_rrf_search,
     # orders_value_psi_periods and events_daily_modified_zscore were
     # promoted to the 50-row prefix in round 7.)
-    # round-7: SemDeDup quality gate — pair recall of the trained
-    # clustering vs the brute-force cosine-threshold ground truth
-    "embeddings_semdedup_recall",
-    # round-7: served-retrieval RRF — candidate generation from the
-    # df-pruned inverted index (rarest-terms fallback), exact scoring
-    # via forward-index fetch; pytest pins indexed == scan top-10
-    "docs_hybrid_rrf_indexed",
-    # round-7: censoring-aware retention — Kaplan-Meier survival over
-    # user lifetimes (micro-nat exact step products), and the
-    # log-rank A/B comparison of the same study design
-    "events_user_survival_km",
+    # (round-7 flagships embeddings_semdedup_recall,
+    # docs_hybrid_rrf_indexed, events_user_survival_km,
+    # events_funnel_windowed and events_user_rfm_segments were
+    # promoted to the 50-row prefix in round 8.)
+    # round-7: log-rank A/B comparison — shares _conversion_lifetimes
+    # verbatim with the prefix-promoted Kaplan-Meier row, so the study
+    # design is prefix-covered; the E/V arithmetic stays
+    # oracle-checked locally
     "events_conversion_logrank",
-    # round-7: windowed conversion funnel (per-step conversion window,
-    # strict-sequence first-match, chained min-aggregate joins)
-    "events_funnel_windowed",
-    # round-7: RFM lifecycle segmentation (deterministic quintiles
-    # via the distributed selection operator)
-    "events_user_rfm_segments",
     # round-7: data-driven attribution — Markov removal effects via
     # exact micro-unit matrix squarings (completes last-touch/linear)
     "events_attribution_markov",
     # round-7: TextRank keyword extraction (co-occurrence graph ->
     # weighted pagerank -> top-k; pure operator composition)
     "docs_textrank_keywords",
+    # round-8 demotions (operators stay prefix-covered — see the
+    # inline notes at their former prefix slots; all five stay
+    # oracle-checked by the local replica):
+    "status_calc_order_amounts",
+    "docs_clean_corpus",
+    "docs_split_leakage",
+    "embeddings_ivf_search",
+    "docs_hybrid_rrf_search",
+    # round-8: materialized serving indexes (operators/serving_index):
+    # incremental == one-shot for the lexical df rollup (with a
+    # redelivered increment), the served RRF consumer reading the
+    # stored index (hash == the in-plan twin's), the incremental LSH
+    # pair-table semantics, and the cluster consumer over the stored
+    # pair table (hash == docs_dup_clusters)
+    "lexical_index_maintenance",
+    "docs_hybrid_rrf_served",
+    "docs_lsh_index_maintenance",
+    "docs_dup_clusters_served",
 ]
 
 
@@ -497,6 +540,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         analytics,
         tpch_shapes,
         pipeline_smoke,
+        serving,
     )
 
     ordered: dict[str, QuerySpec] = {}

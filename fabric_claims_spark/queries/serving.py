@@ -1,0 +1,289 @@
+"""Serving-index gate queries (VERDICT r7 item 2): the materialized
+lexical and LSH indexes (operators/serving_index.py) under the same
+DuckDB hash gate as every other operator.
+
+Three claims, each its own query:
+
+* ``lexical_index_maintenance`` — the stored (term, df) rollup after
+  a THREE-increment build (with one increment re-delivered) equals the
+  one-shot full-corpus df. Increments partition the corpus, df is
+  additive, and the fold is idempotent — so the stored state must be
+  EXACTLY the full build; the oracle is the plain full-corpus SQL.
+* ``docs_hybrid_rrf_served`` — the RRF consumer reading postings /
+  df / doc-length from the STORE (built incrementally) fuses the
+  identical top-10 the in-plan ``docs_hybrid_rrf_indexed`` fuses;
+  the oracle is shared verbatim.
+* ``docs_lsh_index_maintenance`` — the stored near-dup pair table
+  after corpus + one batch increment equals the incremental-LSH
+  semantics spelled out in SQL (corpus-internal pairs, plus
+  batch-vs-capped-corpus pairs, plus batch-internal pairs — the exact
+  candidate discipline of ``extensions.dedup.incremental_dedup``).
+* ``docs_dup_clusters_served`` — the cluster consumer reading the
+  STORED pair table (single-increment build == one-shot LSH) produces
+  the identical (doc, cluster, size, canonical) frame as
+  ``docs_dup_clusters``; oracle shared verbatim.
+
+Each query builds its store in a throwaway directory and returns a
+``localCheckpoint``-materialized result, so the temp store can be
+removed before the frame is consumed.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.operators.serving_index import (
+    apply_lexical_batch,
+    apply_lsh_batch,
+    read_lexical_index,
+    read_lsh_pairs,
+)
+from fabric_claims_spark.queries import query
+from fabric_claims_spark.queries.lsh import (
+    _BANDS,
+    _dup_clusters_oracle,
+    _INC_MOD,
+    _INC_THRESHOLD,
+    _NUM_HASHES,
+    _sql_mins_cte,
+    _sql_shingles_cte,
+)
+from fabric_claims_spark.queries.similarity import _RRF_INDEXED_ORACLE
+from fabric_claims_spark.sources.merge import TableStore
+from fabric_claims_spark.sources.parquet import load_table
+
+
+@query(
+    "lexical_index_maintenance",
+    oracle=r"""
+    WITH td AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+    FROM td GROUP BY term ORDER BY term
+    """,
+)
+def lexical_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == one-shot for the lexical df rollup: the corpus
+    arrives as three disjoint pmod(doc_id, 3) increments, increment 1
+    is applied twice (at-least-once redelivery must be a no-op), and
+    the consumer-visible (term, df) state must hash-equal the plain
+    full-corpus aggregate. Each increment costs O(batch) postings work
+    plus a vocabulary-sized rollup rewrite — never a corpus re-scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lex_idx_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(3):
+            batch = docs.where(F.pmod("doc_id", F.lit(3)) == b)
+            apply_lexical_batch(store, batch, b)
+            if b == 1:  # redelivered increment: exactly-once state
+                apply_lexical_batch(store, batch, b)
+        _, dfc, _ = read_lexical_index(store)
+        return dfc.orderBy("term").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("docs_hybrid_rrf_served", oracle=_RRF_INDEXED_ORACLE)
+def docs_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The served twin of ``docs_hybrid_rrf_indexed``: identical
+    candidate generation, exact scoring, and RRF fusion
+    (queries/similarity._rrf_indexed_core — shared verbatim), but the
+    posting / df / doc-length frames are READ from a TableStore
+    serving index built in two increments instead of derived in-plan.
+    In production the store is built once and every query amortizes
+    it (tools/scale_round8.py measures the amortized rerun cost);
+    the oracle — and therefore the hash — is the in-plan twin's."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from fabric_claims_spark.queries.similarity import _rrf_indexed_core
+
+    work = tempfile.mkdtemp(prefix="lex_srv_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(2):
+            apply_lexical_batch(
+                store, docs.where(F.pmod("doc_id", F.lit(2)) == b), b
+            )
+        td, dfc, dn = read_lexical_index(store)
+        return _rrf_indexed_core(td, dfc, dn, emb).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _lsh_maintenance_oracle(
+    threshold: float = _INC_THRESHOLD, cap: int = 64
+) -> str:
+    """Incremental-LSH pair semantics in SQL: corpus-internal pairs
+    (one-shot LSH over the corpus increment), batch-vs-corpus pairs
+    (batch band keys joined against the CAPPED corpus band table —
+    ``incremental_dedup``'s candidate discipline), and batch-internal
+    pairs. Mirrors ``apply_lsh_batch`` applied twice: corpus as
+    increment 0, batch as increment 1."""
+    rows = _NUM_HASHES // _BANDS
+
+    def band_sel(mins: str) -> str:
+        return "\n      UNION ALL ".join(
+            "SELECT doc, {b} AS band_idx, concat_ws(',', {cols}) AS bk "
+            "FROM {m}".format(
+                b=b,
+                cols=", ".join(f"h{b * rows + i}" for i in range(rows)),
+                m=mins,
+            )
+            for b in range(_BANDS)
+        )
+
+    def capped(src: str) -> str:
+        return f"""SELECT doc, band_idx, bk FROM (
+        SELECT doc, band_idx, bk,
+               COUNT(*) OVER (PARTITION BY band_idx, bk) AS bs
+        FROM {src})
+      WHERE bs <= {cap}"""
+
+    def eq_sum(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}.h{i} = {b}.h{i} AS INT)" for i in range(_NUM_HASHES)
+        )
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {_INC_MOD} = 0),
+    {_sql_shingles_cte("corpus", "shc")},
+    {_sql_mins_cte("shc", "minsc")},
+    {_sql_shingles_cte("batch", "shb")},
+    {_sql_mins_cte("shb", "minsb")},
+    bandsc AS (
+      {band_sel("minsc")}),
+    bandsc_capped AS (
+      {capped("bandsc")}),
+    bandsb AS (
+      {band_sel("minsb")}),
+    bandsb_capped AS (
+      {capped("bandsb")}),
+    corpus_cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bandsc_capped a JOIN bandsc_capped b
+        ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc < b.doc),
+    corpus_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({eq_sum("ma", "mb")} AS DOUBLE) / {_NUM_HASHES}
+               AS est_jaccard
+      FROM corpus_cand c
+      JOIN minsc ma ON ma.doc = c.doc_a
+      JOIN minsc mb ON mb.doc = c.doc_b),
+    batch_cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bandsb_capped a JOIN bandsb_capped b
+        ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc < b.doc),
+    batch_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({eq_sum("ma", "mb")} AS DOUBLE) / {_NUM_HASHES}
+               AS est_jaccard
+      FROM batch_cand c
+      JOIN minsb ma ON ma.doc = c.doc_a
+      JOIN minsb mb ON mb.doc = c.doc_b),
+    cross_cand AS (
+      SELECT DISTINCT b.doc AS bdoc, c.doc AS cdoc
+      FROM bandsb b JOIN bandsc_capped c
+        ON b.band_idx = c.band_idx AND b.bk = c.bk),
+    cross_pairs AS (
+      SELECT LEAST(x.bdoc, x.cdoc) AS doc_a,
+             GREATEST(x.bdoc, x.cdoc) AS doc_b,
+             CAST({eq_sum("ma", "mb")} AS DOUBLE) / {_NUM_HASHES}
+               AS est_jaccard
+      FROM cross_cand x
+      JOIN minsb ma ON ma.doc = x.bdoc
+      JOIN minsc mb ON mb.doc = x.cdoc)
+    SELECT DISTINCT doc_a, doc_b, est_jaccard FROM (
+      SELECT * FROM corpus_pairs WHERE est_jaccard >= {threshold}
+      UNION ALL
+      SELECT * FROM batch_pairs WHERE est_jaccard >= {threshold}
+      UNION ALL
+      SELECT * FROM cross_pairs WHERE est_jaccard >= {threshold})
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("docs_lsh_index_maintenance", oracle=_lsh_maintenance_oracle())
+def docs_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored near-dup pair table after an incremental build —
+    corpus (pmod(doc_id, _INC_MOD) != 0) as increment 0, the remaining
+    batch as increment 1, increment 1 re-delivered once — must equal
+    the incremental-LSH semantics the oracle spells out. Per-increment
+    cost: O(batch) signatures + band keys, batch-side-only shuffles
+    against the stored (bucketed-in-production) band and signature
+    tables; the pair table is append-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lsh_idx_")
+    try:
+        store = TableStore(spark, work)
+        apply_lsh_batch(
+            store,
+            docs.where(F.pmod("doc_id", F.lit(_INC_MOD)) != 0),
+            0,
+            threshold=_INC_THRESHOLD,
+            hasher="md5",
+        )
+        batch = docs.where(F.pmod("doc_id", F.lit(_INC_MOD)) == 0)
+        apply_lsh_batch(
+            store, batch, 1, threshold=_INC_THRESHOLD, hasher="md5"
+        )
+        # at-least-once redelivery: must be a no-op
+        apply_lsh_batch(
+            store, batch, 1, threshold=_INC_THRESHOLD, hasher="md5"
+        )
+        return (
+            read_lsh_pairs(store)
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("docs_dup_clusters_served", oracle=_dup_clusters_oracle(0.5))
+def docs_dup_clusters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster consumer over the STORED pair table: a
+    single-increment build (increment == whole corpus) makes the
+    stored pairs exactly the one-shot ``minhash_near_dups`` pairs, so
+    clusters read off the store must hash-equal ``docs_dup_clusters``
+    (oracle shared verbatim). This is the serving shape: cascade /
+    canonicals / clusters all consume one materialized pair table
+    instead of re-running the banded-LSH pipeline cold per query."""
+    from pyspark.sql import Window
+
+    from fabric_claims_spark.extensions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lsh_srv_")
+    try:
+        store = TableStore(spark, work)
+        apply_lsh_batch(store, docs, 0, threshold=0.5, hasher="md5")
+        pairs = read_lsh_pairs(store).select("doc_a", "doc_b")
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        w = Window.partitionBy("cluster")
+        return (
+            comp.select(F.col("node").alias("doc"), "cluster")
+            .withColumn(
+                "cluster_size", F.count(F.lit(1)).over(w).cast("long")
+            )
+            .withColumn(
+                "is_canonical",
+                (F.col("doc") == F.col("cluster")).cast("long"),
+            )
+            .orderBy("doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1465,9 +1465,11 @@ from fabric_claims_spark.queries.text_docs import (  # noqa: E402
 _IDX_RAREST = 4
 
 
-@query(
-    "docs_hybrid_rrf_indexed",
-    oracle=f"""
+# shared with queries/serving.docs_hybrid_rrf_served — the served
+# consumer reads the same index frames from a TableStore and must
+# produce the identical fused top-10, so it carries the identical
+# oracle
+_RRF_INDEXED_ORACLE = f"""
     WITH td AS (
       SELECT DISTINCT doc_id,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
@@ -1519,16 +1521,21 @@ _IDX_RAREST = 4
     FROM lex l FULL JOIN sem s ON s.vec_id = l.doc_id
     ORDER BY rrf_score DESC, doc_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("docs_hybrid_rrf_indexed", oracle=_RRF_INDEXED_ORACLE)
 def docs_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.operators.partitioning import spread
 
     docs = load_table(spark, sf_dir, "documents")
     # the index frames (posting pairs + df + doc-length sidecar) —
-    # in serving these are materialized once; here they build in-plan
-    # with the exact shape docs_posting_lists pins (distinct explode,
-    # partial-agg df) so the query IS the index consumer
+    # in serving these are materialized once (see
+    # operators/serving_index.py and the docs_hybrid_rrf_served
+    # consumer, which reads them from a TableStore and must fuse the
+    # identical top-10); here they build in-plan with the exact shape
+    # docs_posting_lists pins (distinct explode, partial-agg df) so
+    # the query IS the index consumer
     td = (
         spread(docs.where(F.length(F.trim(F.col("text"))) > 0))
         .select(
@@ -1539,11 +1546,20 @@ def docs_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfc = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dn = td.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    qt = (
-        docs.where(F.col("doc_id") == 0)
-        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
-        .distinct()
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _rrf_indexed_core(td, dfc, dn, emb)
+
+
+def _rrf_indexed_core(
+    td: DataFrame, dfc: DataFrame, dn: DataFrame, emb: DataFrame
+) -> DataFrame:
+    """Candidate generation + exact scoring + RRF fusion over supplied
+    INDEX FRAMES — shared verbatim by the in-plan gate query above and
+    the served consumer that reads the same frames from a TableStore
+    serving index (queries/serving.docs_hybrid_rrf_served), so the two
+    can never drift. The query doc's term set is read off the postings
+    (doc 0's posting rows ARE its distinct terms)."""
+    qt = td.where(F.col("doc_id") == 0).select("term")
     qn = qt.count()  # bounded: one doc's vocabulary
     # increasing-df query-term order; keep cheap terms + the R rarest
     w_df = Window.orderBy(F.col("df").asc(), F.col("term").asc())
@@ -1587,7 +1603,6 @@ def docs_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex_top.withColumn("r_lex", F.row_number().over(w_lex)).select(
         "doc_id", "r_lex"
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == 0).select(
         _as_double("embedding").alias("qv")
     )

@@ -75,7 +75,10 @@ def test_demoted_time_calc_twins_share_operator_with_prefix():
     reg = load_all_queries()
     prefix = set(list(reg)[:50])
     assert "ytd_running_revenue" in prefix
-    assert "status_calc_order_amounts" in prefix  # what yoy made room for
+    # status_calc_order_amounts (what yoy made room for in round 4)
+    # was itself demoted in round 8: A9 filtered aggregates stay
+    # prefix-checked via conditional_status_aggregates.
+    assert "conditional_status_aggregates" in prefix
     assert "docs_simhash_neardup" in prefix  # what rolling_12m made room for
     for demoted in (
         "qtd_running_revenue",
@@ -112,12 +115,12 @@ def test_round5_rotation():
     their operators stay prefix-covered by siblings."""
     reg = load_all_queries()
     prefix = set(list(reg)[:50])
-    for promoted in (
-        "docs_clean_corpus",
-        "scd2_customer_history",
-        "embeddings_ivf_search",
-    ):
-        assert promoted in prefix, promoted
+    # docs_clean_corpus and embeddings_ivf_search (round-5 promotions)
+    # were themselves demoted in round 8 — their gates stay
+    # prefix-checked via docs_quality_score/docs_langid_stopwords and
+    # embeddings_semantic_dedup/embeddings_pq_adc_knn respectively;
+    # see test_round8_flagship_rotation.
+    assert "scd2_customer_history" in prefix
     for demoted in (
         "docs_token_stats",
         "docs_fingerprint",
@@ -128,8 +131,8 @@ def test_round5_rotation():
     assert "docs_quality_score" in prefix  # token/length stats
     assert "docs_jaccard_pairs" in prefix  # shingle machinery
     # vector-norm/cosine algebra (knn_bruteforce was itself demoted by
-    # the second round-5 swap below; ivf_search + pq keep it covered)
-    assert "embeddings_ivf_search" in prefix
+    # the second round-5 swap; pq_adc + semantic_dedup keep it covered)
+    assert "embeddings_pq_adc_knn" in prefix
 
 
 def test_round5_flagship_swaps():
@@ -222,7 +225,10 @@ def test_round7_flagship_rotation():
         "orders_value_psi_periods",
         "events_daily_modified_zscore",
         "docs_dedup_cascade",
-        "docs_hybrid_rrf_search",
+        # docs_hybrid_rrf_search's round-7 row passed to its served
+        # twin in round 8 — pytest pins indexed == scan top-10, so
+        # the fusion semantics keep a driver row.
+        "docs_hybrid_rrf_indexed",
     ):
         assert promoted in prefix, promoted
     for covering in (
@@ -294,7 +300,70 @@ def test_round5_continuation_swap():
     reg = load_all_queries()
     names = list(reg)
     prefix = set(names[:50])
-    assert "docs_split_leakage" in prefix
-    assert "embeddings_ivf_search" in prefix
+    # docs_split_leakage and embeddings_ivf_search were demoted in
+    # round 8 (see test_round8_flagship_rotation); the assignment
+    # argmax stays prefix-checked via embeddings_semantic_dedup and
+    # embeddings_semdedup_recall, which recompute it inline.
+    assert "embeddings_semantic_dedup" in prefix
+    assert "embeddings_semdedup_recall" in prefix
     assert "embeddings_ivf_assign" in names[50:]
     assert reg["embeddings_ivf_assign"].oracle is not None
+
+
+def test_round8_flagship_rotation():
+    """Round-8 curation (VERDICT r7 item 1): five round-7 flagships
+    the driver has never hash-checked gain driver rows — the served
+    (indexed) RRF, the windowed conversion funnel, the SemDeDup
+    recall gate, Kaplan-Meier survival, and RFM quintile
+    segmentation. The five demoted twins stay registered with
+    oracles, and their operators stay prefix-covered:
+
+    * docs_hybrid_rrf_search -> tail: RRF fusion stays prefix-checked
+      via docs_hybrid_rrf_indexed (pytest pins indexed == scan
+      top-10; same fused output, served candidate generation).
+    * status_calc_order_amounts -> tail: A9 filtered aggregates stay
+      prefix-checked via conditional_status_aggregates.
+    * docs_clean_corpus -> tail: its gates stay prefix-checked
+      standalone (docs_quality_score, docs_langid_stopwords).
+    * docs_split_leakage -> tail: SimHash pair machinery stays
+      prefix-checked via docs_simhash_neardup; the hash split stays
+      oracle-checked locally via docs_hash_split.
+    * embeddings_ivf_search -> tail: centroid-assign argmax stays
+      prefix-checked via embeddings_semantic_dedup (and the recall
+      gate recomputes it); top-k cosine via embeddings_pq_adc_knn.
+
+    events_conversion_logrank stays tail by design: it shares
+    _conversion_lifetimes verbatim with the promoted KM row, so the
+    study design is prefix-covered while its E/V arithmetic stays
+    locally oracle-checked. events_attribution_markov and
+    docs_textrank_keywords stay tail (locally oracle-checked
+    tri-scale): no remaining prefix row has a tail-safe twin to
+    displace without losing an operator's prefix coverage."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "docs_hybrid_rrf_indexed",
+        "events_funnel_windowed",
+        "embeddings_semdedup_recall",
+        "events_user_survival_km",
+        "events_user_rfm_segments",
+    ):
+        assert promoted in prefix, promoted
+    for covering in (
+        "conditional_status_aggregates",
+        "docs_quality_score",
+        "docs_langid_stopwords",
+        "docs_simhash_neardup",
+        "embeddings_semantic_dedup",
+        "embeddings_pq_adc_knn",
+    ):
+        assert covering in prefix, covering
+    for demoted in (
+        "docs_hybrid_rrf_search",
+        "status_calc_order_amounts",
+        "docs_clean_corpus",
+        "docs_split_leakage",
+        "embeddings_ivf_search",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted

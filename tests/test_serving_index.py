@@ -1,0 +1,165 @@
+"""Materialized serving indexes (operators/serving_index.py):
+incremental maintenance, exactly-once visibility under at-least-once
+delivery, torn-apply invisibility + vacuum, and consumer parity with
+the in-plan twins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.operators.serving_index import (
+    LEX_COMMITS,
+    LEX_POSTINGS,
+    LSH_PAIRS,
+    apply_lexical_batch,
+    apply_lsh_batch,
+    lexical_postings,
+    read_lexical_index,
+    read_lsh_pairs,
+    vacuum_uncommitted,
+)
+from fabric_claims_spark.sources.merge import TableStore
+from fabric_claims_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_lexical_incremental_equals_oneshot(spark, docs, tmp_path):
+    """Three disjoint increments must leave exactly the one-shot
+    index: df rollup, postings, and doc lengths all equal."""
+    store = TableStore(spark, str(tmp_path / "lex"))
+    for b in range(3):
+        apply_lexical_batch(
+            store, docs.where(F.pmod("doc_id", F.lit(3)) == b), b
+        )
+    td, dfc, dn = read_lexical_index(store)
+    oneshot = lexical_postings(docs)
+    assert {tuple(r) for r in td.collect()} == {
+        tuple(r) for r in oneshot.collect()
+    }
+    want_df = {
+        (r["term"], r["df"])
+        for r in oneshot.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    assert {(r["term"], r["df"]) for r in dfc.collect()} == want_df
+    want_dn = {
+        (r["doc_id"], r["n"])
+        for r in oneshot.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["doc_id"], r["n"]) for r in dn.collect()} == want_dn
+
+
+def test_lexical_redelivery_is_noop(spark, docs, tmp_path):
+    """At-least-once: re-applying a committed batch_id must change
+    nothing — postings must not duplicate, df must not double."""
+    store = TableStore(spark, str(tmp_path / "lex"))
+    batch = docs.where(F.pmod("doc_id", F.lit(3)) == 0)
+    apply_lexical_batch(store, batch, 0)
+    td1, dfc1, dn1 = read_lexical_index(store)
+    snap = (
+        td1.count(),
+        sorted(tuple(r) for r in dfc1.collect()),
+        dn1.count(),
+    )
+    apply_lexical_batch(store, batch, 0)  # redelivery
+    td2, dfc2, dn2 = read_lexical_index(store)
+    assert (
+        td2.count(),
+        sorted(tuple(r) for r in dfc2.collect()),
+        dn2.count(),
+    ) == snap
+
+
+def test_torn_apply_is_invisible_and_vacuumable(spark, docs, tmp_path):
+    """A crash between append and commit leaves orphan token rows:
+    readers must not see them, and vacuum_uncommitted reclaims them."""
+    store = TableStore(spark, str(tmp_path / "lex"))
+    apply_lexical_batch(store, docs.where(F.col("doc_id") < 20), 0)
+    td_before = read_lexical_index(store)[0].count()
+    # simulate the torn half-apply: token-stamped rows, never committed
+    orphan = (
+        lexical_postings(docs.where(F.col("doc_id") >= 20))
+        .withColumn("_token", F.lit("dead-attempt"))
+    )
+    orphan_n = orphan.count()
+    assert orphan_n > 0
+    store.append(LEX_POSTINGS, orphan)
+    assert read_lexical_index(store)[0].count() == td_before  # invisible
+    removed = vacuum_uncommitted(store, LEX_POSTINGS, LEX_COMMITS)
+    assert removed == orphan_n
+    assert read_lexical_index(store)[0].count() == td_before
+    # vacuum is idempotent
+    assert vacuum_uncommitted(store, LEX_POSTINGS, LEX_COMMITS) == 0
+
+
+def test_lsh_single_increment_matches_oneshot_pairs(spark, docs, tmp_path):
+    """One increment covering the whole corpus == the one-shot
+    minhash_near_dups pair set (same threshold/cap/hasher) — the
+    parity the served cluster consumer rests on."""
+    from fabric_claims_spark.extensions.dedup import minhash_near_dups
+
+    store = TableStore(spark, str(tmp_path / "lsh"))
+    apply_lsh_batch(store, docs, 0, threshold=0.5, hasher="md5")
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in read_lsh_pairs(store).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.5, hasher="md5"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lsh_incremental_covers_all_pair_origins(spark, docs, tmp_path):
+    """Corpus + batch increments: the store must contain
+    corpus-internal, batch-internal, AND cross pairs — and redelivery
+    of the batch increment must not duplicate any of them."""
+    store = TableStore(spark, str(tmp_path / "lsh"))
+    corpus = docs.where(F.pmod("doc_id", F.lit(5)) != 0)
+    batch = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+    apply_lsh_batch(store, corpus, 0, threshold=0.5, hasher="md5")
+    n_corpus = read_lsh_pairs(store).count()
+    apply_lsh_batch(store, batch, 1, threshold=0.5, hasher="md5")
+    pairs = read_lsh_pairs(store)
+    n_all = pairs.count()
+    assert n_all > n_corpus  # the batch contributed pairs
+    # no duplicate unordered pairs across increments
+    assert pairs.select("doc_a", "doc_b").distinct().count() == n_all
+    # a cross pair exists: one endpoint in batch (pmod 0), one not
+    cross = pairs.where(
+        (F.pmod("doc_a", F.lit(5)) == 0) != (F.pmod("doc_b", F.lit(5)) == 0)
+    ).count()
+    assert cross > 0
+    apply_lsh_batch(store, batch, 1, threshold=0.5, hasher="md5")
+    assert read_lsh_pairs(store).count() == n_all  # redelivery no-op
+
+
+def test_served_rrf_equals_inplan(spark, tmp_path):
+    """The served consumer (index frames read from the store) must
+    fuse the identical top-10 the in-plan twin fuses."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    inplan = reg["docs_hybrid_rrf_indexed"].fn(spark, SF).collect()
+    served = reg["docs_hybrid_rrf_served"].fn(spark, SF).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inplan]
+
+
+def test_served_clusters_equal_inplan(spark):
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    inplan = reg["docs_dup_clusters"].fn(spark, SF).collect()
+    served = reg["docs_dup_clusters_served"].fn(spark, SF).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inplan]
