@@ -2181,7 +2181,7 @@ _FUNNEL_WINDOW_H = 24
     oracle=f"""
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t FROM events
-      WHERE event_type = 'signup' GROUP BY 1),
+      WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1),
     s2 AS (
       SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
       WHERE e.event_type = 'view' AND e.ts > s1.t
@@ -2213,68 +2213,16 @@ _FUNNEL_WINDOW_H = 24
     """,
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # the funnel arithmetic lives in operators/funnel.windowed_funnel,
+    # shared verbatim with the streaming twin
+    # (streaming/events_stream.funnel_monitor_stream): the stream
+    # folds the deduped (user_id, event_type, ts) funnel-event rows
+    # through the idempotent rollup and feeds them to this exact chain
+    # of min-aggregate joins
+    from fabric_claims_spark.operators.funnel import windowed_funnel
 
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
-    window_s = _FUNNEL_WINDOW_H * 3600
-    # each step frame is consumed TWICE (the next step's join and its
-    # own count row) — localCheckpoint materializes it once, so the
-    # events scan runs once per step instead of O(steps^2) times and
-    # step k's work really is bounded by step k-1's survivors. The
-    # frames are tiny: one (user_id, t) row per surviving user.
-    prev = (
-        e.where(F.col("event_type") == _FUNNEL_STEPS[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-        .localCheckpoint(eager=True)
-    )
-    frames = [prev]
-    for step_type in _FUNNEL_STEPS[1:]:
-        nxt = (
-            e.join(prev, "user_id")
-            .where(
-                (F.col("event_type") == step_type)
-                & (F.col("ts") > F.col("t"))
-                & (
-                    F.col("ts")
-                    <= F.col("t") + F.expr(f"INTERVAL {window_s} SECOND")
-                )
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=True)
-        )
-        frames.append(nxt)
-        prev = nxt
-    counts = None
-    for i, (name, fr) in enumerate(zip(_FUNNEL_STEPS, frames), start=1):
-        row = fr.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(i).cast("long").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.col("users").cast("long"),
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    w = Window.orderBy("step")
-    return (
-        counts.select(
-            "step",
-            "step_name",
-            "users",
-            F.round(
-                F.col("users").cast("double")
-                / F.nullif(F.lag("users").over(w), F.lit(0)),
-                6,
-            ).alias("conv_from_prev"),
-            F.round(
-                F.col("users").cast("double")
-                / F.nullif(F.first("users").over(w), F.lit(0)),
-                6,
-            ).alias("conv_from_start"),
-        )
-        .orderBy("step")
-    )
+    e = load_table(spark, sf_dir, "events")
+    return windowed_funnel(e, _FUNNEL_STEPS, _FUNNEL_WINDOW_H)
 
 
 # --------------------------------------------------------------------------

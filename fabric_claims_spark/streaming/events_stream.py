@@ -1298,3 +1298,72 @@ def zscore_monitor_stream(
         "event_type", "day", F.col("n").alias("cnt")
     )
     return modified_zscore_from_counts(d)
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+FUNNEL_WINDOW_H = 24
+
+
+def funnel_monitor_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "funnel_monitor",
+    steps: list[str] | None = None,
+    window_h: int = FUNNEL_WINDOW_H,
+) -> DataFrame:
+    """Streaming windowed-conversion funnel — the per-step conversion
+    window (queries/behavior.events_funnel_windowed) continuously
+    maintained. Per micro-batch, the DEDUPED funnel-event rows
+    (user_id, event_type, ts — only funnel step types, NULL ts
+    dropped) fold through the idempotent additive rollup
+    (at-least-once redelivery is a no-op); each read feeds the folded
+    key set to the SAME chained min-aggregate core the batch query
+    uses (operators/funnel.windowed_funnel — shared verbatim, so
+    stream==batch is structural).
+
+    Why the state is the deduped event set and not per-step anchors:
+    a LATE step-1 event can LOWER a user's anchor, which re-opens or
+    closes every downstream window — first-match funnels are not
+    incrementally summarizable beyond the event set itself (the same
+    reason the z-score twin folds counts and recomputes medians at
+    read time). The rollup is bounded by DISTINCT (user, step-type,
+    ts) rows — the funnel-relevant slice of the corpus, with
+    duplicate deliveries collapsing into the count column the funnel
+    never reads. The read-time funnel costs rollup-sized work; the
+    EVENTS SCAN is strictly incremental.
+    """
+    from fabric_claims_spark.operators.funnel import windowed_funnel
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    steps = steps or FUNNEL_STEPS
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+
+    stream = (
+        _read_events_stream(spark, events_dir)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isin(steps))
+        .select("user_id", "event_type", "ts")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store, query_name, batch_df, batch_id,
+            keys=["user_id", "event_type", "ts"],
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    e = store.read(query_name).select("user_id", "event_type", "ts")
+    return windowed_funnel(e, steps, window_h)

@@ -699,6 +699,73 @@ def test_psi_monitor_stream_matches_batch_and_detects_shift(
     assert out3[0]["verdict"] in ("moderate_shift", "shifted")
 
 
+def test_funnel_monitor_stream_matches_batch(spark, events_dir, tmp_path):
+    """Streaming windowed funnel: after one availableNow pass over the
+    seeded events, the stream's output must equal the batch query
+    row-for-row (the chained min-aggregate core is shared, so equality
+    proves the folded event set is right); a torn commit must not
+    change the funnel; and a late EARLIER step-1 event must move the
+    anchor — the semantics that force the state to be the deduped
+    event set rather than per-step anchors."""
+    from fabric_claims_spark.streaming.events_stream import (
+        funnel_monitor_stream,
+    )
+
+    ckpt = str(tmp_path / "ckpt_funnel")
+    out = funnel_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_funnel"
+    )
+    batch = load_all_queries()["events_funnel_windowed"].fn(spark, SF)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+    # torn commit: redelivery of the same batch_id must be a no-op
+    _tear_last_commit(ckpt)
+    out2 = funnel_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_funnel"
+    )
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+    # late anchor-mover: for every user, drop in a signup BEFORE their
+    # current first signup with no conversion window behind it — step-1
+    # count is unchanged (same users) but steps 2+ can only shrink,
+    # and on this fixture they must strictly shrink (the old anchors
+    # had conversions inside the window; the new ones sit 30 days
+    # earlier, outside every window)
+    import glob
+    import shutil as _sh
+
+    e = spark.read.parquet(str(events_dir / "batch1.parquet"))
+    build = str(tmp_path / "late_build")
+    (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+        .select(
+            F.monotonically_increasing_id().alias("event_id"),
+            "user_id",
+            F.lit("signup").alias("event_type"),
+            (F.col("ts") - F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .coalesce(1)
+        .write.parquet(build)
+    )
+    part = glob.glob(f"{build}/part-*.parquet")[0]
+    _sh.copy(part, events_dir / "batch2_late.parquet")
+    out3 = funnel_monitor_stream(
+        spark, str(events_dir), ckpt, query_name="t_funnel"
+    )
+    got3 = {r["step_name"]: r["users"] for r in out3.collect()}
+    base = {r["step_name"]: r["users"] for r in batch.collect()}
+    assert got3["signup"] == base["signup"]
+    assert got3["view"] < base["view"]
+
+
 def test_zscore_stream_batch_parity_on_null_ts(spark, tmp_path):
     """NULL-ts policy parity: the stream filters ts IS NULL at the
     source, so the batch query must apply the same policy — on data
