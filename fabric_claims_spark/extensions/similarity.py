@@ -242,27 +242,48 @@ def kmeans_assignments(
     )
 
 
+def _dist_struct(cid: int, cv: list[float]) -> Column:
+    """(squared-distance, cid) struct vs one literal centroid — struct
+    ordering is (d, cid), so min/sort tie-break on the smaller id."""
+    ca = F.array(*[F.lit(x) for x in cv])
+    d = (
+        dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * dot(F.col("v"), ca)
+        + dot(ca, ca)
+    )
+    return F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid"))
+
+
 def _lloyd_assign(
     ev: DataFrame, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """Zero-shuffle argmin assignment: array_min over k literal
     (dist, cid) structs. ``ev`` must expose (vec_id, v: array<double>)."""
-
-    def dist_struct(cid: int, cv: list[float]):
-        ca = F.array(*[F.lit(x) for x in cv])
-        d = (
-            dot(F.col("v"), F.col("v"))
-            - F.lit(2.0) * dot(F.col("v"), ca)
-            + dot(ca, ca)
-        )
-        return F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid"))
-
-    m = F.array_min(F.array(*[dist_struct(cid, cv) for cid, cv in cents]))
+    m = F.array_min(F.array(*[_dist_struct(cid, cv) for cid, cv in cents]))
     return ev.select(
         "vec_id",
         F.col("v"),
         m.getField("cid").alias("cluster"),
         m.getField("d").alias("d"),
+    )
+
+
+def _lloyd_assign_probes(
+    ev: DataFrame, cents: list[tuple[int, list[float]]], probes: int = 2
+) -> DataFrame:
+    """Zero-shuffle top-``probes`` assignment (SemDeDup boundary
+    multi-probe): array_sort over the k literal (dist, cid) structs,
+    sliced to the ``probes`` nearest. Same row-local expression tree
+    as ``_lloyd_assign`` — element 0 IS the argmin assignment, so the
+    primary cluster is bit-identical to the single-probe path.
+    Returns (vec_id, v, cluster, probes: array<long>)."""
+    arr = F.array_sort(F.array(*[_dist_struct(cid, cv) for cid, cv in cents]))
+    top = F.slice(arr, 1, probes)
+    return ev.select(
+        "vec_id",
+        F.col("v"),
+        top[0].getField("cid").alias("cluster"),
+        F.transform(top, lambda s: s.getField("cid")).alias("probes"),
     )
 
 

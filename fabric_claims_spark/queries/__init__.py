@@ -520,6 +520,12 @@ GATE_PRIORITY: list[str] = [
     "docs_hybrid_rrf_served",
     "docs_lsh_index_maintenance",
     "docs_dup_clusters_served",
+    # round-8: SemDeDup boundary multi-probe (VERDICT r7 item 4) —
+    # top-2 centroid assignment for the pair pass lifts pair recall
+    # past the single-probe Voronoi-boundary ceiling; the recall eval
+    # twin measures it over the same fixed cohort
+    "embeddings_semantic_dedup_mp",
+    "embeddings_semdedup_recall_mp",
 ]
 
 

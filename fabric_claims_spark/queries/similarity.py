@@ -1282,6 +1282,213 @@ def embeddings_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SemDeDup boundary multi-probe (VERDICT r7 item 4). Single-probe
+# SemDeDup misses every duplicate pair the Voronoi boundary splits —
+# measured pair recall 0.27–0.34 (SCALING.md §round-7). The standard
+# IVF fix applies to the PAIR PASS too: assign each vector to its
+# TOP-2 nearest trained centroids and make a pair visible when the
+# probe sets intersect. Cost stays within-cluster bounded: each
+# vector sits in exactly 2 probe lists, so the pair space is at most
+# Σ C(2·|cluster|, 2) ≈ 4× the single-probe space — still a k-th of
+# all-pairs, never a corpus blow-up. The PRIMARY assignment (probe
+# rank 1) is the bit-identical argmin of the single-probe path, so
+# the output clustering column is unchanged; only the drop rule sees
+# more pairs. Structural guarantee (pytest): every single-probe-
+# visible pair is multi-probe-visible (probe 1 = the primary), so
+# survivors_mp ⊆ survivors_sp.
+_SEMDEDUP_PROBES = 2
+
+
+def _ranked_assign_cte(iters: int = _KM_ITERS) -> str:
+    """The per-vector (dist, cid)-ranked assignment over the trained
+    centroids — rn = 1 is the classic argmin, rn <= p the probe set."""
+    return f"""ranked AS (
+      SELECT vec_id, v, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM (SELECT e.vec_id, e.v, c.cid, {_KM_DIST} AS dist
+            FROM ev e CROSS JOIN cent{iters} c))"""
+
+
+@query(
+    "embeddings_semantic_dedup_mp",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    {_ranked_assign_cte()},
+    asgf AS (SELECT vec_id, v, cid AS cluster FROM ranked WHERE rn = 1),
+    asgp AS (SELECT vec_id, v, cid FROM ranked
+             WHERE rn <= {_SEMDEDUP_PROBES}),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asgp a
+      JOIN asgp b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6)
+            >= {_SEMDEDUP_THRESH})
+    SELECT s.vec_id, s.cluster
+    FROM asgf s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY s.vec_id
+    """,
+)
+def embeddings_semantic_dedup_mp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign_probes,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    pr = _lloyd_assign_probes(ev, cents, probes=_SEMDEDUP_PROBES)
+    withn = pr.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # one row per (vector, probed cluster) — the equi-join key; a pair
+    # sharing both probes joins twice, the DISTINCT collapses it
+    probe_rows = withn.select(
+        "vec_id",
+        F.explode("probes").alias("pc"),
+        F.col("v"),
+        F.col("nrm"),
+    )
+    a = probe_rows.select(
+        F.col("pc").alias("pc_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("ev_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = probe_rows.select(
+        F.col("pc").alias("pc_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("ev_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pair_cos = _dot(F.col("ev_a"), F.col("ev_b")) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    dropped = (
+        a.join(b, (a["pc_a"] == b["pc_b"]) & (a["id_a"] < b["id_b"]))
+        .where(F.round(pair_cos, 6) >= F.lit(float(_SEMDEDUP_THRESH)))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        pr.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "embeddings_semdedup_recall_mp",
+    oracle=f"""
+    WITH {_kmeans_ctes()},
+    {_ranked_assign_cte()},
+    asgp AS (SELECT vec_id, cid FROM ranked
+             WHERE rn <= {_SEMDEDUP_PROBES}
+               AND vec_id < {_RECALL_COHORT}),
+    shared AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM asgp x JOIN asgp y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < {_RECALL_COHORT} AND b.vec_id < {_RECALL_COHORT}
+        AND ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6)
+            >= {_SEMDEDUP_THRESH})
+    SELECT CAST({_KM_K} AS BIGINT) AS clusters,
+           CAST({_SEMDEDUP_PROBES} AS BIGINT) AS probes,
+           CAST({_SEMDEDUP_THRESH} AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS true_pairs,
+           CAST(SUM(CASE WHEN s.va IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hit_pairs,
+           ROUND(CAST(SUM(CASE WHEN s.va IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pair_recall
+    FROM p LEFT JOIN shared s ON s.va = p.va AND s.vb = p.vb
+    """,
+)
+def embeddings_semdedup_recall_mp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair recall of the multi-probe visibility rule over the same
+    fixed eval cohort as embeddings_semdedup_recall: of the pairs
+    whose exact cosine clears the threshold, what fraction shares AT
+    LEAST ONE of the two probed clusters? Same constant-cost
+    block-pair equi-join scan; the hit test is arrays_overlap on the
+    two 2-element probe sets carried per vector."""
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign_probes,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    withn = _lloyd_assign_probes(
+        ev, cents, probes=_SEMDEDUP_PROBES
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cohort = withn.where(F.col("vec_id") < _RECALL_COHORT)
+    n_blocks = 16
+    a = cohort.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("probes").alias("pr_a"),
+        F.col("v").alias("ev_a"),
+        F.col("nrm").alias("n_a"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("pa"),
+    )
+    b = cohort.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("probes").alias("pr_b"),
+        F.col("v").alias("ev_b"),
+        F.col("nrm").alias("n_b"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("pb"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "pa int, pb int",
+    )
+    rep = a.join(
+        F.broadcast(block_pairs.withColumn("pa", F.col("pa").cast("bigint"))),
+        "pa",
+    )
+    pairs = rep.join(F.broadcast(b), "pb").where(
+        (F.col("pa") != F.col("pb")) | (F.col("id_a") < F.col("id_b"))
+    )
+    pair_cos = F.round(
+        _dot(F.col("ev_a"), F.col("ev_b")) / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
+    scored = pairs.select(
+        pair_cos.alias("cs"),
+        F.arrays_overlap(F.col("pr_a"), F.col("pr_b")).alias("probe_hit"),
+    )
+    above = F.col("cs") >= F.lit(float(_SEMDEDUP_THRESH))
+    return (
+        scored.agg(
+            F.sum(F.when(above, 1).otherwise(0))
+            .cast("bigint")
+            .alias("true_pairs"),
+            F.sum(F.when(above & F.col("probe_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hit_pairs"),
+        )
+        .select(
+            F.lit(_KM_K).cast("bigint").alias("clusters"),
+            F.lit(_SEMDEDUP_PROBES).cast("bigint").alias("probes"),
+            F.lit(float(_SEMDEDUP_THRESH)).alias("threshold"),
+            "true_pairs",
+            "hit_pairs",
+            F.round(
+                F.col("hit_pairs").cast("double") / F.col("true_pairs"), 6
+            ).alias("pair_recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Hybrid retrieval via Reciprocal Rank Fusion [Cormack, Clarke &
 # Buettcher, SIGIR 2009] — the standard way to combine a lexical and
 # a semantic ranking without score calibration: each list contributes
