@@ -232,8 +232,14 @@ def textrank(spark) -> None:
     from fabric_claims_spark.extensions.graph import pagerank
 
     print("\n### TextRank hub stress (Zipfian corpus)\n")
-    docs = _zipf_corpus(spark, n_docs=20_000, doc_len=80, vocab=30_000)
-    docs = docs.localCheckpoint()
+    # parquet round-trips, not localCheckpoint: _clear() sweeps the
+    # persistent-RDD registry between timed runs, which would destroy
+    # checkpoint blocks and fail the next read
+    work = tempfile.mkdtemp(prefix="tr8_")
+    _zipf_corpus(spark, n_docs=20_000, doc_len=80, vocab=30_000).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/docs.parquet")
+    docs = spark.read.parquet(f"{work}/docs.parquet")
 
     toks = docs.select(
         "doc_id",
@@ -251,9 +257,10 @@ def textrank(spark) -> None:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = upper.unionByName(
+    upper.unionByName(
         upper.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).localCheckpoint()
+    ).write.mode("overwrite").parquet(f"{work}/edges.parquet")
+    edges = spark.read.parquet(f"{work}/edges.parquet")
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     stats = deg.agg(
@@ -292,6 +299,7 @@ def textrank(spark) -> None:
     }
     assert a == b, "hot-key split changed results"
     print(f"\nresults identical over {len(a)} nodes")
+    shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> int:
