@@ -526,6 +526,15 @@ GATE_PRIORITY: list[str] = [
     # twin measures it over the same fixed cohort
     "embeddings_semantic_dedup_mp",
     "embeddings_semdedup_recall_mp",
+    # round-8: DSIR importance weights (hashed-ngram log-likelihood
+    # ratio vs a curated target slice, Xie et al. 2023) — the
+    # data-selection scorer between quality filtering and sampling
+    "docs_dsir_weights",
+    # round-8: MinHash-LSH quality gate — end-to-end recall vs exact
+    # shingle-Jaccard ground truth over a fixed cohort (the docs-side
+    # twin of the SemDeDup recall gates; banding misses and estimator
+    # misses reported separately)
+    "docs_minhash_recall",
 ]
 
 

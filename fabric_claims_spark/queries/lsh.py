@@ -1028,3 +1028,195 @@ def docs_cluster_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH QUALITY gate — the docs-side twin of
+# embeddings_semdedup_recall(_mp): the near-dup hashes prove the
+# banded pipeline is deterministic, not that it FINDS the true
+# near-dup pairs. This eval measures end-to-end recall against exact
+# shingle-set Jaccard ground truth over a fixed cohort
+# (doc_id < _MH_RECALL_COHORT — constant-cost at any corpus size; the
+# exact pair scan is an eval-harness computation, never a production
+# path). Two recall columns separate the two loss mechanisms:
+#   recall_band — true pairs surviving band-bucket candidate
+#                 generation (banding misses: 1-(1-s^r)^b theory,
+#                 r=4 rows × b=16 bands here);
+#   recall_e2e  — true pairs ALSO clearing the 64-slot signature
+#                 estimate >= threshold (estimator variance adds
+#                 misses near the threshold; ~zero at high sim).
+# recall_hi pins the guarantee that matters for dedup: pairs at
+# jaccard >= 0.8 must essentially all survive (theory: 0.9998).
+_MH_RECALL_COHORT = 512
+_MH_RECALL_HI = 0.8
+
+
+@query(
+    "docs_minhash_recall",
+    oracle=f"""
+    WITH co AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < {_MH_RECALL_COHORT} AND length(trim(text)) > 0),
+    {_neardup_ctes(64, "co")},
+    ds AS (SELECT DISTINCT doc, shingle FROM sh),
+    sz AS (SELECT doc, COUNT(*) AS n FROM ds GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jac
+      FROM inter i
+      JOIN sz sa ON sa.doc = i.doc_a
+      JOIN sz sb ON sb.doc = i.doc_b
+      WHERE ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.5),
+    e2e AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5)
+    SELECT CAST(0.5 AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS true_pairs,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_hits,
+           CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS e2e_hits,
+           ROUND(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_band,
+           ROUND(CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_e2e,
+           CAST(SUM(CASE WHEN t.jac >= {_MH_RECALL_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_true,
+           CAST(SUM(CASE WHEN t.jac >= {_MH_RECALL_HI}
+                          AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_e2e,
+           ROUND(CAST(SUM(CASE WHEN t.jac >= {_MH_RECALL_HI}
+                               AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t.jac >= {_MH_RECALL_HI}
+                              THEN 1 ELSE 0 END), 0), 6) AS recall_hi
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    LEFT JOIN e2e e ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b
+    """,
+)
+def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.caching import tracked_cache
+    from fabric_claims_spark.extensions.dedup import (
+        _band_key_cols,
+        _minhash_mins,
+        _shingle_frame,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < _MH_RECALL_COHORT)
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    # shingles feed BOTH the signature pipeline under test and the
+    # exact ground truth — cache so the corpus scans once
+    sh = tracked_cache(_shingle_frame(docs, "doc_id", "text", _K, "char"))
+    mins = tracked_cache(_minhash_mins(sh, _NUM_HASHES, "md5"))
+
+    # the production candidate pipeline, verbatim shape
+    # (minhash_near_dups internals: capped banding, wide-layout est)
+    rows = _NUM_HASHES // _BANDS
+    banded = mins.select(
+        "doc",
+        F.posexplode(F.array(*_band_key_cols(rows, _BANDS, "md5"))).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    w_bucket = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        banded.withColumn("_bs", F.count(F.lit(1)).over(w_bucket))
+        .where(F.col("_bs") <= 64)
+        .drop("_bs")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    ma = mins.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_NUM_HASHES)],
+    )
+    mb = mins.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_NUM_HASHES)],
+    )
+    eq_sum = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int")
+        for i in range(_NUM_HASHES)
+    )
+    e2e = (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where((eq_sum.cast("double") / F.lit(_NUM_HASHES)) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+    # exact ground truth over the cohort (eval-harness cost, C(n,2)
+    # bounded by the fixed cohort — same justification as the
+    # semdedup recall cohort)
+    ds = sh.distinct()
+    sz = ds.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    ia = ds.select(F.col("doc").alias("doc_a"), "shingle")
+    ib = ds.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        ia.join(ib, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
+        6,
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+    flagged = (
+        truth.join(
+            cand.withColumn("_band", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .join(e2e.withColumn("_e2e", F.lit(1)), ["doc_a", "doc_b"], "left")
+    )
+    hi = F.col("jac") >= F.lit(_MH_RECALL_HI)
+    band_hit = F.col("_band").isNotNull()
+    e2e_hit = F.col("_e2e").isNotNull()
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_pairs"),
+        F.sum(F.when(band_hit, 1).otherwise(0)).cast("bigint").alias("band_hits"),
+        F.sum(F.when(e2e_hit, 1).otherwise(0)).cast("bigint").alias("e2e_hits"),
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("hi_true"),
+        F.sum(F.when(hi & e2e_hit, 1).otherwise(0)).cast("bigint").alias("hi_e2e"),
+    ).select(
+        F.lit(0.5).alias("threshold"),
+        "true_pairs",
+        "band_hits",
+        "e2e_hits",
+        F.round(
+            F.col("band_hits").cast("double") / F.col("true_pairs"), 6
+        ).alias("recall_band"),
+        F.round(
+            F.col("e2e_hits").cast("double") / F.col("true_pairs"), 6
+        ).alias("recall_e2e"),
+        "hi_true",
+        "hi_e2e",
+        F.round(
+            F.try_divide(
+                F.col("hi_e2e").cast("double"), F.nullif(F.col("hi_true").cast("double"), F.lit(0.0))
+            ),
+            6,
+        ).alias("recall_hi"),
+    )

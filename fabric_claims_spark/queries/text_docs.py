@@ -2399,3 +2399,120 @@ def docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("word"),
         F.col("pr").alias("textrank"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights [Xie et al., NeurIPS 2023, arXiv:2302.03169
+# "Data Selection for Language Models via Importance Resampling"]:
+# score every raw document by how much more likely its hashed-n-gram
+# feature counts are under a TARGET distribution (a curated slice —
+# here the designated high-quality sources, the paper's
+# Wikipedia+books stand-in) than under the RAW corpus distribution.
+# log w(doc) = Σ_b c_b(doc) · [ln p_target(b) − ln p_raw(b)] over B
+# hash buckets with add-one smoothing — the bag-of-hashed-ngrams
+# importance estimator the paper shows matches expert LMs for
+# selection. Resampling then keeps documents ∝ exp(log w) (or top-k,
+# the paper's hard variant) — the WEIGHT table is the operator here;
+# selection composes downstream (docs_hash_split-style).
+#
+# Scale shape: one explode → bucket projection (md5 fold, the
+# cross-engine hash), ONE corpus aggregate emitting B=64 rows (both
+# target and raw counts in one pass — target-ness is a per-row flag,
+# so there is no second scan), broadcast of the 64-row log-ratio
+# table back onto the per-doc bucket counts, one final groupBy
+# doc_id. Everything is corpus-linear; the only non-doc-bounded
+# state is B rows. Logs round to 6-dp micro-nats (int64) so the
+# per-doc sum is exact integer math until one final division — the
+# docs_bigram_logprob discipline.
+_DSIR_B = 64
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok),1,15))::BIGINT % {_DSIR_B} AS bucket
+      FROM toks),
+    corpus AS (
+      SELECT bucket,
+             COUNT(*) AS s_b,
+             SUM(CASE WHEN source IN {_DSIR_TARGET} THEN 1 ELSE 0 END) AS t_b
+      FROM b GROUP BY bucket),
+    tot AS (
+      SELECT SUM(s_b) AS s_tot, SUM(t_b) AS t_tot FROM corpus),
+    llr AS (
+      SELECT bucket,
+             CAST(ROUND(ROUND(ln(CAST(t_b + 1 AS DOUBLE)
+                                 / (t_tot + {_DSIR_B})), 6) * 1000000, 0)
+                  AS BIGINT)
+             - CAST(ROUND(ROUND(ln(CAST(s_b + 1 AS DOUBLE)
+                                   / (s_tot + {_DSIR_B})), 6) * 1000000, 0)
+                    AS BIGINT) AS micro_llr
+      FROM corpus CROSS JOIN tot),
+    dc AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY doc_id, bucket)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c) AS BIGINT) AS n_toks,
+           CAST(SUM(dc.c * llr.micro_llr) AS DOUBLE) / 1000000.0
+             AS log_weight
+    FROM dc JOIN llr ON llr.bucket = dc.bucket
+    GROUP BY dc.doc_id
+    ORDER BY dc.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    b = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("tok")) % _DSIR_B).alias("bucket"),
+    )
+    b = tracked_cache(b)  # feeds the corpus rollup AND the doc counts
+    corpus = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("s_b"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
+        ).alias("t_b"),
+    )
+    tot = corpus.agg(
+        F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
+    )
+
+    def micro_ln(num, den):
+        return F.round(
+            F.round(F.log(num.cast("double") / den), 6) * 1_000_000, 0
+        ).cast("long")
+
+    llr = corpus.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            micro_ln(F.col("t_b") + 1, F.col("t_tot") + F.lit(_DSIR_B))
+            - micro_ln(F.col("s_b") + 1, F.col("s_tot") + F.lit(_DSIR_B))
+        ).alias("micro_llr"),
+    )
+    dc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            (
+                F.sum(F.col("c") * F.col("micro_llr")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

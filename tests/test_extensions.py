@@ -1274,3 +1274,112 @@ def test_holt_winters_short_series_dropped_and_alternating_tracked(spark):
         (r["step_index"], r["yhat"]) for r in out if r["is_forecast"]
     )
     assert fc == [(8, 1.0), (9, 3.0)]
+
+
+def test_minhash_recall_gate_on_fixture(spark, sf_dir):
+    """The registry gate (docs_minhash_recall): on the driver corpus
+    every true >= 0.5-Jaccard pair is ALSO a >= 0.8 pair, and the
+    banded pipeline must catch all of them (theory at s >= 0.8:
+    1-(1-s^4)^16 >= 0.9998) — any miss is a pipeline bug, not LSH
+    variance."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    row = load_all_queries()["docs_minhash_recall"].fn(spark, sf_dir).first()
+    assert row["true_pairs"] > 0
+    assert row["hi_true"] == row["true_pairs"]  # fixture fact
+    assert row["recall_band"] == 1.0
+    assert row["recall_e2e"] == 1.0
+    assert row["recall_hi"] == 1.0
+
+
+def test_minhash_band_recall_matches_theory_at_boundary(spark):
+    """The fixture never exercises the LSH S-curve's boundary region,
+    so this synthesizes it: 64 doc pairs at shingle-Jaccard ~0.55
+    (shared 300-char core + 119-char unique tails -> |∩|≈296,
+    |∪|≈534) and 20 pairs at ~0.9. Ground truth is computed in plain
+    Python sets (an engine-independent oracle). Banding theory:
+    P(candidate) = 1-(1-s^4)^16 per pair — ≈0.78 at the boundary,
+    ≈0.9998 at 0.9. The measured candidate recall (md5 hasher —
+    deterministic for fixed texts) must sit near the theoretical mean
+    for the boundary cohort and be EXACT for the high cohort."""
+    import random
+
+    from fabric_claims_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rnd = random.Random(8)
+
+    def rand_text(n):
+        return "".join(
+            rnd.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)
+        )
+
+    rows = []
+    for p in range(64):  # boundary cohort: ids 0..127
+        core = rand_text(300)
+        rows.append((2 * p, core + rand_text(119)))
+        rows.append((2 * p + 1, core + rand_text(119)))
+    for p in range(20):  # high cohort: ids 1000..1039
+        core = rand_text(300)
+        rows.append((1000 + 2 * p, core + rand_text(15)))
+        rows.append((1000 + 2 * p + 1, core + rand_text(15)))
+
+    def shingles(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    true_s = {}
+    for (ia, ta), (ib, tb) in zip(rows[::2], rows[1::2]):
+        sa, sb = shingles(ta), shingles(tb)
+        true_s[(ia, ib)] = len(sa & sb) / len(sa | sb)
+    # the construction actually produced the intended regimes
+    boundary = {k: s for k, s in true_s.items() if k[0] < 128}
+    high = {k: s for k, s in true_s.items() if k[0] >= 1000}
+    assert all(0.45 <= s <= 0.65 for s in boundary.values())
+    assert all(s >= 0.85 for s in high.values())
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", hasher="md5")
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, hasher="md5").collect()
+    }
+
+    def theory(s):
+        return 1.0 - (1.0 - s**4) ** 16
+
+    got_boundary = sum(1 for k in boundary if k in cand) / len(boundary)
+    want_boundary = sum(theory(s) for s in boundary.values()) / len(boundary)
+    assert abs(got_boundary - want_boundary) <= 0.18, (
+        got_boundary,
+        want_boundary,
+    )
+    # at s >= 0.85 a banding miss has probability < 4e-3 per pair;
+    # all 20 must be candidates
+    assert all(k in cand for k in high)
+
+
+def test_dsir_weights_rank_target_slice_higher(spark, sf_dir):
+    """DSIR sanity: documents drawn from the designated target
+    sources must average a higher per-token importance weight than
+    the rest — the estimator is literally 'how target-like are this
+    doc's hashed-ngram counts', so the target slice scoring at or
+    below the rest would mean the llr table is wired backwards.
+    (Measured: -0.0032 vs -0.0084 per token at sf0.001.)"""
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries.text_docs import _DSIR_TARGET
+    from fabric_claims_spark.sources.parquet import load_table
+
+    w = load_all_queries()["docs_dsir_weights"].fn(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_tok = (F.col("log_weight") / F.col("n_toks")).alias("pt")
+    rows = (
+        w.join(d, "doc_id")
+        .select(F.col("source").isin(*_DSIR_TARGET).alias("t"), per_tok)
+        .groupBy("t")
+        .agg(F.avg("pt").alias("m"))
+        .collect()
+    )
+    m = {r["t"]: r["m"] for r in rows}
+    assert m[True] > m[False], m
