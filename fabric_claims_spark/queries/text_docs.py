@@ -2424,8 +2424,10 @@ def docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state is B rows. Logs round to 6-dp micro-nats (int64) so the
 # per-doc sum is exact integer math until one final division — the
 # docs_bigram_logprob discipline.
-_DSIR_B = 64
-_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+from fabric_claims_spark.operators.dsir import (  # noqa: E402
+    DSIR_B as _DSIR_B,
+    DSIR_TARGET as _DSIR_TARGET,
+)
 
 
 @query(
@@ -2466,53 +2468,19 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
     """,
 )
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fabric_claims_spark.extensions.dedup import md5_long
-
-    d = load_table(spark, sf_dir, "documents").where(
-        F.length(F.trim(F.col("text"))) > 0
-    )
-    b = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.split(F.trim(F.col("text")), _WS)).alias("tok"),
-    ).select(
-        "doc_id",
-        "source",
-        (md5_long(F.col("tok")) % _DSIR_B).alias("bucket"),
-    )
-    b = tracked_cache(b)  # feeds the corpus rollup AND the doc counts
-    corpus = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("s_b"),
-        F.sum(
-            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
-        ).alias("t_b"),
-    )
-    tot = corpus.agg(
-        F.sum("s_b").alias("s_tot"), F.sum("t_b").alias("t_tot")
+    from fabric_claims_spark.operators.dsir import (
+        dsir_bucket_rows,
+        dsir_weights_from_bucket_counts,
     )
 
-    def micro_ln(num, den):
-        return F.round(
-            F.round(F.log(num.cast("double") / den), 6) * 1_000_000, 0
-        ).cast("long")
-
-    llr = corpus.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            micro_ln(F.col("t_b") + 1, F.col("t_tot") + F.lit(_DSIR_B))
-            - micro_ln(F.col("s_b") + 1, F.col("s_tot") + F.lit(_DSIR_B))
-        ).alias("micro_llr"),
+    d = load_table(spark, sf_dir, "documents")
+    # one explode -> one (doc, bucket, tgt) count aggregate; the
+    # corpus rollup and llr table derive from those counts, so the
+    # scan runs once with no cache. The scoring core is shared
+    # verbatim with streaming/corpus_stream.dsir_monitor_stream.
+    dc = (
+        dsir_bucket_rows(d, b=_DSIR_B, target_sources=_DSIR_TARGET)
+        .groupBy("doc_id", "bucket", "tgt")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    dc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        dc.join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_toks"),
-            (
-                F.sum(F.col("c") * F.col("micro_llr")).cast("double")
-                / F.lit(1_000_000.0)
-            ).alias("log_weight"),
-        )
-        .orderBy("doc_id")
-    )
+    return dsir_weights_from_bucket_counts(dc, b=_DSIR_B)

@@ -132,3 +132,66 @@ def corpus_ingest_stream(
     if not store.exists(table):
         raise ValueError("no batches processed")
     return store.read(table).drop(INGEST_BATCH_COL)
+
+
+def dsir_monitor_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dsir_monitor",
+) -> DataFrame:
+    """Streaming DSIR importance weights — the data-selection scorer
+    (queries/text_docs.docs_dsir_weights) continuously maintained
+    over an arriving corpus. Per micro-batch, the (doc_id, bucket,
+    tgt) token-occurrence counts fold through the idempotent additive
+    rollup (state = |docs| x B rows, never token-sized; at-least-once
+    redelivery is a no-op); each read feeds the folded counts to the
+    SAME scoring core the batch query uses
+    (operators/dsir.dsir_weights_from_bucket_counts — shared
+    verbatim, so stream==batch is structural).
+
+    Weights are deliberately NOT incremental: a new target document
+    shifts the llr table and with it EVERY document's weight — the
+    correct semantics for a relative-likelihood score — so reads
+    recompute the B-row llr and the weight join over the bounded
+    count table (fold counts, recompute statistics at read: the
+    z-score monitor discipline)."""
+    from fabric_claims_spark.operators.dsir import (
+        dsir_bucket_rows,
+        dsir_weights_from_bucket_counts,
+    )
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store,
+            query_name,
+            dsir_bucket_rows(batch_df),
+            batch_id,
+            keys=["doc_id", "bucket", "tgt"],
+            count_col="c",
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    dc = store.read(query_name).drop(APPLIED_BATCH_COL)
+    return dsir_weights_from_bucket_counts(dc)

@@ -109,3 +109,109 @@ def test_corpus_ingest_redelivery_skipped(spark, tmp_path):
     after = store.read("corpus")
     assert after.count() == before + 1
     assert after.where(F.col("doc_id") == 11).count() == 1
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tear_last_commit(ckpt: str) -> None:
+    """Delete the newest commits/<n> while keeping offsets/<n> — the
+    exact on-disk state of a crash between the foreachBatch sink and
+    the checkpoint commit; restart redelivers the same batch_id."""
+    import os
+
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    # the local-FS checksum sidecar must go too, or the redelivered
+    # batch's commit rename collides with the stale .crc
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_dsir_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming DSIR weights: after one availableNow pass over the
+    seeded corpus the stream's output equals the batch query
+    row-for-row (shared scoring core — equality proves the folded
+    counts are right); a torn commit must not double-fold."""
+    import shutil
+
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.streaming.corpus_stream import (
+        dsir_monitor_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", docs_dir / "batch1.parquet")
+
+    ckpt = str(tmp_path / "ckpt_dsir")
+    out = dsir_monitor_stream(spark, str(docs_dir), ckpt, query_name="t_d")
+    batch = load_all_queries()["docs_dsir_weights"].fn(spark, SF)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+    _tear_last_commit(ckpt)
+    out2 = dsir_monitor_stream(spark, str(docs_dir), ckpt, query_name="t_d")
+    assert [tuple(r) for r in out2.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+
+def test_dsir_monitor_global_weights_shift_on_target_arrival(
+    spark, tmp_path
+):
+    """The non-incremental-by-design semantics: a later micro-batch
+    of TARGET documents shifts the llr table, so weights of docs from
+    EARLIER batches change on the next read — a relative-likelihood
+    score must move when the target distribution estimate moves. The
+    rollup state itself stays |docs| x B bounded."""
+    import shutil
+
+    from fabric_claims_spark.streaming.corpus_stream import (
+        dsir_monitor_stream,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", docs_dir / "batch1.parquet")
+    ckpt = str(tmp_path / "ckpt_dsir2")
+    first = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_monitor_stream(
+            spark, str(docs_dir), ckpt, query_name="t_d2"
+        ).collect()
+    }
+
+    # a target-source batch with a skewed token distribution — built
+    # OUTSIDE the watched dir, then dropped in as one flat file (the
+    # file stream source tracks files, not nested directories)
+    import glob
+
+    side = tmp_path / "side"
+    spark.createDataFrame(
+        [
+            (10_000 + i, "join join join shuffle shuffle agg", "en", "src0", 35)
+            for i in range(50)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(side), mode="overwrite")
+    shutil.copy(
+        glob.glob(str(side / "part-*.parquet"))[0],
+        docs_dir / "batch2.parquet",
+    )
+    second = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_monitor_stream(
+            spark, str(docs_dir), ckpt, query_name="t_d2"
+        ).collect()
+    }
+    old_ids = set(first)
+    assert set(second) > old_ids  # new docs scored too
+    changed = [i for i in old_ids if second[i] != first[i]]
+    assert changed, "target arrival must shift existing weights"
