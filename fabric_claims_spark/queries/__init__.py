@@ -530,6 +530,9 @@ GATE_PRIORITY: list[str] = [
     # ratio vs a curated target slice, Xie et al. 2023) — the
     # data-selection scorer between quality filtering and sampling
     "docs_dsir_weights",
+    # round-8: DSIR's resampling half — Gumbel-top-k exact weighted
+    # sampling without replacement, reproducible (hash-derived draws)
+    "docs_dsir_resample",
     # round-8: MinHash-LSH quality gate — end-to-end recall vs exact
     # shingle-Jaccard ground truth over a fixed cohort (the docs-side
     # twin of the SemDeDup recall gates; banding misses and estimator

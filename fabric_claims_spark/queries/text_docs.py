@@ -2430,9 +2430,9 @@ from fabric_claims_spark.operators.dsir import (  # noqa: E402
 )
 
 
-@query(
-    "docs_dsir_weights",
-    oracle=f"""
+# reused verbatim by the resampling oracle below (as a parenthesized
+# CTE-bearing subquery)
+_DSIR_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
       FROM documents WHERE length(trim(text)) > 0),
@@ -2465,8 +2465,10 @@ from fabric_claims_spark.operators.dsir import (  # noqa: E402
     FROM dc JOIN llr ON llr.bucket = dc.bucket
     GROUP BY dc.doc_id
     ORDER BY dc.doc_id
-    """,
-)
+    """
+
+
+@query("docs_dsir_weights", oracle=_DSIR_ORACLE)
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.operators.dsir import (
         dsir_bucket_rows,
@@ -2484,3 +2486,71 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return dsir_weights_from_bucket_counts(dc, b=_DSIR_B)
+
+
+# --------------------------------------------------------------------------
+# DSIR resampling — the second half of the paper's loop: given the
+# importance weights, SAMPLE K documents proportional to exp(log w)
+# WITHOUT replacement. Mechanism: Gumbel-top-k [Vieira 2014; Kool et
+# al., ICML 2019] — perturb each doc's log-weight with an independent
+# Gumbel(0,1) draw g = -ln(-ln(u)) and take the top-k of
+# (log_weight + g); the argmax-top-k of Gumbel-perturbed logits IS an
+# exact sample ∝ softmax(logits) without replacement. u derives from
+# the md5 fold of the doc id (the docs_hash_split idiom, offset +0.5
+# inside the 2^53 grid so u ∈ (0,1) strictly — ln(0) can't occur), so
+# the "draw" is reproducible across runs, engines, and partitionings:
+# a training pipeline's sample must be an auditable function of the
+# data, not of the scheduler.
+#
+# Scale shape: one broadcast-free projection over the weight table
+# and a TakeOrderedAndProject top-k — no global sort, no shuffle
+# beyond the weight computation itself. Both the rounded Gumbel and
+# the rounded final key are single-ln/IEEE-arithmetic chains, exact
+# in both engines.
+_DSIR_SAMPLE_K = 64
+_U53 = 9007199254740992  # 2^53
+
+
+@query(
+    "docs_dsir_resample",
+    oracle=f"""
+    WITH w AS (SELECT * FROM ({_DSIR_ORACLE})),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             ROUND(log_weight + ROUND(-ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % {_U53}) + 0.5) / {_U53}.0)), 6), 6) AS sample_key
+      FROM w)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY sample_key DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, log_weight, sample_key
+    FROM (SELECT * FROM keyed
+          ORDER BY sample_key DESC, doc_id LIMIT {_DSIR_SAMPLE_K})
+    """,
+)
+def docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long
+
+    w = docs_dsir_weights(spark, sf_dir)
+    u = (
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(_U53)).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(_U53))
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    keyed = w.select(
+        "doc_id",
+        "log_weight",
+        F.round(F.col("log_weight") + gumbel, 6).alias("sample_key"),
+    )
+    top = keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(
+        _DSIR_SAMPLE_K
+    )
+    w_rank = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "doc_id",
+        "log_weight",
+        "sample_key",
+    )

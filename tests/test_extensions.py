@@ -1383,3 +1383,22 @@ def test_dsir_weights_rank_target_slice_higher(spark, sf_dir):
     )
     m = {r["t"]: r["m"] for r in rows}
     assert m[True] > m[False], m
+
+
+def test_dsir_resample_is_importance_biased_topk_plan(spark, sf_dir):
+    """Gumbel-top-k resampling: (a) the sample must be importance-
+    biased — its mean log-weight exceeds the corpus mean (holds at
+    every fixture scale: -0.21 vs -0.40 at sf0.001) — and (b) the
+    selection must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global Sort over the weight table."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    samp = reg["docs_dsir_resample"].fn(spark, sf_dir)
+    w = reg["docs_dsir_weights"].fn(spark, sf_dir)
+    m_s = samp.agg(F.avg("log_weight")).first()[0]
+    m_c = w.agg(F.avg("log_weight")).first()[0]
+    assert m_s > m_c, (m_s, m_c)
+
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
