@@ -195,3 +195,47 @@ def dsir_monitor_stream(
         raise ValueError("no batches processed")
     dc = store.read(query_name).drop(APPLIED_BATCH_COL)
     return dsir_weights_from_bucket_counts(dc)
+
+
+def lexical_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+):
+    """Continuously maintained lexical serving index — the streaming
+    face of ``operators/serving_index.apply_lexical_batch``: each
+    arriving corpus file folds into the stored postings / df-rollup /
+    doc-length frames at O(batch) cost. The apply is already
+    idempotent on batch_id with exactly-once visibility (token-stamped
+    appends behind the atomic commit table), so foreachBatch's
+    at-least-once redelivery needs no extra guard here — a torn
+    commit re-runs the apply and the batch-id check makes it a no-op.
+
+    Returns the served (postings, df, doclen) triple — committed rows
+    only, the exact frames ``docs_hybrid_rrf_served`` scores over."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_batch,
+        read_lexical_index,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_lexical_batch(store, batch_df, batch_id)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_lexical_index(store)

@@ -215,3 +215,62 @@ def test_dsir_monitor_global_weights_shift_on_target_arrival(
     assert set(second) > old_ids  # new docs scored too
     changed = [i for i in old_ids if second[i] != first[i]]
     assert changed, "target arrival must shift existing weights"
+
+
+def test_lexical_index_stream_matches_oneshot(spark, tmp_path):
+    """Streaming serving-index maintenance: draining the corpus file
+    by file must leave EXACTLY the index a one-shot apply over the
+    full corpus builds (postings, df rollup, doc lengths — compared
+    as sorted row sets), and a torn commit must not double-fold the
+    df rollup or duplicate postings."""
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_batch,
+        read_lexical_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import (
+        lexical_index_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # two files -> two micro-batches
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    other = docs.where(F.col("doc_id") % 2 == 1)
+    for name, part in (("a", half), ("b", other)):
+        side = tmp_path / f"side_{name}"
+        part.coalesce(1).write.parquet(str(side))
+        import glob
+
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            docs_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_lex")
+    td, dfc, dn = lexical_index_stream(
+        spark, str(docs_dir), ckpt, str(tmp_path / "store_s")
+    )
+
+    one = TableStore(spark, str(tmp_path / "store_1"))
+    apply_lexical_batch(one, docs, 0)
+    td1, dfc1, dn1 = read_lexical_index(one)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(td) == rows(td1)
+    assert rows(dfc) == rows(dfc1)
+    assert rows(dn) == rows(dn1)
+
+    # torn commit: redelivered batch folds nothing twice
+    _tear_last_commit(ckpt)
+    td2, dfc2, dn2 = lexical_index_stream(
+        spark, str(docs_dir), ckpt, str(tmp_path / "store_s")
+    )
+    assert rows(td2) == rows(td1)
+    assert rows(dfc2) == rows(dfc1)
+    assert rows(dn2) == rows(dn1)
