@@ -302,8 +302,43 @@ def textrank(spark) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def dsir(spark) -> None:
+    """DSIR weight/resample walls on x1/x3/x10 doc-shifted replicas
+    of the sf0.1 documents table — the estimator is corpus-linear by
+    construction (one explode, one B-row aggregate, one broadcast
+    join-back); this measures it."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    print("\n### DSIR family, x1/x3/x10 sf0.1-documents replicas\n")
+    print("| scale | rows | docs_dsir_weights | docs_dsir_resample |")
+    print("|---|---|---|---|")
+    base = spark.read.parquet(f"{SF01}/documents.parquet")
+    for copies in (1, 3, 10):
+        work = tempfile.mkdtemp(prefix=f"dsir8_x{copies}_")
+        try:
+            c = spark.range(copies).select(F.col("id").alias("_c"))
+            base.crossJoin(c).select(
+                (F.col("doc_id") + F.col("_c") * F.lit(10**9)).alias(
+                    "doc_id"
+                ),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            ).write.mode("overwrite").parquet(f"{work}/documents.parquet")
+            rows = spark.read.parquet(f"{work}/documents.parquet").count()
+            walls = []
+            for q in ("docs_dsir_weights", "docs_dsir_resample"):
+                _clear(spark)
+                walls.append(_timed(lambda: reg[q].fn(spark, work).count()))
+            print(f"| x{copies} | {rows} | {walls[0]} | {walls[1]} |")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
-    which = set(sys.argv[1:]) or {"serving", "behavioral", "textrank"}
+    which = set(sys.argv[1:]) or {"serving", "behavioral", "textrank", "dsir"}
     spark = get_spark("scale-round8")
     spark.sparkContext.setLogLevel("ERROR")
     if "serving" in which:
@@ -312,6 +347,8 @@ def main() -> int:
         behavioral(spark)
     if "textrank" in which:
         textrank(spark)
+    if "dsir" in which:
+        dsir(spark)
     return 0
 
 
