@@ -538,6 +538,11 @@ GATE_PRIORITY: list[str] = [
     # twin of the SemDeDup recall gates; banding misses and estimator
     # misses reported separately)
     "docs_minhash_recall",
+    # round-8: SimHash gate completes the recall-gate trio — two
+    # cosine truth bands make the hamming<=3 contract measurable
+    # (near-exact rewrites caught, paraphrase distance correctly
+    # delegated to MinHash)
+    "docs_simhash_recall",
 ]
 
 

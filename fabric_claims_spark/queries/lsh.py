@@ -1220,3 +1220,181 @@ def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash QUALITY gate — completes the recall-gate trio (SemDeDup →
+# embeddings_semdedup_recall(_mp), MinHash → docs_minhash_recall).
+# SimHash's banding is pigeonhole-LOSSLESS inside the hamming cutoff
+# (4 bands, cutoff 3 < 4: any pair within the cutoff shares a band),
+# so unlike MinHash the interesting loss is purely the ESTIMATOR: a
+# semantically-near pair whose 60-bit sketch differs in more than 3
+# positions is invisible. Ground truth is exact cosine over token-
+# COUNT vectors (what SimHash provably approximates: P(bit flip) =
+# angle/π) over the fixed 512-doc cohort. Two truth bands make the
+# operator's real contract measurable: cosine >= 0.99 (near-exact
+# rewrites — the regime hamming<=3/60 targets: expected hit prob
+# ~0.7-0.9) and 0.90 <= cosine < 0.99 (paraphrase-distance — expected
+# ~0: mean hamming at cos 0.9 is ~8.6, far over the cutoff). A high
+# recall_hi with recall_mid ~0 is the CORRECT verdict for this
+# operator; catching the mid band is MinHash's job.
+_SH_RECALL_COHORT = 512
+_SH_COS_HI = "0.99"
+_SH_COS_MID = "0.9"
+
+
+@query(
+    "docs_simhash_recall",
+    oracle=f"""
+    WITH {_simhash_ctes()},
+    shc AS (
+      SELECT s.doc, s.simhash FROM sh s
+      JOIN documents d ON d.doc_id = s.doc
+      WHERE s.doc < {_SH_RECALL_COHORT} AND length(trim(d.text)) > 0),
+    bnd AS (
+      {" UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, (simhash >> {b * _SH_BITS})"
+        f" & {2**_SH_BITS - 1} AS bv FROM shc"
+        for b in range(_SH_BANDS)
+      )}),
+    capped AS (
+      SELECT doc, band_idx, bv FROM (
+        SELECT doc, band_idx, bv,
+               COUNT(*) OVER (PARTITION BY band_idx, bv) AS bs
+        FROM bnd)
+      WHERE bs <= {_SH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc < b.doc),
+    e2e AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shc x ON x.doc = c.doc_a
+      JOIN shc y ON y.doc = c.doc_b
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SH_MAX_HAMMING}),
+    tc AS (
+      SELECT doc_id AS doc, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+        WHERE doc_id < {_SH_RECALL_COHORT} AND length(trim(text)) > 0)
+      GROUP BY 1, 2),
+    nrm AS (SELECT doc, sqrt(SUM(c*c)) AS n FROM tc GROUP BY doc),
+    dt AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.c * b.c) AS dot
+      FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT d.doc_a, d.doc_b,
+             ROUND(d.dot / (x.n * y.n), 6) AS cos
+      FROM dt d JOIN nrm x ON x.doc = d.doc_a
+                JOIN nrm y ON y.doc = d.doc_b
+      WHERE ROUND(d.dot / (x.n * y.n), 6) >= {_SH_COS_MID})
+    SELECT CAST({_SH_COS_HI} AS DOUBLE) AS threshold_hi,
+           CAST({_SH_COS_MID} AS DOUBLE) AS threshold_mid,
+           CAST(SUM(CASE WHEN t.cos >= {_SH_COS_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_true,
+           CAST(SUM(CASE WHEN t.cos >= {_SH_COS_HI}
+                          AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_hits,
+           ROUND(CAST(SUM(CASE WHEN t.cos >= {_SH_COS_HI}
+                               AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t.cos >= {_SH_COS_HI}
+                              THEN 1 ELSE 0 END), 0), 6) AS recall_hi,
+           CAST(SUM(CASE WHEN t.cos < {_SH_COS_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS mid_true,
+           CAST(SUM(CASE WHEN t.cos < {_SH_COS_HI}
+                          AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS mid_hits,
+           ROUND(CAST(SUM(CASE WHEN t.cos < {_SH_COS_HI}
+                               AND e.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t.cos < {_SH_COS_HI}
+                              THEN 1 ELSE 0 END), 0), 6) AS recall_mid
+    FROM truth t
+    LEFT JOIN e2e e ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b
+    """,
+)
+def docs_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.caching import tracked_cache
+    from fabric_claims_spark.extensions.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < _SH_RECALL_COHORT)
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    sh = tracked_cache(simhash60_md5(docs, "doc_id", "text"))
+    e2e = simhash_band_pairs(
+        sh,
+        bands=_SH_BANDS,
+        bits=_SH_BITS,
+        max_hamming=_SH_MAX_HAMMING,
+        bucket_cap=_SH_BUCKET_CAP,
+    ).select("doc_a", "doc_b")
+
+    tc = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tc = tracked_cache(tc)
+    nrm = tc.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    ta = tc.select(F.col("doc").alias("doc_a"), "tok", F.col("c").alias("ca"))
+    tb = tc.select(F.col("doc").alias("doc_b"), "tok", F.col("c").alias("cb"))
+    dt = (
+        ta.join(tb, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot") / (F.col("na") * F.col("nb")),
+        6,
+    )
+    truth = (
+        dt.join(nrm.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(nrm.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(float(_SH_COS_MID)))
+        .select("doc_a", "doc_b", "cos")
+    )
+    flagged = truth.join(
+        e2e.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    hi = F.col("cos") >= F.lit(float(_SH_COS_HI))
+    hit = F.col("_hit").isNotNull()
+    return flagged.agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("hi_true"),
+        F.sum(F.when(hi & hit, 1).otherwise(0)).cast("bigint").alias("hi_hits"),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("mid_true"),
+        F.sum(F.when((~hi) & hit, 1).otherwise(0))
+        .cast("bigint")
+        .alias("mid_hits"),
+    ).select(
+        F.lit(float(_SH_COS_HI)).alias("threshold_hi"),
+        F.lit(float(_SH_COS_MID)).alias("threshold_mid"),
+        "hi_true",
+        "hi_hits",
+        F.round(
+            F.try_divide(
+                F.col("hi_hits").cast("double"),
+                F.nullif(F.col("hi_true").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("recall_hi"),
+        "mid_true",
+        "mid_hits",
+        F.round(
+            F.try_divide(
+                F.col("mid_hits").cast("double"),
+                F.nullif(F.col("mid_true").cast("double"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("recall_mid"),
+    )

@@ -1402,3 +1402,42 @@ def test_dsir_resample_is_importance_biased_topk_plan(spark, sf_dir):
 
     plan = samp._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_recall_gate_contract(spark, sf_dir):
+    """The SimHash gate must read out the operator's real contract:
+    near-exact rewrites (cosine >= 0.99 over token-count vectors) are
+    mostly caught at hamming <= 3/60, paraphrase distance
+    (0.90-0.99) is mostly NOT — that band is MinHash's job. Measured
+    0.905 vs 0.222 at sf0.001 (SCALING.md r8)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    row = load_all_queries()["docs_simhash_recall"].fn(spark, sf_dir).first()
+    assert row["hi_true"] > 0 and row["mid_true"] > 0
+    assert row["recall_hi"] >= 0.5, row["recall_hi"]
+    assert row["recall_hi"] > row["recall_mid"]
+
+
+def test_simhash_exact_copies_always_caught(spark):
+    """Identical texts have identical sketches (hamming 0), and the
+    pigeonhole banding cannot lose a hamming-0 pair — exact copies
+    are a recall GUARANTEE of this operator, not a probability."""
+    from fabric_claims_spark.extensions.dedup import (
+        simhash60_md5,
+        simhash_band_pairs,
+    )
+
+    rows = []
+    for p in range(20):
+        text = f"copy family {p} " + " ".join(
+            f"tok{p}_{j}" for j in range(30)
+        )
+        rows.append((2 * p, text))
+        rows.append((2 * p + 1, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash60_md5(df, "doc_id", "text")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_band_pairs(sh).select("doc_a", "doc_b").collect()
+    }
+    assert all((2 * p, 2 * p + 1) in got for p in range(20))
