@@ -239,3 +239,50 @@ def lexical_index_stream(
         .awaitTermination()
     )
     return read_lexical_index(store)
+
+
+def lsh_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    threshold: float = 0.5,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Continuously maintained LSH near-dup index — the streaming
+    face of ``operators/serving_index.apply_lsh_batch``: each
+    arriving corpus file signs O(batch) documents, probes the STORED
+    band table for batch-vs-corpus pairs, appends batch-internal
+    pairs, all idempotent per batch_id with exactly-once visibility
+    (same commit-table discipline as the lexical index, so
+    foreachBatch redelivery needs no extra guard).
+
+    Returns the served pair table — the exact frame
+    ``docs_dup_clusters_served`` runs connected components over."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lsh_batch,
+        read_lsh_pairs,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_lsh_batch(
+            store, batch_df, batch_id, threshold=threshold, hasher=hasher
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_lsh_pairs(store)

@@ -274,3 +274,66 @@ def test_lexical_index_stream_matches_oneshot(spark, tmp_path):
     assert rows(td2) == rows(td1)
     assert rows(dfc2) == rows(dfc1)
     assert rows(dn2) == rows(dn1)
+
+
+def test_lsh_index_stream_matches_oneshot_and_survives_tear(
+    spark, tmp_path
+):
+    """Streaming LSH-index maintenance over the planted near-dup
+    corpus: the streamed pair table must equal a one-shot apply over
+    the full corpus (same order-independent pair SET — every doc
+    family lands in one batch here, so incremental capping cannot
+    diverge), and a torn commit must not duplicate pairs."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lsh_batch,
+        read_lsh_pairs,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import (
+        lsh_index_stream,
+    )
+
+    rows = [
+        (1, BASE_A),
+        (2, BASE_B),
+        (3, BASE_A + " tail"),
+        (4, BASE_C),
+        (5, BASE_B + " tiny suffix"),
+        (6, BASE_D),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    for name, pred in (("a", F.col("doc_id") <= 3), ("b", F.col("doc_id") > 3)):
+        side = tmp_path / f"side_{name}"
+        docs.where(pred).coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            docs_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_lsh")
+    got = lsh_index_stream(
+        spark, str(docs_dir), ckpt, str(tmp_path / "store_s")
+    )
+
+    one = TableStore(spark, str(tmp_path / "store_1"))
+    apply_lsh_batch(one, docs, 0)
+    want = read_lsh_pairs(one)
+
+    def pairs(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert pairs(got) == pairs(want)
+    # the planted near-dups are actually in there
+    found = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert (1, 3) in found and (2, 5) in found
+
+    _tear_last_commit(ckpt)
+    again = lsh_index_stream(
+        spark, str(docs_dir), ckpt, str(tmp_path / "store_s")
+    )
+    assert pairs(again) == pairs(want)
