@@ -543,6 +543,10 @@ GATE_PRIORITY: list[str] = [
     # (near-exact rewrites caught, paraphrase distance correctly
     # delegated to MinHash)
     "docs_simhash_recall",
+    # round-8: k-anonymity risk readout — the governance family's
+    # measurement piece (smallest quasi-ID equivalence class + the
+    # k<5 violation share)
+    "customers_k_anonymity",
 ]
 
 

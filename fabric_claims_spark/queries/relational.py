@@ -1275,3 +1275,56 @@ def orders_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk readout — the governance family's measurement
+# piece (masking/RLS/erasure/pseudonymization transform data; this
+# answers "is the remaining quasi-identifier combination safe to
+# release?"). Equivalence classes over (nation, market segment,
+# account-balance band — the Sweeney-style generalization of the
+# continuous column); k = the smallest class, the worst-case
+# re-identification pool. The release rule of thumb (k >= 5) gets
+# its violating row count and share. One groupBy on the quasi-ID
+# tuple then a scalar aggregate — corpus-linear, no window, no pair
+# term; at 100 TB the class table is bounded by the QI domain, not
+# the row count.
+@query(
+    "customers_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3)
+    SELECT CAST(MIN(n) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) AS BIGINT) AS classes,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_k5,
+           ROUND(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+                 / SUM(n), 6) AS pct_below_k5
+    FROM classes
+    """,
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    below5 = F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+    return classes.agg(
+        F.min("n").cast("bigint").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("bigint").alias("classes"),
+        F.sum("n").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("singleton_classes"),
+        below5.cast("bigint").alias("rows_below_k5"),
+        F.round(below5.cast("double") / F.sum("n"), 6).alias("pct_below_k5"),
+    )
