@@ -293,13 +293,38 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd loop itself; returns the trained centroids as driver
     state [(cid, vector)] — the form ``_lloyd_assign`` embeds as
-    literals and ``ivf_index_build`` persists alongside the index."""
+    literals and ``ivf_index_build`` persists alongside the index.
+
+    ``sample_cap`` bounds the TRAINING set (assignment always covers
+    the full corpus): when the corpus exceeds the cap, train on the
+    deterministic md5-hash sample of ~cap vectors. This is the fix
+    for the measured k-regime wall (SCALING.md §round-8): the Lloyd
+    assignment embeds k literal centroid expressions per row, so
+    full-corpus training is O(n·k·dim) — quadratic once k scales
+    with the corpus, while a capped sample keeps training
+    O(cap·k·dim) and leaves only the one linear full-corpus
+    assignment pass to the caller. Hash-based (not random): the same
+    corpus always trains the same centroids, on any partitioning.
+    ``None`` (default) keeps exact full-corpus training — the
+    determinism-gate setting every oracle-checked query pins."""
     ev = vectors.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
+    if sample_cap is not None:
+        n = ev.count()
+        if n > sample_cap:
+            from fabric_claims_spark.extensions.dedup import md5_long
+
+            grid = 1 << 20
+            cut = max(1, (sample_cap * grid) // n)
+            ev = ev.where(
+                F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(grid))
+                < F.lit(cut)
+            )
     cents: list[tuple[int, list[float]]] = [
         (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
     ]

@@ -1441,3 +1441,31 @@ def test_simhash_exact_copies_always_caught(spark):
         for r in simhash_band_pairs(sh).select("doc_a", "doc_b").collect()
     }
     assert all((2 * p, 2 * p + 1) in got for p in range(20))
+
+
+def test_kmeans_sampled_training_deterministic_and_useful(spark, sf_dir):
+    """sample_cap trains on a deterministic md5-hash sample (the
+    k-regime fix measured in SCALING.md r8): (a) the same corpus
+    yields the SAME centroids on any partitioning — the sample is a
+    function of the data, not the scheduler; (b) the sampled-trained
+    clustering still beats the seeded start on full-corpus SSE, so
+    the cap trades training cost, not the Lloyd improvement."""
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign,
+        as_double_array,
+        kmeans_centroids,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_centroids(emb, k=4, iters=2, sample_cap=200)
+    b = kmeans_centroids(emb.repartition(7), k=4, iters=2, sample_cap=200)
+    assert a == b
+
+    ev = emb.select("vec_id", as_double_array("embedding").alias("v"))
+
+    def sse(cents):
+        return _lloyd_assign(ev, cents).agg(F.avg("d")).first()[0]
+
+    seeded = kmeans_centroids(emb, k=4, iters=0)
+    assert sse(a) < sse(seeded)
