@@ -547,6 +547,9 @@ GATE_PRIORITY: list[str] = [
     # measurement piece (smallest quasi-ID equivalence class + the
     # k<5 violation share)
     "customers_k_anonymity",
+    # round-8: training-mixture sampling — Hamilton-exact per-source
+    # allocation + deterministic hash draws (the data-mixing step)
+    "docs_mixture_sample",
 ]
 
 

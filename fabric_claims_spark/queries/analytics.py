@@ -1616,3 +1616,108 @@ def priority_revenue_allocation_bps(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-mixture sampling — the data-mixing step of a pre-training
+# pipeline (fixed source weights a la The Pile; DoReMi's output is
+# exactly such a weight vector): draw N documents with EXACT
+# per-source allocation. Two exact-integer pieces compose:
+#
+# * allocation — Hamilton largest-remainder over basis-point weights
+#   (the priority_revenue_allocation_bps machinery): floor quotas +
+#   leftover seats to the largest remainders, so Σ alloc == N always,
+#   with no float drift;
+# * selection — per-source deterministic top-alloc by the md5-folded
+#   uniform (the docs_sample_per_lang salted two-phase window: rank
+#   within (source, salt) first, re-rank the bounded survivors — no
+#   whole-stratum window partition at 100 TB).
+#
+# The draw is a pure function of the data: same corpus, same sample,
+# any partitioning. A source with fewer documents than its quota
+# returns what exists (the honest shortfall surfaces as a count
+# mismatch downstream; repetition policy is a caller decision).
+_MIX_N = 41
+_MIX_BPS = (("src0", 3500), ("src1", 3000), ("src2", 2000), ("src3", 1500))
+_MIX_SALTS = 64
+
+
+@query(
+    "docs_mixture_sample",
+    oracle=f"""
+    WITH w(source, bps) AS (VALUES {", ".join(f"('{s}', {b})" for s, b in _MIX_BPS)}),
+    q AS (
+      SELECT source, ({_MIX_N} * bps) // 10000 AS base,
+             ({_MIX_N} * bps) % 10000 AS rem
+      FROM w),
+    seats AS (SELECT {_MIX_N} - SUM(base) AS s FROM q),
+    alloc AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                         <= (SELECT s FROM seats) THEN 1 ELSE 0 END AS n
+      FROM q),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                          ::BIGINT, d.doc_id) AS sample_rank
+      FROM documents d JOIN w ON w.source = d.source)
+    SELECT r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+           r.doc_id, CAST(a.n AS BIGINT) AS alloc
+    FROM ranked r JOIN alloc a ON a.source = r.source
+    WHERE r.sample_rank <= a.n
+    ORDER BY r.source, r.sample_rank
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.sparkSession.createDataFrame(
+        list(_MIX_BPS), "source string, bps long"
+    )
+    base = (F.col("bps") * _MIX_N / F.lit(10000)).cast("long")
+    rem = (F.col("bps") * _MIX_N) % 10000
+    q = w.select("source", base.alias("base"), rem.alias("rem"))
+    seats = q.agg((F.lit(_MIX_N) - F.sum("base")).alias("s"))
+    w_seat = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    alloc = (
+        q.crossJoin(F.broadcast(seats))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(w_seat) <= F.col("s"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    in_mix = d.join(
+        F.broadcast(w.select("source")), "source"
+    ).select(
+        "source", "doc_id", u.alias("u"),
+        F.pmod(F.col("doc_id"), F.lit(_MIX_SALTS)).alias("salt"),
+    )
+    # phase 1: rank within (source, salt) — max alloc bounds the keep
+    max_alloc = _MIX_N  # a single source can hold at most all N seats
+    w1 = Window.partitionBy("source", "salt").orderBy("u", "doc_id")
+    survivors = (
+        in_mix.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= max_alloc)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn(
+            "sample_rank", F.row_number().over(w2).cast("bigint")
+        )
+        .join(F.broadcast(alloc), "source")
+        .where(F.col("sample_rank") <= F.col("alloc"))
+        .select("source", "sample_rank", "doc_id", "alloc")
+        .orderBy("source", "sample_rank")
+    )

@@ -1469,3 +1469,27 @@ def test_kmeans_sampled_training_deterministic_and_useful(spark, sf_dir):
 
     seeded = kmeans_centroids(emb, k=4, iters=0)
     assert sse(a) < sse(seeded)
+
+
+def test_mixture_sample_allocation_invariants(spark, sf_dir):
+    """Hamilton-exact mixture draw: per-source counts equal the
+    allocation, the allocations sum to exactly N (no float drift,
+    no lost seats), and the weight ORDER is respected (src0's 35%
+    gets the most seats, src3's 15% the fewest)."""
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries.analytics import _MIX_N
+
+    got = load_all_queries()["docs_mixture_sample"].fn(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) == _MIX_N
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    allocs = {s: rs[0]["alloc"] for s, rs in by_src.items()}
+    assert sum(allocs.values()) == _MIX_N
+    for s, rs in by_src.items():
+        assert len(rs) == allocs[s]
+        assert sorted(r["sample_rank"] for r in rs) == list(
+            range(1, allocs[s] + 1)
+        )
+    assert allocs["src0"] > allocs["src1"] > allocs["src2"] > allocs["src3"]
