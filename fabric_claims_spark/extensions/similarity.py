@@ -321,13 +321,24 @@ def kmeans_centroids(
 
             grid = 1 << 20
             cut = max(1, (sample_cap * grid) // n)
-            ev = ev.where(
+            sampled = ev.where(
                 F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(grid))
                 < F.lit(cut)
             )
+            # a cap near k (or sparse hash density) can yield < k rows;
+            # training on that would silently return < k centroids and
+            # degrade every downstream assignment — fall back to the
+            # exact full corpus instead of shipping a truncated model
+            if sampled.count() >= k:
+                ev = sampled
     cents: list[tuple[int, list[float]]] = [
         (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_centroids: corpus has only {len(cents)} vectors, "
+            f"cannot seed k={k} centroids"
+        )
     for _ in range(iters):
         micro = _lloyd_assign(ev, cents).select(
             "cluster",

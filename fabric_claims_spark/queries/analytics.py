@@ -1675,7 +1675,10 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.sparkSession.createDataFrame(
         list(_MIX_BPS), "source string, bps long"
     )
-    base = (F.col("bps") * _MIX_N / F.lit(10000)).cast("long")
+    # exact integer floor quota — `div`, not float `/` + cast, so a
+    # future bps*N landing on (or rounding across) an exact multiple of
+    # 10000 can never truncate differently from the oracle's `//`
+    base = F.expr(f"(bps * {_MIX_N}) div 10000")
     rem = (F.col("bps") * _MIX_N) % 10000
     q = w.select("source", base.alias("base"), rem.alias("rem"))
     seats = q.agg((F.lit(_MIX_N) - F.sum("base")).alias("s"))

@@ -1471,6 +1471,29 @@ def test_kmeans_sampled_training_deterministic_and_useful(spark, sf_dir):
     assert sse(a) < sse(seeded)
 
 
+def test_kmeans_sample_cap_never_underfills_k(spark, sf_dir):
+    """Guard rails on sampled training (ADVICE r8): a cap whose hash
+    sample would yield fewer than k rows falls back to full-corpus
+    training instead of silently returning < k centroids; a corpus
+    genuinely smaller than k raises instead of shipping a truncated
+    model."""
+    import pytest
+
+    from fabric_claims_spark.extensions.similarity import kmeans_centroids
+    from fabric_claims_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cap == k: the ~k-row hash sample is almost surely < k rows; the
+    # fallback must still train and return exactly k centroids
+    cents = kmeans_centroids(emb, k=8, iters=1, sample_cap=8)
+    assert len(cents) == 8
+    assert len({cid for cid, _ in cents}) == 8
+
+    tiny = emb.limit(3)
+    with pytest.raises(ValueError, match="cannot seed k=8"):
+        kmeans_centroids(tiny, k=8, iters=1)
+
+
 def test_mixture_sample_allocation_invariants(spark, sf_dir):
     """Hamilton-exact mixture draw: per-source counts equal the
     allocation, the allocations sum to exactly N (no float drift,

@@ -355,62 +355,71 @@ def semdedup(spark) -> None:
 
     print("\n### SemDeDup pair pass: fixed k vs corpus-scaled k\n")
     print(
-        "| scale | vectors | k=8 pairs | k=8 wall | k∝n | k∝n pairs |"
-        " k∝n wall |"
+        "| scale | vectors | k=8 pairs | k=8 drops | k=8 wall | k∝n |"
+        " k∝n pairs | k∝n drops | k∝n wall |"
     )
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|")
     base = spark.read.parquet(f"{SF01}/embeddings.parquet")
     for copies in (1, 3, 10):
         # parquet round-trip, not localCheckpoint: _clear() sweeps the
         # persistent-RDD registry between timed runs
         work = tempfile.mkdtemp(prefix=f"sd8_x{copies}_")
-        c = spark.range(copies).select(F.col("id").alias("_c"))
-        base.crossJoin(c).select(
-            (F.col("vec_id") + F.col("_c") * F.lit(10**7)).alias("vec_id"),
-            "embedding",
-        ).write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
-        emb = spark.read.parquet(f"{work}/embeddings.parquet")
-        n_vec = emb.count()
-        row = [f"| x{copies} | {n_vec} "]
-        for ki, k in enumerate((8, 8 * copies)):
-            _clear(spark)
-            t0 = time.time()
-            cents = kmeans_centroids(emb, k=k, iters=3)
-            ev = emb.select(
-                "vec_id", as_double_array("embedding").alias("v")
-            )
-            asg = _lloyd_assign(ev, cents).withColumn(
-                "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
-            )
-            a = asg.select(
-                F.col("cluster").alias("ca"),
-                F.col("vec_id").alias("ia"),
-                F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            )
-            b = asg.select(
-                F.col("cluster").alias("cb"),
-                F.col("vec_id").alias("ib"),
-                F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            )
-            pairs = a.join(
-                b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib"))
-            )
-            cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            stats = pairs.agg(
-                F.count(F.lit(1)).alias("p"),
-                F.sum(
-                    F.when(F.round(cos, 6) >= 0.3, 1).otherwise(0)
-                ).alias("drops"),
-            ).first()
-            wall = round(time.time() - t0, 2)
-            if ki == 0:
-                row.append(f"| {stats['p']} | {wall} ")
-            else:
-                row.append(f"| {k} | {stats['p']} | {wall} |")
-        print("".join(row))
-        shutil.rmtree(work, ignore_errors=True)
+        try:
+            c = spark.range(copies).select(F.col("id").alias("_c"))
+            base.crossJoin(c).select(
+                (F.col("vec_id") + F.col("_c") * F.lit(10**7)).alias(
+                    "vec_id"
+                ),
+                "embedding",
+            ).write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
+            emb = spark.read.parquet(f"{work}/embeddings.parquet")
+            n_vec = emb.count()
+            row = [f"| x{copies} | {n_vec} "]
+            for ki, k in enumerate((8, 8 * copies)):
+                _clear(spark)
+                t0 = time.time()
+                cents = kmeans_centroids(emb, k=k, iters=3)
+                ev = emb.select(
+                    "vec_id", as_double_array("embedding").alias("v")
+                )
+                asg = _lloyd_assign(ev, cents).withColumn(
+                    "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+                )
+                a = asg.select(
+                    F.col("cluster").alias("ca"),
+                    F.col("vec_id").alias("ia"),
+                    F.col("v").alias("va"),
+                    F.col("nrm").alias("na"),
+                )
+                b = asg.select(
+                    F.col("cluster").alias("cb"),
+                    F.col("vec_id").alias("ib"),
+                    F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"),
+                )
+                pairs = a.join(
+                    b,
+                    (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")),
+                )
+                cos = dot(F.col("va"), F.col("vb")) / (
+                    F.col("na") * F.col("nb")
+                )
+                stats = pairs.agg(
+                    F.count(F.lit(1)).alias("p"),
+                    F.sum(
+                        F.when(F.round(cos, 6) >= 0.3, 1).otherwise(0)
+                    ).alias("drops"),
+                ).first()
+                wall = round(time.time() - t0, 2)
+                if ki == 0:
+                    row.append(f"| {stats['p']} | {stats['drops']} | {wall} ")
+                else:
+                    row.append(
+                        f"| {k} | {stats['p']} | {stats['drops']} | {wall} |"
+                    )
+            print("".join(row))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> int:
