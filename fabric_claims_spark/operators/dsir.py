@@ -32,6 +32,24 @@ DSIR_B = 64
 # stand-in on this corpus
 DSIR_TARGET = ("src0", "src1", "src2", "src3")
 _WS = r"\s+"
+U53 = 9007199254740992  # 2^53 — the md5-fold uniform grid
+
+
+def dsir_gumbel_key(log_weight, doc_id):
+    """Gumbel-top-k sampling key [Vieira 2014; Kool et al., ICML 2019]:
+    log_weight perturbed by g = -ln(-ln(u)) where u is the md5-fold
+    uniform of the doc id (offset +0.5 inside the 2^53 grid so
+    u ∈ (0,1) strictly — ln(0) can't occur). Top-k by this key IS an
+    exact sample ∝ softmax(log_weight) without replacement, and the
+    draw is a pure function of the data — reproducible across runs,
+    engines, and partitionings. Shared verbatim by docs_dsir_resample
+    and the end-to-end docs_dsir_pipeline."""
+    u = (
+        F.pmod(md5_long(doc_id.cast("string")), F.lit(U53)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(U53))
+    gumbel = F.round(-F.log(-F.log(u)), 6)
+    return F.round(log_weight + gumbel, 6)
 
 
 def dsir_bucket_rows(

@@ -61,6 +61,146 @@ def provider_rls(df: DataFrame, provider_ids: list[str]) -> DataFrame:
     return row_filtered_view(df, F.col("ProviderID").isin(provider_ids))
 
 
+# --------------------------------------------------------------------------
+# k-anonymity ENFORCEMENT (VERDICT r8 item 6) — the transform behind
+# the customers_k_anonymity risk readout. Global recoding over a
+# fixed Sweeney-style generalization ladder, then suppression:
+#
+#   L0  geo = nation,        balance bands of 1000
+#   L1  geo = nation,        balance bands of 2000
+#   L2  geo = region rollup, balance bands of 2000
+#   L3  geo = region rollup, balance bands of 4000
+#
+# The chosen level is the FIRST whose smallest quasi-ID equivalence
+# class reaches k (computed in-plan — a 1-row frame, so the choice is
+# declarative, partition-invariant, and oracle-expressible as a
+# scalar subquery, never a driver-side branch). Rows still in a
+# class below k at the final level are SUPPRESSED (dropped) — the
+# residual the ladder cannot generalize away — and their count is
+# audit-logged, never their keys (a suppression log that names the
+# suppressed subjects defeats the suppression).
+#
+# Scale shape: one broadcast dim join (nation, 25 rows), one 4-way
+# union of projections over the fact scan, one groupBy bounded by
+# |ladder| x QI domain, a 1-row broadcast level choice, and a
+# broadcast class-table semi-join for the suppression filter — every
+# state bounded by the QI domain, nothing pair-shaped, no window
+# over the raw rows.
+K_LADDER: tuple[tuple[str, int], ...] = (
+    ("n", 1000),
+    ("n", 2000),
+    ("r", 2000),
+    ("r", 4000),
+)
+
+
+def _qi_levels(cj: DataFrame, ladder) -> DataFrame:
+    """(level, geo, segment, bal_band) per row per ladder level —
+    ``cj`` is customer joined to nation (for the region rollup)."""
+    frames = []
+    for lvl, (kind, width) in enumerate(ladder):
+        geo = F.concat(
+            F.lit(kind),
+            (
+                F.col("c_nationkey")
+                if kind == "n"
+                else F.col("n_regionkey")
+            ).cast("string"),
+        )
+        frames.append(
+            cj.select(
+                F.lit(lvl).cast("long").alias("level"),
+                F.col("c_custkey"),
+                geo.alias("geo"),
+                F.col("c_mktsegment").alias("segment"),
+                F.floor(F.col("c_acctbal") / width)
+                .cast("bigint")
+                .alias("bal_band"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def k_anonymize(
+    customers: DataFrame,
+    nations: DataFrame,
+    k: int = 5,
+    ladder=K_LADDER,
+) -> tuple[DataFrame, DataFrame]:
+    """Enforce k-anonymity on the customer quasi-identifiers by
+    global recoding + suppression. Returns ``(rows, classes)``:
+
+    * ``rows`` — one row per SURVIVING customer:
+      (c_custkey, level, geo, segment, bal_band); every class in it
+      has ≥ k members by construction.
+    * ``classes`` — the released class table
+      (level, geo, segment, bal_band, n), n ≥ k; bounded by the QI
+      domain, re-measurable (min(n) IS the output's k-anonymity).
+    """
+    cj = customers.join(
+        F.broadcast(
+            nations.select("n_nationkey", "n_regionkey")
+        ),
+        customers["c_nationkey"] == F.col("n_nationkey"),
+    )
+    allv = _qi_levels(cj, ladder)
+    g = allv.groupBy("level", "geo", "segment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kml = g.groupBy("level").agg(F.min("n").alias("kmin"))
+    last = len(ladder) - 1
+    lv = kml.where(F.col("kmin") >= k).agg(
+        F.coalesce(F.min("level"), F.lit(last)).cast("long").alias("lv")
+    )
+    classes = (
+        g.join(F.broadcast(lv), g["level"] == F.col("lv"))
+        .where(F.col("n") >= k)
+        .select("level", "geo", "segment", "bal_band", "n")
+    )
+    rows = allv.join(F.broadcast(lv), allv["level"] == F.col("lv")).join(
+        F.broadcast(classes.select("geo", "segment", "bal_band")),
+        ["geo", "segment", "bal_band"],
+        "left_semi",
+    ).select("c_custkey", "level", "geo", "segment", "bal_band")
+    return rows, classes
+
+
+def enforce_k_anonymity(
+    store,
+    customers: DataFrame,
+    nations: DataFrame,
+    k: int = 5,
+    ladder=K_LADDER,
+    audit_pipeline: str = "k_anonymize",
+) -> dict[str, int]:
+    """Run the transform, audit-log the suppression COUNT (never the
+    suppressed keys), and return {total, kept, suppressed, level}."""
+    from fabric_claims_spark.sources.audit import append_audit_row
+
+    rows, classes = k_anonymize(customers, nations, k=k, ladder=ladder)
+    total = customers.count()
+    kept = rows.count()
+    level = rows.select("level").first()
+    append_audit_row(
+        store.spark,
+        store,
+        pipeline=audit_pipeline,
+        layer="governance",
+        status="Succeeded",
+        rows_written=kept,
+        target_object=f"k_anonymize(k={k})",
+    )
+    return {
+        "total": total,
+        "kept": kept,
+        "suppressed": total - kept,
+        "level": int(level["level"]) if level is not None else len(ladder) - 1,
+    }
+
+
 def forget_subject(
     store,
     subject_tables: dict[str, str],

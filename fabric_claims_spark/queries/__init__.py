@@ -550,6 +550,14 @@ GATE_PRIORITY: list[str] = [
     # round-8: training-mixture sampling — Hamilton-exact per-source
     # allocation + deterministic hash draws (the data-mixing step)
     "docs_mixture_sample",
+    # round-9: DSIR end-to-end (VERDICT r8 item 5) — weights →
+    # Gumbel-top-k pool → Hamilton mixture allocation as ONE composed
+    # data-selection query, sharing operators/dsir.py verbatim
+    "docs_dsir_pipeline",
+    # round-9: k-anonymity enforcement (VERDICT r8 item 6) — the
+    # generalization-ladder + suppression transform behind the risk
+    # readout; min(n) of the released class table IS its k-anonymity
+    "customers_k_anonymize_enforced",
 ]
 
 

@@ -1328,3 +1328,64 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         below5.cast("bigint").alias("rows_below_k5"),
         F.round(below5.cast("double") / F.sum("n"), 6).alias("pct_below_k5"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity ENFORCEMENT (VERDICT r8 item 6): the readout above
+# measures the risk; this query RELEASES the class table the
+# plans/governance.k_anonymize transform produces — global recoding
+# over the fixed generalization ladder (nation→region rollup,
+# balance-band widening), level chosen in-plan as the first whose
+# smallest class reaches k=5, residual below-k classes suppressed.
+# min(n) over this output IS the released table's k-anonymity, so
+# the k ≥ 5 floor is visible in the hash itself (and pinned by
+# tests/test_governance.py). Suppression counts are audit-logged by
+# enforce_k_anonymity; the released table never names them.
+@query(
+    "customers_k_anonymize_enforced",
+    oracle="""
+    WITH cj AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             'n' || CAST(c_nationkey AS VARCHAR) AS geo_n,
+             'r' || CAST(n_regionkey AS VARCHAR) AS geo_r
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    allv AS (
+      SELECT 0 AS level, geo_n AS geo, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM cj
+      UNION ALL
+      SELECT 1, geo_n, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 2, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 3, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 4000) AS BIGINT) FROM cj),
+    g AS (
+      SELECT level, geo, segment, bal_band, COUNT(*) AS n
+      FROM allv GROUP BY 1, 2, 3, 4),
+    kml AS (SELECT level, MIN(n) AS kmin FROM g GROUP BY level),
+    lv AS (SELECT COALESCE(MIN(level), 3) AS lv FROM kml WHERE kmin >= 5)
+    SELECT CAST(g.level AS BIGINT) AS level, g.geo, g.segment,
+           g.bal_band, CAST(g.n AS BIGINT) AS n
+    FROM g JOIN lv ON g.level = lv.lv
+    WHERE g.n >= 5
+    ORDER BY geo, segment, bal_band
+    """,
+)
+def customers_k_anonymize_enforced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.plans.governance import k_anonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    _, classes = k_anonymize(c, n, k=5)
+    return classes.select(
+        F.col("level"),
+        "geo",
+        "segment",
+        "bal_band",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("geo", "segment", "bal_band")

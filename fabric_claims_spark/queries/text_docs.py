@@ -2535,20 +2535,15 @@ _U53 = 9007199254740992  # 2^53
     """,
 )
 def docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fabric_claims_spark.extensions.dedup import md5_long
+    from fabric_claims_spark.operators.dsir import dsir_gumbel_key
 
     w = docs_dsir_weights(spark, sf_dir)
-    u = (
-        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(_U53)).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(float(_U53))
-    gumbel = F.round(-F.log(-F.log(u)), 6)
     keyed = w.select(
         "doc_id",
         "log_weight",
-        F.round(F.col("log_weight") + gumbel, 6).alias("sample_key"),
+        dsir_gumbel_key(F.col("log_weight"), F.col("doc_id")).alias(
+            "sample_key"
+        ),
     )
     top = keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(
         _DSIR_SAMPLE_K
@@ -2559,4 +2554,131 @@ def docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "log_weight",
         "sample_key",
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR end-to-end (VERDICT r8 item 5): the actual data-selection loop
+# a pre-training pipeline runs, as ONE composed query —
+#
+#   score   every raw document with the DSIR importance weight
+#           (operators/dsir.py, shared verbatim with the standalone
+#           weight query and the streaming monitor),
+#   select  a candidate pool of POOL_K documents by Gumbel-top-k
+#           (exact softmax sampling without replacement — the shared
+#           dsir_gumbel_key, so the pool is reproducible on any
+#           partitioning),
+#   mix     the final batch: Hamilton largest-remainder allocation of
+#           N seats over basis-point source weights (exact integer
+#           math, Σ = N always), filled per source by descending
+#           sample key — the importance order the resample already
+#           established.
+#
+# The mixture deliberately includes a NON-target source (src4) whose
+# documents score low: its pool presence is thin, so the honest-
+# shortfall path (a source with fewer pool docs than its quota
+# returns what exists) is exercised, identically in both engines.
+#
+# Scale shape: the weight pass is corpus-linear (see docs_dsir_weights);
+# the pool is a TakeOrderedAndProject top-K (no global sort); every
+# window after that runs over ≤ POOL_K rows joined to a broadcast
+# 5-row weight table — the mixing stage is constant-bounded no matter
+# the corpus size, so no salted two-phase window is needed here
+# (contrast docs_mixture_sample, which windows over the raw corpus).
+_PIPE_POOL_K = 160
+_PIPE_N = 48
+_PIPE_BPS = (
+    ("src0", 3000),
+    ("src1", 2600),
+    ("src2", 1800),
+    ("src3", 1400),
+    ("src4", 1200),
+)
+
+
+@query(
+    "docs_dsir_pipeline",
+    oracle=f"""
+    WITH w AS (SELECT * FROM ({_DSIR_ORACLE})),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             ROUND(log_weight + ROUND(-ln(-ln(
+               ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                 % {_U53}) + 0.5) / {_U53}.0)), 6), 6) AS sample_key
+      FROM w),
+    pool AS (
+      SELECT k.doc_id, k.log_weight, k.sample_key, d.source
+      FROM (SELECT * FROM keyed
+            ORDER BY sample_key DESC, doc_id LIMIT {_PIPE_POOL_K}) k
+      JOIN documents d USING (doc_id)),
+    mw(source, bps) AS (VALUES {", ".join(f"('{s}', {b})" for s, b in _PIPE_BPS)}),
+    q AS (
+      SELECT source, ({_PIPE_N} * bps) // 10000 AS base,
+             ({_PIPE_N} * bps) % 10000 AS rem
+      FROM mw),
+    seats AS (SELECT {_PIPE_N} - SUM(base) AS s FROM q),
+    alloc AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                         <= (SELECT s FROM seats) THEN 1 ELSE 0 END AS n
+      FROM q),
+    ranked AS (
+      SELECT p.source, p.doc_id, p.log_weight,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.source
+               ORDER BY p.sample_key DESC, p.doc_id) AS mix_rank
+      FROM pool p JOIN mw ON mw.source = p.source)
+    SELECT r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank, r.doc_id,
+           r.log_weight, CAST(a.n AS BIGINT) AS alloc
+    FROM ranked r JOIN alloc a ON a.source = r.source
+    WHERE r.mix_rank <= a.n
+    ORDER BY r.source, r.mix_rank
+    """,
+)
+def docs_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.dsir import dsir_gumbel_key
+
+    d = load_table(spark, sf_dir, "documents")
+    w = docs_dsir_weights(spark, sf_dir)
+    keyed = w.select(
+        "doc_id",
+        "log_weight",
+        dsir_gumbel_key(F.col("log_weight"), F.col("doc_id")).alias(
+            "sample_key"
+        ),
+    )
+    pool = (
+        keyed.orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_PIPE_POOL_K)
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    mw = spark.createDataFrame(list(_PIPE_BPS), "source string, bps long")
+    # Hamilton largest-remainder — exact integer math on both sides
+    base = F.expr(f"(bps * {_PIPE_N}) div 10000")
+    rem = (F.col("bps") * _PIPE_N) % 10000
+    q = mw.select("source", base.alias("base"), rem.alias("rem"))
+    seats = q.agg((F.lit(_PIPE_N) - F.sum("base")).alias("s"))
+    w_seat = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    alloc = q.crossJoin(F.broadcast(seats)).select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w_seat) <= F.col("s"), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    # pool is ≤ POOL_K rows: the per-source window is constant-bounded
+    w_mix = Window.partitionBy("source").orderBy(
+        F.col("sample_key").desc(), F.col("doc_id")
+    )
+    return (
+        pool.join(F.broadcast(mw.select("source")), "source")
+        .withColumn("mix_rank", F.row_number().over(w_mix).cast("bigint"))
+        .join(F.broadcast(alloc), "source")
+        .where(F.col("mix_rank") <= F.col("alloc"))
+        .select("source", "mix_rank", "doc_id", "log_weight", "alloc")
+        .orderBy("source", "mix_rank")
     )

@@ -1404,6 +1404,63 @@ def test_dsir_resample_is_importance_biased_topk_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dsir_pipeline_composition_invariants(spark, sf_dir):
+    """The end-to-end selection loop (VERDICT r8 item 5): the final
+    mixture must (a) be drawn entirely from the Gumbel-top-K pool —
+    the composition adds mixing, never new candidates; (b) respect
+    the Hamilton quotas exactly where the pool can fill them and
+    return the honest shortfall where it cannot; (c) fill each
+    source in descending sample-key order (the resample's importance
+    order survives the mixing stage)."""
+    from fabric_claims_spark.operators.dsir import dsir_gumbel_key
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries.text_docs import (
+        _PIPE_BPS,
+        _PIPE_N,
+        _PIPE_POOL_K,
+    )
+
+    reg = load_all_queries()
+    got = reg["docs_dsir_pipeline"].fn(spark, sf_dir).collect()
+    w = reg["docs_dsir_weights"].fn(spark, sf_dir)
+    keyed = w.select(
+        "doc_id",
+        dsir_gumbel_key(F.col("log_weight"), F.col("doc_id")).alias("sk"),
+    )
+    pool = keyed.orderBy(F.col("sk").desc(), "doc_id").limit(_PIPE_POOL_K)
+    pool_ids = {r["doc_id"] for r in pool.collect()}
+    assert {r["doc_id"] for r in got} <= pool_ids
+
+    allocs = {s: b for s, b in _PIPE_BPS}
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= set(allocs)
+    assert sum({s: rs[0]["alloc"] for s, rs in by_src.items()}.values()) <= (
+        _PIPE_N * len(by_src)
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    src_of = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    pool_by_src: dict[str, int] = {}
+    for did in pool_ids:
+        s = src_of[did]
+        if s in allocs:
+            pool_by_src[s] = pool_by_src.get(s, 0) + 1
+    for s, rs in by_src.items():
+        alloc = rs[0]["alloc"]
+        # quota filled where the pool allows, honest shortfall where not
+        assert len(rs) == min(alloc, pool_by_src.get(s, 0)), s
+        assert sorted(r["mix_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+
+
 def test_simhash_recall_gate_contract(spark, sf_dir):
     """The SimHash gate must read out the operator's real contract:
     near-exact rewrites (cosine >= 0.99 over token-count vectors) are

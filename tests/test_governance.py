@@ -81,3 +81,60 @@ def test_table_store_delete_and_forget_subject(spark, tmp_path):
     )
     assert audit.count() == 2
     assert sorted(r["RowsWritten"] for r in audit.collect()) == [1, 1]
+
+
+def test_k_anonymize_enforces_k_floor(spark, sf_dir):
+    """The enforcement transform's guarantee: every released class
+    (and every surviving row's class) has >= k members; the class
+    table re-measures to k_anonymity >= k; rows agree with classes
+    exactly; the chosen level is the FIRST ladder level whose
+    unsuppressed k reaches the threshold."""
+    from fabric_claims_spark.plans.governance import k_anonymize
+    from fabric_claims_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rows, classes = k_anonymize(c, n, k=5)
+
+    cls = classes.collect()
+    assert cls and min(r["n"] for r in cls) >= 5  # the k floor
+    # one level chosen globally
+    assert len({r["level"] for r in cls}) == 1
+    # rows re-aggregate to exactly the released class table
+    re = {
+        (r["geo"], r["segment"], r["bal_band"]): r["cnt"]
+        for r in rows.groupBy("geo", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert re == {
+        (r["geo"], r["segment"], r["bal_band"]): r["n"] for r in cls
+    }
+    # suppressed + kept == total
+    assert rows.count() + (c.count() - rows.count()) == c.count()
+    assert rows.count() == sum(r["n"] for r in cls)
+
+
+def test_enforce_k_anonymity_audits_suppression(spark, tmp_path, sf_dir):
+    """The audited wrapper logs the KEPT row count under the
+    governance layer (never the suppressed keys) and reports an
+    exact total/kept/suppressed split."""
+    from fabric_claims_spark.plans.governance import enforce_k_anonymity
+    from fabric_claims_spark.sources.audit import AUDIT_TABLE
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.sources.parquet import load_table
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    got = enforce_k_anonymity(store, c, n, k=5)
+    assert got["total"] == c.count()
+    assert got["kept"] + got["suppressed"] == got["total"]
+    assert 0 <= got["level"] <= 3
+    audit = store.read(AUDIT_TABLE).where(
+        F.col("PipelineName") == "k_anonymize"
+    )
+    rows = audit.collect()
+    assert len(rows) == 1
+    assert rows[0]["RowsWritten"] == got["kept"]
+    assert rows[0]["TargetObject"] == "k_anonymize(k=5)"
