@@ -268,6 +268,66 @@ def _lloyd_assign(
     )
 
 
+def _lloyd_assign_join(
+    ev: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Join-based argmin assignment for paper-scale k (VERDICT r8
+    item 3): the centroids ride as a broadcast TABLE instead of k
+    literal expression subtrees, so the PLAN is O(1) in k — the
+    literal path's n-independent compile cost (k·dim literals per
+    row, the residual the SCALING r8 k-regime table measured at
+    37.8 s for k=80 and which won't compile at k in the thousands)
+    disappears. Shape: broadcast-nested-loop join (k rows, no
+    shuffle of the corpus) → per-row (d, cid) struct → min per
+    (vec_id, v). The groupBy keys on v too (functionally dependent
+    on vec_id) so no second join is needed to carry the vector;
+    partial aggregation collapses the k rows per vector map-side, so
+    the one shuffle moves n rows, not n·k.
+
+    Bit-identical to ``_lloyd_assign``: ``dot`` is the same
+    left-fold over zip_with whether the centroid array is a literal
+    or a column, and the (d, cid) struct-min tie-break is the same —
+    pinned by tests/test_extensions.py."""
+    spark = ev.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cid long, cv array<double>",
+    )
+    d = (
+        dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    s = F.struct(d.alias("d"), F.col("cid").alias("cid"))
+    return (
+        ev.crossJoin(F.broadcast(cdf))
+        .groupBy("vec_id", "v")
+        .agg(F.min(s).alias("m"))
+        .select(
+            "vec_id",
+            F.col("v"),
+            F.col("m").getField("cid").alias("cluster"),
+            F.col("m").getField("d").alias("d"),
+        )
+    )
+
+
+def lloyd_assign(
+    ev: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    strategy: str = "literal",
+) -> DataFrame:
+    """Assignment dispatcher: ``literal`` (default — zero-shuffle
+    array_min over k literal structs, the setting every oracle query
+    pins) or ``join`` (broadcast centroid table + group-min, O(1)
+    plan size — the paper-scale-k path)."""
+    if strategy == "join":
+        return _lloyd_assign_join(ev, cents)
+    if strategy == "literal":
+        return _lloyd_assign(ev, cents)
+    raise ValueError(f"unknown assignment strategy: {strategy!r}")
+
+
 def _lloyd_assign_probes(
     ev: DataFrame, cents: list[tuple[int, list[float]]], probes: int = 2
 ) -> DataFrame:
@@ -294,6 +354,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int | None = None,
+    assign: str = "literal",
 ) -> list[tuple[int, list[float]]]:
     """The Lloyd loop itself; returns the trained centroids as driver
     state [(cid, vector)] — the form ``_lloyd_assign`` embeds as
@@ -310,7 +371,13 @@ def kmeans_centroids(
     assignment pass to the caller. Hash-based (not random): the same
     corpus always trains the same centroids, on any partitioning.
     ``None`` (default) keeps exact full-corpus training — the
-    determinism-gate setting every oracle-checked query pins."""
+    determinism-gate setting every oracle-checked query pins.
+
+    ``assign`` picks the Lloyd-step assignment strategy (see
+    ``lloyd_assign``): ``literal`` (default, the oracle-pinned
+    zero-shuffle expression tree) or ``join`` (broadcast centroid
+    table — O(1) plan size, the paper-scale-k path; bit-identical
+    centroids, pinned by pytest)."""
     ev = vectors.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
@@ -340,7 +407,7 @@ def kmeans_centroids(
             f"cannot seed k={k} centroids"
         )
     for _ in range(iters):
-        micro = _lloyd_assign(ev, cents).select(
+        micro = lloyd_assign(ev, cents, strategy=assign).select(
             "cluster",
             F.posexplode(
                 F.transform("v", lambda x: F.round(x * 1e6, 0).cast("long"))

@@ -151,8 +151,18 @@ GATE_PRIORITY: list[str] = [
     # passes through the distributed selection operator — gains a
     # driver row.
     "events_user_rfm_segments",
-    "docs_quality_score",
-    "docs_langid_stopwords",
+    # round-9 swap (VERDICT r8 item 1, judge-proposed demotions): the
+    # cleaning gates docs_quality_score / docs_langid_stopwords move
+    # to the tail (still oracle-checked by the local replica, and
+    # re-exercised by the docs_clean_corpus local twin); their two
+    # driver rows go to round-8/9 flagships the driver has never
+    # hash-checked — the DSIR end-to-end selection pipeline (which
+    # composes docs_dsir_weights, the Gumbel-top-k resample, and the
+    # Hamilton mixture allocation in one row, so three never-checked
+    # operators gain driver coverage through their superset) and the
+    # k-anonymity risk readout (the governance family's measurement).
+    "docs_dsir_pipeline",
+    "customers_k_anonymity",
     "scd2_customer_history",
     "docs_jaccard_pairs",
     # round-6 swap: docs_minhash_signatures and docs_simhash are
@@ -164,7 +174,15 @@ GATE_PRIORITY: list[str] = [
     "docs_minhash_neardup",
     "docs_dup_clusters",
     "docs_bm25_topk",
-    "docs_simhash_neardup",
+    # round-9 swap: the full-corpus SimHash banding moves to the tail
+    # (still oracle-checked locally) — its recall GATE runs the same
+    # production operators verbatim (simhash60_md5 +
+    # extensions.dedup.simhash_band_pairs, identical band/bits/
+    # hamming/cap parameters) over the fixed cohort AND hash-checks
+    # the exact cosine ground truth against them, so the operator
+    # stays prefix-covered while the round-8 quality gate gains the
+    # driver row it never had.
+    "docs_simhash_recall",
     "multimodal_binary_metadata",
     # round-5 swap: PQ/ADC exercises the cosine/top-k machinery the
     # brute-force baseline did (ivf_search keeps TakeOrdered + dot in
@@ -193,7 +211,13 @@ GATE_PRIORITY: list[str] = [
     # cosine via embeddings_pq_adc_knn; the SemDeDup recall gate —
     # which recomputes the assignment AND the brute-force cosine
     # ground truth over the fixed eval cohort — gains the driver row.
-    "embeddings_semdedup_recall",
+    # round-9 swap: that recall row passes to the MULTI-PROBE recall
+    # gate (judge-proposed: _mp supersedes it — same fixed cohort,
+    # same exact ground truth, plus the top-2-probe candidate space),
+    # so the eval machinery stays prefix-covered while the round-8
+    # boundary-recall fix gains driver evidence; the single-probe
+    # gate moves to the tail (still oracle-checked locally).
+    "embeddings_semdedup_recall_mp",
     # round-7 swap: embedding-cosine pair machinery stays
     # prefix-checked via embeddings_semantic_dedup (within-cluster
     # cosine-threshold pair join over the same normalized dot) while
@@ -214,9 +238,24 @@ GATE_PRIORITY: list[str] = [
     "user_capped_balance",
     "not_in_null_semantics",
     "sole_supplier_return_orders",
-    "embeddings_semantic_dedup",
+    # round-9 swap: the single-probe SemDeDup pair pass moves to the
+    # tail (still oracle-checked locally) — the MULTI-PROBE variant is
+    # a strict superset (same Lloyd training; probe 1 of the
+    # array_sort assignment is pytest-pinned bit-identical to the
+    # argmin; survivors_mp ⊆ survivors_sp pinned), so Lloyd assign +
+    # within-cluster cosine pairs stay prefix-covered while the
+    # round-8 recall lift gains its driver row.
+    "embeddings_semantic_dedup_mp",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
+    # round-9 demotions (operators stay prefix-covered — see the
+    # inline notes at their former prefix slots; all five stay
+    # oracle-checked by the local replica):
+    "docs_quality_score",
+    "docs_langid_stopwords",
+    "docs_simhash_neardup",
+    "embeddings_semdedup_recall",
+    "embeddings_semantic_dedup",
     # round-6 demotions (operators stay prefix-covered — see the
     # inline notes at their former prefix slots):
     "docs_minhash_signatures",
@@ -520,12 +559,8 @@ GATE_PRIORITY: list[str] = [
     "docs_hybrid_rrf_served",
     "docs_lsh_index_maintenance",
     "docs_dup_clusters_served",
-    # round-8: SemDeDup boundary multi-probe (VERDICT r7 item 4) —
-    # top-2 centroid assignment for the pair pass lifts pair recall
-    # past the single-probe Voronoi-boundary ceiling; the recall eval
-    # twin measures it over the same fixed cohort
-    "embeddings_semantic_dedup_mp",
-    "embeddings_semdedup_recall_mp",
+    # (round-8's SemDeDup multi-probe pair/recall queries were
+    # promoted to the 50-row prefix in round 9.)
     # round-8: DSIR importance weights (hashed-ngram log-likelihood
     # ratio vs a curated target slice, Xie et al. 2023) — the
     # data-selection scorer between quality filtering and sampling
@@ -538,22 +573,12 @@ GATE_PRIORITY: list[str] = [
     # twin of the SemDeDup recall gates; banding misses and estimator
     # misses reported separately)
     "docs_minhash_recall",
-    # round-8: SimHash gate completes the recall-gate trio — two
-    # cosine truth bands make the hamming<=3 contract measurable
-    # (near-exact rewrites caught, paraphrase distance correctly
-    # delegated to MinHash)
-    "docs_simhash_recall",
-    # round-8: k-anonymity risk readout — the governance family's
-    # measurement piece (smallest quasi-ID equivalence class + the
-    # k<5 violation share)
-    "customers_k_anonymity",
+    # (round-8's SimHash recall gate and k-anonymity readout, and
+    # round-9's DSIR end-to-end pipeline, were promoted to the 50-row
+    # prefix in round 9.)
     # round-8: training-mixture sampling — Hamilton-exact per-source
     # allocation + deterministic hash draws (the data-mixing step)
     "docs_mixture_sample",
-    # round-9: DSIR end-to-end (VERDICT r8 item 5) — weights →
-    # Gumbel-top-k pool → Hamilton mixture allocation as ONE composed
-    # data-selection query, sharing operators/dsir.py verbatim
-    "docs_dsir_pipeline",
     # round-9: k-anonymity enforcement (VERDICT r8 item 6) — the
     # generalization-ladder + suppression transform behind the risk
     # readout; min(n) of the released class table IS its k-anonymity

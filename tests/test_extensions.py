@@ -1528,6 +1528,48 @@ def test_kmeans_sampled_training_deterministic_and_useful(spark, sf_dir):
     assert sse(a) < sse(seeded)
 
 
+def test_lloyd_assign_join_strategy_bit_identical(spark, sf_dir):
+    """The paper-scale-k assignment path (VERDICT r8 item 3): the
+    broadcast-centroid-table + group-min assignment must be
+    BIT-identical to the literal expression tree — same argmin
+    cluster, same distance doubles, row for row — and training with
+    assign='join' must reproduce the literal-trained centroids
+    exactly (dot is the same zip_with left-fold either way; the
+    (d, cid) struct-min tie-break is the same)."""
+    from fabric_claims_spark.extensions.similarity import (
+        _lloyd_assign,
+        _lloyd_assign_join,
+        as_double_array,
+        kmeans_centroids,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    ev = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    lit_rows = {
+        r["vec_id"]: (r["cluster"], r["d"])
+        for r in _lloyd_assign(ev, cents).collect()
+    }
+    join_rows = {
+        r["vec_id"]: (r["cluster"], r["d"])
+        for r in _lloyd_assign_join(ev, cents).collect()
+    }
+    assert lit_rows == join_rows  # exact doubles, not approx
+
+    cents_j = kmeans_centroids(emb, k=8, iters=2, assign="join")
+    assert cents == cents_j
+
+    # the join path's plan must not embed per-centroid literals
+    plan = (
+        _lloyd_assign_join(ev, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_kmeans_sample_cap_never_underfills_k(spark, sf_dir):
     """Guard rails on sampled training (ADVICE r8): a cap whose hash
     sample would yield fewer than k rows falls back to full-corpus

@@ -79,7 +79,10 @@ def test_demoted_time_calc_twins_share_operator_with_prefix():
     # was itself demoted in round 8: A9 filtered aggregates stay
     # prefix-checked via conditional_status_aggregates.
     assert "conditional_status_aggregates" in prefix
-    assert "docs_simhash_neardup" in prefix  # what rolling_12m made room for
+    # docs_simhash_neardup (what rolling_12m made room for in round 4)
+    # was itself demoted in round 9: SimHash banding stays
+    # prefix-checked via its recall gate (same production operators).
+    assert "docs_simhash_recall" in prefix
     for demoted in (
         "qtd_running_revenue",
         "mtd_running_revenue",
@@ -127,8 +130,12 @@ def test_round5_rotation():
         "embeddings_normalize",
     ):
         assert demoted in reg and reg[demoted].oracle is not None
-    # operator coverage the demotions lean on
-    assert "docs_quality_score" in prefix  # token/length stats
+    # operator coverage the demotions lean on. docs_quality_score
+    # (token/length stats) was itself demoted in round 9 (judge-
+    # proposed, VERDICT r8 item 1); docs_bm25_topk keeps
+    # tokenization + doc-length machinery prefix-checked and the
+    # quality gates stay oracle-checked locally.
+    assert "docs_bm25_topk" in prefix
     assert "docs_jaccard_pairs" in prefix  # shingle machinery
     # vector-norm/cosine algebra (knn_bruteforce was itself demoted by
     # the second round-5 swap; pq_adc + semantic_dedup keep it covered)
@@ -178,10 +185,16 @@ def test_round6_flagship_rotation():
         "user_capped_balance",
         "not_in_null_semantics",
         "sole_supplier_return_orders",
-        "embeddings_semantic_dedup",
+        # embeddings_semantic_dedup's row passed to its multi-probe
+        # superset in round 9 (probe 1 bit-identical, survivors
+        # pinned) — the SemDeDup operator keeps a driver row.
+        "embeddings_semantic_dedup_mp",
     ):
         assert promoted in prefix, promoted
-    for covering in ("docs_minhash_neardup", "docs_simhash_neardup",
+    # docs_simhash_neardup's covering duty passed to its recall gate
+    # in round 9 (same simhash60_md5 + simhash_band_pairs, identical
+    # parameters, cohort-bounded, plus exact cosine ground truth).
+    for covering in ("docs_minhash_neardup", "docs_simhash_recall",
                      "pivot_status_by_priority", "docs_jaccard_pairs"):
         assert covering in prefix, covering
     for demoted in (
@@ -235,7 +248,7 @@ def test_round7_flagship_rotation():
         "dq_reasons_orders",
         "not_in_null_semantics",
         "events_session_window",
-        "embeddings_semantic_dedup",
+        "embeddings_semantic_dedup_mp",  # round-9: superset of the sp twin
     ):
         assert covering in prefix, covering
     for demoted in (
@@ -302,10 +315,12 @@ def test_round5_continuation_swap():
     prefix = set(names[:50])
     # docs_split_leakage and embeddings_ivf_search were demoted in
     # round 8 (see test_round8_flagship_rotation); the assignment
-    # argmax stays prefix-checked via embeddings_semantic_dedup and
-    # embeddings_semdedup_recall, which recompute it inline.
-    assert "embeddings_semantic_dedup" in prefix
-    assert "embeddings_semdedup_recall" in prefix
+    # argmax stays prefix-checked via the multi-probe SemDeDup pair
+    # (probe 1 pytest-pinned bit-identical to the argmin) and its
+    # recall gate, which recompute it inline (round-9 rotation took
+    # the single-probe twins to the tail).
+    assert "embeddings_semantic_dedup_mp" in prefix
+    assert "embeddings_semdedup_recall_mp" in prefix
     assert "embeddings_ivf_assign" in names[50:]
     assert reg["embeddings_ivf_assign"].oracle is not None
 
@@ -344,17 +359,23 @@ def test_round8_flagship_rotation():
     for promoted in (
         "docs_hybrid_rrf_indexed",
         "events_funnel_windowed",
-        "embeddings_semdedup_recall",
+        # the single-probe recall row passed to its _mp superset in
+        # round 9 (same cohort, same exact ground truth, wider
+        # candidate space).
+        "embeddings_semdedup_recall_mp",
         "events_user_survival_km",
         "events_user_rfm_segments",
     ):
         assert promoted in prefix, promoted
+    # round-9 note: docs_quality_score / docs_langid_stopwords (the
+    # clean-corpus gates) and docs_simhash_neardup /
+    # embeddings_semantic_dedup were themselves rotated to the tail
+    # (judge-proposed, VERDICT r8 item 1) — their operators stay
+    # prefix-covered by the recall gates and _mp supersets below.
     for covering in (
         "conditional_status_aggregates",
-        "docs_quality_score",
-        "docs_langid_stopwords",
-        "docs_simhash_neardup",
-        "embeddings_semantic_dedup",
+        "docs_simhash_recall",
+        "embeddings_semantic_dedup_mp",
         "embeddings_pq_adc_knn",
     ):
         assert covering in prefix, covering
@@ -367,3 +388,56 @@ def test_round8_flagship_rotation():
     ):
         assert demoted in reg and reg[demoted].oracle is not None
         assert demoted not in prefix, demoted
+
+
+def test_round9_flagship_rotation():
+    """Round-9 curation (VERDICT r8 item 1): five rows the driver has
+    never hash-checked gain driver rows — the DSIR end-to-end
+    selection pipeline, the k-anonymity readout, the SimHash recall
+    gate, and the multi-probe SemDeDup pair + recall queries. The
+    five demoted twins (all judge-proposed or superseded by strict
+    supersets) stay registered with oracles, and their operators stay
+    prefix-covered:
+
+    * docs_quality_score / docs_langid_stopwords -> tail
+      (judge-proposed): the cleaning gates stay oracle-checked
+      locally and re-exercised by the docs_clean_corpus local twin;
+      tokenization/length machinery stays prefix-checked via
+      docs_bm25_topk.
+    * docs_simhash_neardup -> tail: docs_simhash_recall runs
+      simhash60_md5 + simhash_band_pairs verbatim (identical
+      band/bits/hamming/cap) over the fixed cohort AND hash-checks
+      exact cosine ground truth against the candidates.
+    * embeddings_semdedup_recall -> tail (judge-proposed): the _mp
+      gate supersedes it — same cohort, same exact ground truth,
+      top-2-probe candidate space.
+    * embeddings_semantic_dedup -> tail: the _mp pair pass is a
+      strict superset (probe 1 pytest-pinned bit-identical to the
+      argmin; survivors_mp ⊆ survivors_sp pinned).
+
+    docs_dsir_pipeline composes docs_dsir_weights, the Gumbel-top-k
+    resample, and the Hamilton mixture allocation in one driver row,
+    so docs_dsir_weights / docs_dsir_resample / docs_mixture_sample
+    machinery is prefix-covered through the superset while the
+    standalone queries stay oracle-checked locally."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "docs_dsir_pipeline",
+        "customers_k_anonymity",
+        "docs_simhash_recall",
+        "embeddings_semdedup_recall_mp",
+        "embeddings_semantic_dedup_mp",
+    ):
+        assert promoted in prefix, promoted
+    for demoted in (
+        "docs_quality_score",
+        "docs_langid_stopwords",
+        "docs_simhash_neardup",
+        "embeddings_semdedup_recall",
+        "embeddings_semantic_dedup",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
+    # round-9 additions past the prefix stay oracle-checked locally
+    assert reg["customers_k_anonymize_enforced"].oracle is not None
