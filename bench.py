@@ -9,6 +9,15 @@ Each query executes to completion (count() action — results are
 aggregates or bounded sets, so the action cost is the query cost, not
 a driver transfer). A warmup query amortizes JVM/codegen startup out
 of the measured numbers.
+
+Full-suite honesty (VERDICT r8 item 2): the canary basket re-runs at
+the END of the full-suite pass and is emitted as its own
+``full_suite_drift`` record, so the suite total carries an in-band
+drift basis for ITS OWN window (the headline canary runs much
+earlier — r8's audit trail showed host load escalating mid-run, which
+made the 631 s total undecomposable). Every record this script prints
+is also persisted to ``BENCH_full_r{N}.json`` beside this file, so
+the driver's tail-truncated capture stops eating the per-query dict.
 """
 
 from __future__ import annotations
@@ -71,6 +80,14 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_FULL=0) and reported alongside.
     timings: dict[str, float] = {}
 
+    # every printed record also lands in BENCH_full_r{N}.json — the
+    # truncation-proof audit copy (VERDICT r8 item 2)
+    records: list[dict] = []
+
+    def emit(rec: dict) -> None:
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
     def run_one(name: str, into: dict[str, float] | None = None) -> None:
         t0 = time.time()
         registry[name].fn(spark, sf_dir).count()
@@ -108,18 +125,15 @@ def main() -> None:
             sum(timings[n] for n in CANARY if n in timings), 3
         ),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: timings[n] for n in HEADLINE},
-                **canary,
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    emit(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in HEADLINE},
+            **canary,
+            "sf": sf,
+        }
     )
 
     # Cadence guard (VERDICT r6 item 9): identical code benched
@@ -140,45 +154,66 @@ def main() -> None:
     def _median3(xs: list[float]) -> float:
         return sorted(xs)[1]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_solo_median",
-                "value": _median3(run_totals),
-                "unit": "sec",
-                "runs": run_totals,
-                "queries": {
-                    n: _median3([r[n] for r in solo_runs]) for n in HEADLINE
-                },
-                "canary_total": round(
-                    _median3(
-                        [sum(r[n] for n in CANARY if n in r) for r in solo_runs]
-                    ),
-                    3,
+    emit(
+        {
+            "metric": "headline_solo_median",
+            "value": _median3(run_totals),
+            "unit": "sec",
+            "runs": run_totals,
+            "queries": {
+                n: _median3([r[n] for r in solo_runs]) for n in HEADLINE
+            },
+            "canary_total": round(
+                _median3(
+                    [sum(r[n] for n in CANARY if n in r) for r in solo_runs]
                 ),
-                "sf": sf,
-            }
-        ),
-        flush=True,
+                3,
+            ),
+            "sf": sf,
+        }
     )
 
     if full:
         for name in registry:
             if name not in timings:
                 run_one(name)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_suite_total",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "full_suite_total": round(sum(timings.values()), 3),
-                    **canary,
-                    "sf": sf,
-                }
-            ),
-            flush=True,
+        emit(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "full_suite_total": round(sum(timings.values()), 3),
+                **canary,
+                "sf": sf,
+            }
+        )
+        # End-of-suite canary window (VERDICT r8 item 2): the headline
+        # canary above ran BEFORE the ~10-minute full-suite pass, so it
+        # cannot witness host drift DURING the pass (r8: solo totals
+        # [22.7, 23.8, 38.3] — load escalating mid-run). Re-run the
+        # basket now and emit both windows side by side; the suite
+        # total becomes decomposable into code vs host with numbers
+        # from its own run.
+        canary_end: dict[str, float] = {}
+        for name in CANARY:
+            run_one(name, canary_end)
+        end_total = round(sum(canary_end.values()), 3)
+        emit(
+            {
+                "metric": "full_suite_drift",
+                "canary_end_queries": canary_end,
+                "canary_end_total": end_total,
+                "canary_headline_total": canary["canary_total"],
+                "within_run_drift": round(
+                    end_total / canary["canary_total"], 3
+                )
+                if canary["canary_total"]
+                else None,
+                "full_suite_total": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
+                "sf": sf,
+            }
         )
 
     # Host-drift defense, machine-readable (VERDICT r5 item 7): the
@@ -196,15 +231,12 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")))
         for ref in {rounds[0], rounds[-1]} if rounds else set():
-            print(
-                json.dumps(
-                    {
-                        "metric": "bench_compare_normalized",
-                        "vs": os.path.basename(ref),
-                        **_bc_verdict(_bc_load(ref), timings),
-                    }
-                ),
-                flush=True,
+            emit(
+                {
+                    "metric": "bench_compare_normalized",
+                    "vs": os.path.basename(ref),
+                    **_bc_verdict(_bc_load(ref), timings),
+                }
             )
     except Exception as e:  # the compare must never sink the bench
         print(
@@ -218,19 +250,43 @@ def main() -> None:
     # so the compact headline record must also be the very LAST line —
     # printing it only first loses it whenever the full-suite record
     # above overflows the capture window.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: timings[n] for n in HEADLINE},
-                **canary,
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    emit(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: timings[n] for n in HEADLINE},
+            **canary,
+            "sf": sf,
+        }
     )
+
+    # Persist the complete record set beside this file: the driver's
+    # BENCH_r{N}.json keeps only a head-truncated tail of stdout (r8
+    # lost all but 14 of 248 per-query timings), so the audit copy is
+    # written here and committed with the round.
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        n_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if not n_round:
+            seen = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            n_round = str(max(seen) + 1 if seen else 1)
+        out = os.path.join(here, f"BENCH_full_r{int(n_round):02d}.json")
+        with open(out, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+    except Exception as e:  # persistence must never sink the bench
+        print(
+            json.dumps({"metric": "bench_persist", "error": str(e)[:200]}),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -312,6 +312,60 @@ def _lloyd_assign_join(
     )
 
 
+def _lloyd_assign_arrow(
+    ev: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Vectorized argmin assignment (sanctioned Arrow ``mapInPandas``,
+    SURVEY §2.10): the centroid matrix rides to every task as a
+    closure constant (k·dim doubles — the same bounded driver state
+    the literal path embeds), and each Arrow batch computes all
+    batch×k distances as ONE BLAS matmul — no n·k row
+    materialization, no shuffle, O(1) plan size.
+
+    This is the paper-scale regime both in k AND in n·k: the literal
+    tree pays a plan/codegen term superlinear in k (measured 158 s at
+    k=800 before touching data — SCALING.md r9) and the join pays an
+    interpreted per-(row,centroid) cost. Matmul summation order
+    differs from the fold, so distances can differ in the last ulp —
+    this path is opt-in for scale, NEVER the oracle-pinned default;
+    parity (same clusters, distances to 1e-9 relative) is pinned by
+    tests/test_extensions.py."""
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(cents)  # ascending cid == the struct-min tie-break
+    cmat = np.asarray([cv for _, cv in ordered], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in ordered], dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+    # declared output: input id/vector columns + (cluster, d)
+    out_schema = (
+        f"vec_id {ev.schema['vec_id'].dataType.simpleString()}, "
+        "v array<double>, cluster bigint, d double"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf["v"].to_numpy())
+            d = (
+                (vmat * vmat).sum(axis=1)[:, None]
+                - 2.0 * (vmat @ cmat.T)
+                + c2[None, :]
+            )
+            j = d.argmin(axis=1)  # first minimum == smallest cid on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cluster": cids[j],
+                    "d": d[np.arange(len(j)), j],
+                }
+            )
+
+    return ev.mapInPandas(assign, out_schema)
+
+
 def lloyd_assign(
     ev: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -319,10 +373,13 @@ def lloyd_assign(
 ) -> DataFrame:
     """Assignment dispatcher: ``literal`` (default — zero-shuffle
     array_min over k literal structs, the setting every oracle query
-    pins) or ``join`` (broadcast centroid table + group-min, O(1)
-    plan size — the paper-scale-k path)."""
+    pins), ``join`` (broadcast centroid table + group-min, O(1) plan
+    size), or ``arrow`` (mapInPandas BLAS matmul — O(1) plan AND
+    vectorized execution; last-ulp distance drift, so opt-in only)."""
     if strategy == "join":
         return _lloyd_assign_join(ev, cents)
+    if strategy == "arrow":
+        return _lloyd_assign_arrow(ev, cents)
     if strategy == "literal":
         return _lloyd_assign(ev, cents)
     raise ValueError(f"unknown assignment strategy: {strategy!r}")

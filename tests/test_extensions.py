@@ -1569,6 +1569,21 @@ def test_lloyd_assign_join_strategy_bit_identical(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" in plan
 
+    # the arrow path (BLAS matmul, opt-in): same clusters everywhere;
+    # distances may drift in the last ulp (different summation order),
+    # so parity is 1e-9 relative, not bit-exact
+    from fabric_claims_spark.extensions.similarity import lloyd_assign
+
+    arrow_rows = {
+        r["vec_id"]: (r["cluster"], r["d"])
+        for r in lloyd_assign(ev, cents, strategy="arrow").collect()
+    }
+    assert set(arrow_rows) == set(lit_rows)
+    for vid, (cl, d) in lit_rows.items():
+        acl, ad = arrow_rows[vid]
+        assert acl == cl, vid
+        assert abs(ad - d) <= 1e-9 * max(1.0, abs(d)), (vid, ad, d)
+
 
 def test_kmeans_sample_cap_never_underfills_k(spark, sf_dir):
     """Guard rails on sampled training (ADVICE r8): a cap whose hash

@@ -65,32 +65,47 @@ def kassign(spark) -> None:
     print("(x10 sf0.1 embeddings replica; seeds only — the pass under")
     print("test is the full-corpus assignment, the linear term every")
     print("Lloyd iteration and every IVF build repeats)\n")
-    print("| k | vectors | literal wall | join wall |")
-    print("|---|---|---|---|")
+    print(
+        "| scale | vectors | k | literal wall | join wall | arrow wall |"
+    )
+    print("|---|---|---|---|---|---|")
     base = spark.read.parquet(f"{SF01}/embeddings.parquet")
     work = tempfile.mkdtemp(prefix="kas9_")
     try:
-        c = spark.range(10).select(F.col("id").alias("_c"))
-        base.crossJoin(c).select(
-            (F.col("vec_id") + F.col("_c") * F.lit(10**7)).alias("vec_id"),
-            "embedding",
-        ).write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
-        emb = spark.read.parquet(f"{work}/embeddings.parquet")
-        n_vec = emb.count()
-        ev = emb.select("vec_id", as_double_array("embedding").alias("v"))
-        for k in (80, 800):
-            cents = kmeans_centroids(emb, k=k, iters=0)
-            walls = {}
-            counts = {}
-            for strat in ("literal", "join"):
-                _clear(spark)
-                t0 = time.time()
-                counts[strat] = lloyd_assign(ev, cents, strategy=strat).count()
-                walls[strat] = round(time.time() - t0, 2)
-            assert counts["literal"] == counts["join"] == n_vec, counts
-            print(
-                f"| {k} | {n_vec} | {walls['literal']} | {walls['join']} |"
+        # x1 rows isolate the literal path's n-INDEPENDENT term (plan
+        # build/codegen of k*dim literal subtrees): if the x1 wall is
+        # close to the x10 wall, the cost is the plan, not the data.
+        for copies in (1, 10):
+            c = spark.range(copies).select(F.col("id").alias("_c"))
+            base.crossJoin(c).select(
+                (F.col("vec_id") + F.col("_c") * F.lit(10**7)).alias(
+                    "vec_id"
+                ),
+                "embedding",
+            ).write.mode("overwrite").parquet(f"{work}/embeddings.parquet")
+            emb = spark.read.parquet(f"{work}/embeddings.parquet")
+            n_vec = emb.count()
+            ev = emb.select(
+                "vec_id", as_double_array("embedding").alias("v")
             )
+            for k in (80, 800):
+                cents = kmeans_centroids(emb, k=k, iters=0)
+                walls = {}
+                counts = {}
+                for strat in ("literal", "join", "arrow"):
+                    _clear(spark)
+                    t0 = time.time()
+                    counts[strat] = lloyd_assign(
+                        ev, cents, strategy=strat
+                    ).count()
+                    walls[strat] = round(time.time() - t0, 2)
+                assert len(set(counts.values())) == 1 and (
+                    counts["literal"] == n_vec
+                ), counts
+                print(
+                    f"| x{copies} | {n_vec} | {k} | {walls['literal']} |"
+                    f" {walls['join']} | {walls['arrow']} |"
+                )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
