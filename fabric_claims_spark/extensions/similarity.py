@@ -504,6 +504,8 @@ def ivf_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     path: str | None = None,
+    sample_cap: int | None = None,
+    assign: str = "literal",
 ) -> list[tuple[int, list[float]]]:
     """Train centroids (Lloyd) and persist the vectors BUCKETED on
     ``assigned_centroid`` — the write-once layout that makes every
@@ -513,15 +515,23 @@ def ivf_index_build(
     plan), so a query touches 1/k of a 100 TB index per probed
     centroid with no shuffle and no index-wide scan. Returns the
     trained centroids (persist them beside the table in production).
+
+    ``sample_cap`` / ``assign`` are the paper-scale-k levers (see
+    ``kmeans_centroids`` / ``lloyd_assign``): hash-sampled training
+    and O(1)-plan assignment. Defaults keep the exact oracle-pinned
+    paths bit-identical.
     """
     from fabric_claims_spark.operators.bucketing import write_bucketed
 
-    cents = kmeans_centroids(vectors, k, iters, id_col, vec_col)
+    cents = kmeans_centroids(
+        vectors, k, iters, id_col, vec_col,
+        sample_cap=sample_cap, assign=assign,
+    )
     ev = vectors.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
     indexed = vectors.join(
-        _lloyd_assign(ev, cents).select(
+        lloyd_assign(ev, cents, strategy=assign).select(
             F.col("vec_id").alias(id_col),
             F.col("cluster").alias("assigned_centroid"),
         ),

@@ -78,6 +78,9 @@ LSH_BANDS = "lsh_bands"
 LSH_PAIRS = "lsh_pairs"
 LSH_COMMITS = "lsh_commits"
 
+IVF_VECS = "ivf_vecs"
+IVF_COMMITS = "ivf_commits"
+
 _TOKEN = "_token"
 
 
@@ -323,3 +326,74 @@ def apply_lsh_batch(
 def read_lsh_pairs(store: TableStore) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) — committed rows only."""
     return _committed_rows(store, LSH_PAIRS, LSH_COMMITS)
+
+
+# -- IVF vector index ----------------------------------------------------------
+
+
+def apply_ivf_batch(
+    store: TableStore,
+    batch_vectors: DataFrame,
+    batch_id: int,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold one vector increment into the stored IVF index: assign
+    each new vector to its nearest FIXED coarse centroid and append
+    token-stamped (vec_id, ev, assigned_centroid, centroid_sim) rows.
+
+    The quantizer is trained once at index build and held fixed
+    across increments (the FAISS discipline — re-training moves every
+    existing bucket boundary, so that is an index REBUILD, not
+    maintenance). ``centroids`` is the (centroid_id, cv) frame, k
+    rows, broadcast; assignment is O(batch·k) with cosine rounded to
+    6 dp and row_number ties to the smaller centroid_id — the exact
+    ``embeddings_ivf_assign`` expressions, so the stored assignment
+    hash-matches the one-shot query. The stored corpus is never
+    re-scanned. Same commit protocol as the lexical/LSH indexes:
+    token-stamped appends, atomic commit, redelivery no-op."""
+    if _applied(store, IVF_COMMITS, batch_id):
+        return
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = batch_vectors.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = _dot(F.col("ev"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("ev"), F.col("ev")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = e.join(F.broadcast(centroids)).select(
+        "vec_id", "ev", "centroid_id", F.round(cos, 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "ev",
+            F.col("centroid_id").alias("assigned_centroid"),
+            F.col("sim").alias("centroid_sim"),
+        )
+    )
+    token = uuid.uuid4().hex
+    store.append(IVF_VECS, assigned.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, IVF_COMMITS, batch_id, token)
+
+
+def read_ivf_index(store: TableStore) -> DataFrame:
+    """(vec_id, ev, assigned_centroid, centroid_sim) — committed rows
+    only. In production this table is written bucketed on
+    ``assigned_centroid`` (operators/bucketing.py) so a probe reads
+    only its buckets; the gate consumers filter on the column, which
+    partition-prunes the same way."""
+    return _committed_rows(store, IVF_VECS, IVF_COMMITS)

@@ -583,6 +583,13 @@ GATE_PRIORITY: list[str] = [
     # generalization-ladder + suppression transform behind the risk
     # readout; min(n) of the released class table IS its k-anonymity
     "customers_k_anonymize_enforced",
+    # round-9: the serving family's third leg — incremental IVF vector
+    # index (fixed quantizer, O(batch·k) apply, redelivery no-op) and
+    # the bucket-pruned ANN consumer reading the stored assignment;
+    # oracles shared verbatim with embeddings_ivf_assign /
+    # embeddings_ivf_search, so stored == in-plan is a hash identity
+    "embeddings_ivf_index_maintenance",
+    "embeddings_ivf_search_served",
 ]
 
 

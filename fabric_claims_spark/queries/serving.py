@@ -22,6 +22,12 @@ Three claims, each its own query:
   STORED pair table (single-increment build == one-shot LSH) produces
   the identical (doc, cluster, size, canonical) frame as
   ``docs_dup_clusters``; oracle shared verbatim.
+* ``embeddings_ivf_index_maintenance`` (round 9) — the stored IVF
+  assignment after a three-increment build (one redelivered) equals
+  the one-shot ``embeddings_ivf_assign``; oracle shared verbatim.
+* ``embeddings_ivf_search_served`` (round 9) — the ANN consumer
+  probing the STORED assignment fuses the identical top-10 as the
+  in-plan ``embeddings_ivf_search``; oracle shared verbatim.
 
 Each query builds its store in a throwaway directory and returns a
 ``localCheckpoint``-materialized result, so the temp store can be
@@ -37,8 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.operators.serving_index import (
+    apply_ivf_batch,
     apply_lexical_batch,
     apply_lsh_batch,
+    read_ivf_index,
     read_lexical_index,
     read_lsh_pairs,
 )
@@ -52,7 +60,11 @@ from fabric_claims_spark.queries.lsh import (
     _sql_mins_cte,
     _sql_shingles_cte,
 )
-from fabric_claims_spark.queries.similarity import _RRF_INDEXED_ORACLE
+from fabric_claims_spark.queries.similarity import (
+    _IVF_ASSIGN_ORACLE,
+    _IVF_SEARCH_ORACLE,
+    _RRF_INDEXED_ORACLE,
+)
 from fabric_claims_spark.sources.merge import TableStore
 from fabric_claims_spark.sources.parquet import load_table
 
@@ -283,6 +295,124 @@ def docs_dup_clusters_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc") == F.col("cluster")).cast("long"),
             )
             .orderBy("doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# IVF vector index (round 9): the serving family's third leg — the
+# lexical and LSH indexes cover retrieval and near-dup; this covers
+# ANN. The quantizer (k seed centroids) is FIXED at build; increments
+# fold in at O(batch·k) assignment cost; consumers read the stored
+# assignment instead of recomputing it per query.
+
+
+@query("embeddings_ivf_index_maintenance", oracle=_IVF_ASSIGN_ORACLE)
+def embeddings_ivf_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental == one-shot for the stored IVF assignment: the
+    vectors arrive as three disjoint pmod(vec_id, 3) increments,
+    increment 1 is applied twice (redelivery must be a no-op), and
+    the consumer-visible (vec_id, assigned_centroid, centroid_sim)
+    state must hash-equal the one-shot ``embeddings_ivf_assign``
+    (oracle shared verbatim). The quantizer is held fixed across
+    increments — retraining moves every bucket boundary, so that is
+    an index REBUILD by contract (operators/serving_index.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    work = tempfile.mkdtemp(prefix="ivf_idx_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(3):
+            batch = emb.where(F.pmod("vec_id", F.lit(3)) == b)
+            apply_ivf_batch(store, batch, b, cent)
+            if b == 1:  # redelivered increment: exactly-once state
+                apply_ivf_batch(store, batch, b, cent)
+        return (
+            read_ivf_index(store)
+            .select("vec_id", "assigned_centroid", "centroid_sim")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("embeddings_ivf_search_served", oracle=_IVF_SEARCH_ORACLE)
+def embeddings_ivf_search_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The served twin of ``embeddings_ivf_search``: the probe reads
+    the STORED assignment (built incrementally above) instead of
+    recomputing the coarse assignment over the corpus — at scale the
+    stored table is bucketed on assigned_centroid so the probe is a
+    bucket-pruned read of nprobe/k of the index. Routing (query
+    vector → nprobe nearest centroids) and exact re-scoring are
+    identical expressions, so the fused top-10 hash-equals the
+    in-plan twin (oracle shared verbatim)."""
+    from fabric_claims_spark.queries.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _IVF_TOPK,
+        _as_double,
+        _cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+    work = tempfile.mkdtemp(prefix="ivf_srv_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(3):
+            apply_ivf_batch(
+                store, emb.where(F.pmod("vec_id", F.lit(3)) == b), b, cent
+            )
+        stored = read_ivf_index(store)
+
+        probe = (
+            cent.join(F.broadcast(q))
+            .select(
+                "centroid_id",
+                F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+            .limit(_IVF_NPROBE)
+            .select("centroid_id")
+        )
+        return (
+            stored.where(F.col("vec_id") != 0)
+            .join(
+                F.broadcast(probe),
+                F.col("assigned_centroid") == F.col("centroid_id"),
+            )
+            .join(
+                F.broadcast(q)
+            )
+            .join(
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", "label"
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            .limit(_IVF_TOPK)
             .localCheckpoint(eager=True)
         )
     finally:

@@ -96,9 +96,10 @@ def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF assignment: nearest of K fixed centroids per vector (the coarse
 # quantizer of an IVF index; centroids broadcast so the fact side
 # never shuffles). Deterministic ties broken by centroid_id.
-@query(
-    "embeddings_ivf_assign",
-    oracle="""
+# shared verbatim with the stored-index maintenance gate
+# (queries/serving.py): the incrementally-built assignment table must
+# hash-equal this one-shot assignment
+_IVF_ASSIGN_ORACLE = """
     WITH centroids AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id < 8),
@@ -112,8 +113,10 @@ def embeddings_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     QUALIFY ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
-    """,
-)
+    """
+
+
+@query("embeddings_ivf_assign", oracle=_IVF_ASSIGN_ORACLE)
 def embeddings_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 8).select(
@@ -269,9 +272,10 @@ _IVF_NPROBE = 2
 _IVF_TOPK = 10
 
 
-@query(
-    "embeddings_ivf_search",
-    oracle=f"""
+# shared verbatim with the served twin (queries/serving.py) — same
+# routing, same bucketing, same scoring, so stored == in-plan is a
+# hash identity
+_IVF_SEARCH_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
     q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
@@ -304,8 +308,10 @@ _IVF_TOPK = 10
     WHERE e.vec_id != 0
     ORDER BY cosine_sim DESC, e.vec_id ASC
     LIMIT {_IVF_TOPK}
-    """,
-)
+    """
+
+
+@query("embeddings_ivf_search", oracle=_IVF_SEARCH_ORACLE)
 def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))

@@ -286,3 +286,47 @@ def lsh_index_stream(
         .awaitTermination()
     )
     return read_lsh_pairs(store)
+
+
+def ivf_index_stream(
+    spark: SparkSession,
+    vecs_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Continuously maintained IVF vector index — the streaming face
+    of ``operators/serving_index.apply_ivf_batch``: each arriving
+    vector file is assigned to its nearest FIXED coarse centroid
+    (O(batch·k); the quantizer never moves between increments — a
+    re-train is an index rebuild by contract) and appended with
+    exactly-once visibility, so foreachBatch's at-least-once
+    redelivery needs no extra guard.
+
+    Returns the served assignment table — the exact frame
+    ``embeddings_ivf_search_served`` probes."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        read_ivf_index,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(vecs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vecs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ivf_batch(store, batch_df, batch_id, centroids)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_ivf_index(store)

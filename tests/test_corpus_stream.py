@@ -337,3 +337,65 @@ def test_lsh_index_stream_matches_oneshot_and_survives_tear(
         spark, str(docs_dir), ckpt, str(tmp_path / "store_s")
     )
     assert pairs(again) == pairs(want)
+
+
+def test_ivf_index_stream_matches_oneshot_and_survives_tear(
+    spark, tmp_path
+):
+    """Streaming IVF-index maintenance: the streamed assignment table
+    must equal a one-shot apply over all vectors (the quantizer is
+    FIXED, so per-vector assignment is batch-independent by
+    construction — this pins that the plumbing preserves it), and a
+    torn commit must not duplicate rows."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        read_ivf_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import ivf_index_stream
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+        for i in range(1, 13)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(1, [1.0, 3.0, 6.0, 9.0]), (2, [8.0, 0.0, 3.0, 6.0])],
+        "centroid_id long, cv array<double>",
+    )
+    vecs_dir = tmp_path / "vecs"
+    vecs_dir.mkdir()
+    for name, pred in (("a", F.col("vec_id") <= 6), ("b", F.col("vec_id") > 6)):
+        side = tmp_path / f"vside_{name}"
+        vecs.where(pred).coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            vecs_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_ivf")
+    got = ivf_index_stream(
+        spark, str(vecs_dir), ckpt, str(tmp_path / "vstore_s"), cent
+    )
+
+    one = TableStore(spark, str(tmp_path / "vstore_1"))
+    apply_ivf_batch(one, vecs, 0, cent)
+    want = read_ivf_index(one)
+
+    def asg(df):
+        return sorted(
+            (r["vec_id"], r["assigned_centroid"], r["centroid_sim"])
+            for r in df.collect()
+        )
+
+    assert asg(got) == asg(want)
+    assert len(asg(got)) == 12  # every vector exactly once
+
+    _tear_last_commit(ckpt)
+    again = ivf_index_stream(
+        spark, str(vecs_dir), ckpt, str(tmp_path / "vstore_s"), cent
+    )
+    assert asg(again) == asg(want)

@@ -440,4 +440,9 @@ def test_round9_flagship_rotation():
         assert demoted in reg and reg[demoted].oracle is not None
         assert demoted not in prefix, demoted
     # round-9 additions past the prefix stay oracle-checked locally
-    assert reg["customers_k_anonymize_enforced"].oracle is not None
+    for added in (
+        "customers_k_anonymize_enforced",
+        "embeddings_ivf_index_maintenance",
+        "embeddings_ivf_search_served",
+    ):
+        assert added in reg and reg[added].oracle is not None, added
