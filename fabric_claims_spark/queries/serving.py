@@ -373,10 +373,12 @@ def embeddings_ivf_search_served(
     work = tempfile.mkdtemp(prefix="ivf_srv_")
     try:
         store = TableStore(spark, work)
-        for b in range(3):
-            apply_ivf_batch(
-                store, emb.where(F.pmod("vec_id", F.lit(3)) == b), b, cent
-            )
+        # single-increment build: incremental == one-shot is the
+        # MAINTENANCE gate's claim (three increments, one redelivered,
+        # above); this gate's claim is the consumer reading the store,
+        # so it pays for one apply — assignment is batch-independent
+        # (fixed quantizer), so the hash is identical either way.
+        apply_ivf_batch(store, emb, 0, cent)
         stored = read_ivf_index(store)
 
         probe = (

@@ -2636,10 +2636,24 @@ _PIPE_BPS = (
     """,
 )
 def docs_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fabric_claims_spark.operators.dsir import dsir_gumbel_key
-
     d = load_table(spark, sf_dir, "documents")
     w = docs_dsir_weights(spark, sf_dir)
+    return dsir_select_from_weights(w, d.select("doc_id", "source"))
+
+
+def dsir_select_from_weights(
+    w: DataFrame, doc_sources: DataFrame
+) -> DataFrame:
+    """The selection half of the DSIR end-to-end pipeline (pool +
+    mixture), shared verbatim by the batch query above and the
+    streaming twin (streaming/corpus_stream.dsir_pipeline_stream) —
+    stream==batch parity is structural. ``w`` is the (doc_id,
+    log_weight) importance table; ``doc_sources`` maps doc_id →
+    source. Every stage after the TakeOrderedAndProject pool is
+    bounded by POOL_K rows and a broadcast weight table."""
+    from fabric_claims_spark.operators.dsir import dsir_gumbel_key
+
+    spark = w.sparkSession
     keyed = w.select(
         "doc_id",
         "log_weight",
@@ -2650,7 +2664,7 @@ def docs_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (
         keyed.orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(_PIPE_POOL_K)
-        .join(d.select("doc_id", "source"), "doc_id")
+        .join(doc_sources, "doc_id")
     )
     mw = spark.createDataFrame(list(_PIPE_BPS), "source string, bps long")
     # Hamilton largest-remainder — exact integer math on both sides

@@ -330,3 +330,77 @@ def ivf_index_stream(
         .awaitTermination()
     )
     return read_ivf_index(store)
+
+
+def dsir_pipeline_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "dsir_pipeline",
+) -> DataFrame:
+    """Streaming DSIR end-to-end selection — the full data-selection
+    loop (weights → Gumbel-top-K pool → Hamilton mixture) continuously
+    maintained over an arriving corpus. The count state folds exactly
+    as in ``dsir_monitor_stream`` (idempotent additive rollup,
+    |docs| × B rows); each read recomputes weights (correctly
+    non-incremental — a new target doc shifts every relative
+    likelihood) and then runs the SAME selection stages the batch
+    query runs (queries/text_docs.dsir_select_from_weights, shared
+    verbatim — stream==batch parity is structural). The doc→source
+    map the mixture stage needs is folded per batch into a
+    (doc_id, source) side table under the same idempotent batch-id
+    discipline, so reads never re-scan raw text."""
+    from fabric_claims_spark.operators.dsir import (
+        dsir_bucket_rows,
+        dsir_weights_from_bucket_counts,
+    )
+    from fabric_claims_spark.operators.rollup import (
+        APPLIED_BATCH_COL,
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.queries.text_docs import (
+        dsir_select_from_weights,
+    )
+
+    store = TableStore(spark, f"{checkpoint_dir}_table")
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_additive_rollup_idempotent(
+            store,
+            query_name,
+            dsir_bucket_rows(batch_df),
+            batch_id,
+            keys=["doc_id", "bucket", "tgt"],
+            count_col="c",
+        )
+        # (doc_id, source) bookkeeping — additive with count 1/doc,
+        # idempotent on the same batch_id discipline
+        maintain_additive_rollup_idempotent(
+            store,
+            f"{query_name}_sources",
+            batch_df.select("doc_id", "source"),
+            batch_id,
+            keys=["doc_id", "source"],
+            count_col="_one",
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not store.exists(query_name):
+        raise ValueError("no batches processed")
+    dc = store.read(query_name).drop(APPLIED_BATCH_COL)
+    w = dsir_weights_from_bucket_counts(dc)
+    srcs = store.read(f"{query_name}_sources").select("doc_id", "source")
+    return dsir_select_from_weights(w, srcs)

@@ -399,3 +399,46 @@ def test_ivf_index_stream_matches_oneshot_and_survives_tear(
         spark, str(vecs_dir), ckpt, str(tmp_path / "vstore_s"), cent
     )
     assert asg(again) == asg(want)
+
+
+def test_dsir_pipeline_stream_matches_batch(spark, tmp_path):
+    """Streaming end-to-end DSIR selection: after an availableNow
+    pass over the seeded corpus (split across two files), the
+    stream's mixture equals the batch docs_dsir_pipeline row-for-row
+    — the selection stages are the shared dsir_select_from_weights,
+    so equality proves the folded count AND source states are right.
+    A torn commit must not double-fold."""
+    import shutil
+
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.streaming.corpus_stream import (
+        dsir_pipeline_stream,
+    )
+
+    import glob
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    full = spark.read.parquet(f"{SF}/documents.parquet")
+    for name, pred in (
+        ("a", F.pmod("doc_id", F.lit(2)) == 0),
+        ("b", F.pmod("doc_id", F.lit(2)) == 1),
+    ):
+        side = tmp_path / f"dside_{name}"
+        full.where(pred).coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            docs_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_dsirp")
+    out = dsir_pipeline_stream(spark, str(docs_dir), ckpt, query_name="t_dp")
+    batch = load_all_queries()["docs_dsir_pipeline"].fn(spark, SF)
+    want = [tuple(r) for r in batch.collect()]
+    assert [tuple(r) for r in out.collect()] == want
+
+    _tear_last_commit(ckpt)
+    out2 = dsir_pipeline_stream(
+        spark, str(docs_dir), ckpt, query_name="t_dp"
+    )
+    assert [tuple(r) for r in out2.collect()] == want
