@@ -590,6 +590,14 @@ GATE_PRIORITY: list[str] = [
     # embeddings_ivf_search, so stored == in-plan is a hash identity
     "embeddings_ivf_index_maintenance",
     "embeddings_ivf_search_served",
+    # round-9: decontamination REMOVAL — the transform behind the
+    # contamination probe (drop train docs sharing any word n-gram
+    # with the held-out splits; GPT-3 appendix-C discipline)
+    "docs_decontaminated_train",
+    # round-9: per-source dedup rates — the curation dashboard rollup
+    # over the cascade's survivor sets (a collapsing kept_rate flags
+    # a boilerplate/mirror-heavy source before it floods the mixture)
+    "docs_dedup_rate_by_source",
 ]
 
 

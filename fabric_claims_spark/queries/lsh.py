@@ -1398,3 +1398,86 @@ def docs_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_mid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source dedup rates (round 9) — the curation dashboard readout a
+# training pipeline watches per ingestion source: how much of each
+# source survives exact dedup, how much survives the near-dup pass,
+# and the kept share. A source whose kept_rate collapses is scraping
+# boilerplate/mirrors and needs attention BEFORE it floods the
+# mixture. Reuses the cascade's survivor sets verbatim (same md5
+# exact fold, same banded MinHash pairs, same greedy lower-id keep)
+# and only adds a source rollup — two broadcastable survivor-id
+# left joins and one groupBy, nothing new at scale.
+@query(
+    "docs_dedup_rate_by_source",
+    oracle=f"""
+    WITH es AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    sdocs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN es ON es.doc_id = d.doc_id),
+    {_neardup_ctes(src="sdocs")},
+    drp AS (
+      SELECT DISTINCT doc_b AS doc_id FROM est
+      WHERE est_jaccard >= 0.5),
+    ns AS (
+      SELECT doc_id FROM es
+      WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_survivors,
+           CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS neardup_survivors,
+           ROUND(CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS kept_rate
+    FROM documents d
+    LEFT JOIN es e ON e.doc_id = d.doc_id
+    LEFT JOIN ns n ON n.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def docs_dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact_surv = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv_docs = docs.join(exact_surv.select("doc_id"), "doc_id", "semi")
+    pairs = minhash_near_dups(
+        surv_docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        hasher="md5",
+    ).select("doc_a", "doc_b")
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near_surv = exact_surv.select("doc_id").join(
+        dropped, "doc_id", "left_anti"
+    )
+    e = exact_surv.select("doc_id").withColumn("is_e", F.lit(1))
+    n = near_surv.withColumn("is_n", F.lit(1))
+    kept = F.sum(F.coalesce(F.col("is_n"), F.lit(0)))
+    return (
+        docs.select("doc_id", "source")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(F.coalesce(F.col("is_e"), F.lit(0)))
+            .cast("bigint")
+            .alias("exact_survivors"),
+            kept.cast("bigint").alias("neardup_survivors"),
+            F.round(
+                kept.cast("double") / F.count(F.lit(1)), 6
+            ).alias("kept_rate"),
+        )
+        .orderBy("source")
+    )

@@ -2696,3 +2696,85 @@ def dsir_select_from_weights(
         .select("source", "mix_rank", "doc_id", "log_weight", "alloc")
         .orderBy("source", "mix_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination REMOVAL (GPT-3 appendix-C discipline): the
+# contamination probe above MEASURES train/eval n-gram overlap; this
+# is the transform a training pipeline actually runs — drop every
+# TRAIN document sharing any word n-gram with the held-out splits.
+# Composes the deterministic md5 hash split (docs_hash_split) with
+# the distinct-gram explode (docs_contamination_probe's machinery):
+# grams of the eval side (a bounded 20% here; in practice eval sets
+# are tiny and the gram table broadcasts) equi-join the train grams,
+# contaminated ids fall out of a left_anti.
+#
+# Scale shape: one gram explode per side, one equi-join keyed on the
+# gram (hash-partitioned, hot grams are natural-language boilerplate
+# that real pipelines cap exactly like the LSH bucket cap; the
+# fixture needs no cap), one anti join on doc_id. Everything linear;
+# no pair term. Empty-text train docs have no grams and survive by
+# construction (nothing to overlap).
+_DECON_GRAM = 8
+
+
+@query(
+    "docs_decontaminated_train",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, source, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+    t AS (
+      SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM split WHERE length(trim(text)) > 0),
+    dg AS (
+      SELECT DISTINCT doc_id, bucket,
+             array_to_string(
+               list_slice(toks, i, i + {_DECON_GRAM - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, bucket, toks,
+               unnest(generate_series(
+                 1, greatest(len(toks) - {_DECON_GRAM - 1}, 1))) AS i
+        FROM t)),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM dg tr JOIN dg ev ON tr.gram = ev.gram
+      WHERE tr.bucket < 80 AND ev.bucket >= 80)
+    SELECT s.doc_id, s.lang, s.source
+    FROM split s
+    WHERE s.bucket < 80
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY s.doc_id
+    """,
+)
+def docs_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.col("doc_id").cast("string")) % 100).cast("long")
+    split = d.select("doc_id", "lang", "source", "text", bucket.alias("bucket"))
+    dg = split.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _DECON_GRAM))
+        ).alias("gram"),
+    )
+    contaminated = (
+        dg.where(F.col("bucket") < 80)
+        .select("doc_id", "gram")
+        .join(
+            dg.where(F.col("bucket") >= 80).select("gram").distinct(),
+            "gram",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        split.where(F.col("bucket") < 80)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -1630,3 +1630,60 @@ def test_mixture_sample_allocation_invariants(spark, sf_dir):
             range(1, allocs[s] + 1)
         )
     assert allocs["src0"] > allocs["src1"] > allocs["src2"] > allocs["src3"]
+
+
+def test_decontaminated_train_is_clean_subset(spark, sf_dir):
+    """The decontamination transform: output ⊆ the train split, and
+    NO surviving document shares a word 8-gram with any held-out
+    document (the defining property, re-verified independently of
+    the query's own join)."""
+    from fabric_claims_spark.extensions.dedup import md5_long, word_shingles
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries.text_docs import _DECON_GRAM
+    from fabric_claims_spark.sources.parquet import load_table
+
+    got = load_all_queries()["docs_decontaminated_train"].fn(spark, sf_dir)
+    kept = {r["doc_id"] for r in got.collect()}
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.col("doc_id").cast("string")) % 100).cast("long")
+    split = d.select("doc_id", "text", bucket.alias("bucket"))
+    train = {r["doc_id"] for r in split.where("bucket < 80").collect()}
+    assert kept <= train and kept
+
+    grams = split.where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _DECON_GRAM))
+        ).alias("gram"),
+    )
+    eval_grams = {
+        r["gram"] for r in grams.where("bucket >= 80").collect()
+    }
+    survivors = grams.where(
+        F.col("doc_id").isin(*list(kept)) if kept else F.lit(False)
+    ).collect()
+    assert all(r["gram"] not in eval_grams for r in survivors)
+
+
+def test_dedup_rate_by_source_consistent_with_cascade(spark, sf_dir):
+    """The per-source rollup must re-aggregate to exactly the
+    cascade's global funnel counts (same survivor sets by
+    construction — this pins the rollup wiring)."""
+    from fabric_claims_spark.queries import load_all_queries
+
+    reg = load_all_queries()
+    per_src = reg["docs_dedup_rate_by_source"].fn(spark, sf_dir).collect()
+    cascade = {
+        r["stage"]: r["docs_remaining"]
+        for r in reg["docs_dedup_cascade"].fn(spark, sf_dir).collect()
+    }
+    assert sum(r["docs"] for r in per_src) == cascade["0_raw"]
+    assert sum(r["exact_survivors"] for r in per_src) == cascade["1_exact"]
+    assert (
+        sum(r["neardup_survivors"] for r in per_src)
+        == cascade["2_near_dup"]
+    )
+    for r in per_src:
+        assert 0.0 <= r["kept_rate"] <= 1.0
