@@ -598,6 +598,10 @@ GATE_PRIORITY: list[str] = [
     # over the cascade's survivor sets (a collapsing kept_rate flags
     # a boilerplate/mirror-heavy source before it floods the mixture)
     "docs_dedup_rate_by_source",
+    # round-9: DSIR → per-source mixture bps (DoReMi-flavored) —
+    # softmax of mean per-token importance, exact integer Hamilton to
+    # 10000 bps; the measure → weight → allocate loop closed
+    "docs_dsir_source_bps",
 ]
 
 

@@ -2778,3 +2778,118 @@ def docs_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR → mixture weights (DoReMi-flavored, round 9): turn the
+# per-document importance scores into PER-SOURCE basis-point mixture
+# weights — the measure → weight → allocate loop closed. Each
+# source's mass is softmax(mean per-token log-weight) over sources;
+# masses convert to exact integer micro-units and Hamilton
+# largest-remainder allocates 10000 bps (Σ = 10000 always — the
+# output plugs directly into docs_mixture_sample-style draws).
+#
+# Cross-engine determinism: per-doc log_weight is an exact multiple
+# of 1e-6 — re-scaled to int64 micro-nats per doc so per-source sums
+# are exact integer math on any partitioning; ONE division gives the
+# per-token mean; exp() (1-ulp engine drift, like ln) snaps to 6 dp;
+# the rounded masses scale to exact micro-unit longs before the
+# integer Hamilton. Scale shape: one groupBy source over the weight
+# table (20 rows out), everything after is a broadcast-sized frame.
+@query(
+    "docs_dsir_source_bps",
+    oracle=f"""
+    WITH w AS (SELECT * FROM ({_DSIR_ORACLE})),
+    ws AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             SUM(CAST(ROUND(w.log_weight * 1000000, 0) AS BIGINT))
+               AS micro_sum,
+             SUM(w.n_toks) AS toks
+      FROM w JOIN documents d ON d.doc_id = w.doc_id
+      GROUP BY d.source),
+    m AS (
+      SELECT source, docs,
+             ROUND(CAST(micro_sum AS DOUBLE) / toks / 1000000.0, 9)
+               AS mean_token_llr
+      FROM ws),
+    mass AS (
+      SELECT source, docs, mean_token_llr,
+             CAST(ROUND(ROUND(exp(mean_token_llr), 6) * 1000000, 0)
+                  AS BIGINT) AS micro_mass
+      FROM m),
+    tot AS (SELECT SUM(micro_mass) AS w_tot FROM mass),
+    q AS (
+      SELECT source, docs, mean_token_llr, micro_mass,
+             (10000 * micro_mass) // w_tot AS base,
+             (10000 * micro_mass) % w_tot AS rem
+      FROM mass CROSS JOIN tot),
+    seats AS (SELECT 10000 - SUM(base) AS s FROM q)
+    SELECT source, docs, mean_token_llr,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                    ORDER BY rem DESC, source)
+                  <= (SELECT s FROM seats) THEN 1 ELSE 0 END
+                AS BIGINT) AS bps
+    FROM q
+    ORDER BY source
+    """,
+)
+def docs_dsir_source_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = docs_dsir_weights(spark, sf_dir)
+    ws = (
+        w.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum(
+                F.round(F.col("log_weight") * 1_000_000, 0).cast("long")
+            ).alias("micro_sum"),
+            F.sum("n_toks").alias("toks"),
+        )
+    )
+    m = ws.select(
+        "source",
+        "docs",
+        F.round(
+            F.col("micro_sum").cast("double")
+            / F.col("toks")
+            / F.lit(1_000_000.0),
+            9,
+        ).alias("mean_token_llr"),
+    )
+    mass = m.select(
+        "source",
+        "docs",
+        "mean_token_llr",
+        F.round(F.round(F.exp("mean_token_llr"), 6) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("micro_mass"),
+    )
+    tot = mass.agg(F.sum("micro_mass").alias("w_tot"))
+    q = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "docs",
+        "mean_token_llr",
+        F.expr("(10000 * micro_mass) div w_tot").alias("base"),
+        ((F.lit(10000) * F.col("micro_mass")) % F.col("w_tot")).alias("rem"),
+    )
+    seats = q.agg((F.lit(10000) - F.sum("base")).alias("s"))
+    w_seat = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    return (
+        q.crossJoin(F.broadcast(seats))
+        .select(
+            "source",
+            "docs",
+            "mean_token_llr",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(w_seat) <= F.col("s"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bps"),
+        )
+        .orderBy("source")
+    )

@@ -1687,3 +1687,25 @@ def test_dedup_rate_by_source_consistent_with_cascade(spark, sf_dir):
     )
     for r in per_src:
         assert 0.0 <= r["kept_rate"] <= 1.0
+
+
+def test_dsir_source_bps_allocation_and_ordering(spark, sf_dir):
+    """DoReMi-flavored mixture weights: bps sum to exactly 10000 (no
+    float drift, no lost seats), every source gets a non-negative
+    allocation, and the TARGET slice (whose docs score higher by the
+    DSIR construction) is allocated at least as much per source on
+    average as the non-target rest."""
+    from fabric_claims_spark.operators.dsir import DSIR_TARGET
+    from fabric_claims_spark.queries import load_all_queries
+
+    rows = (
+        load_all_queries()["docs_dsir_source_bps"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert sum(r["bps"] for r in rows) == 10000
+    assert all(r["bps"] >= 0 for r in rows)
+    tgt = [r["bps"] for r in rows if r["source"] in DSIR_TARGET]
+    rest = [r["bps"] for r in rows if r["source"] not in DSIR_TARGET]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)
