@@ -238,6 +238,40 @@ def main() -> None:
                     **_bc_verdict(_bc_load(ref), timings),
                 }
             )
+        # Full-suite cross-round comparison (VERDICT r8 item 2
+        # follow-through): BENCH_full_r{N}.json files carry the
+        # COMPLETE per-query dict plus both canary windows, so from
+        # round 10 on the full-suite total itself gets a normalized
+        # ratio against the newest prior full record — computed over
+        # the shared-query intersection, so registry growth doesn't
+        # masquerade as regression.
+        fulls = sorted(_glob.glob(os.path.join(here, "BENCH_full_r*.json")))
+        if full and fulls:
+            prior = fulls[-1]
+            prev = _bc_load(prior)
+            shared = [
+                q
+                for q in set(prev) & set(timings)
+                if prev[q] > 0.05  # sub-50ms timings are noise
+            ]
+            if shared:
+                verdict = _bc_verdict(
+                    {q: prev[q] for q in shared},
+                    {q: timings[q] for q in shared},
+                )
+                emit(
+                    {
+                        "metric": "full_suite_compare_normalized",
+                        "vs": os.path.basename(prior),
+                        "shared_total_prev": round(
+                            sum(prev[q] for q in shared), 3
+                        ),
+                        "shared_total_now": round(
+                            sum(timings[q] for q in shared), 3
+                        ),
+                        **verdict,
+                    }
+                )
     except Exception as e:  # the compare must never sink the bench
         print(
             json.dumps(
