@@ -602,6 +602,13 @@ GATE_PRIORITY: list[str] = [
     # softmax of mean per-token importance, exact integer Hamilton to
     # 10000 bps; the measure → weight → allocate loop closed
     "docs_dsir_source_bps",
+    # round-9: l-diversity readout — k-anonymity's partner (a k-safe
+    # class still leaks if everyone shares the sensitive value)
+    "customers_l_diversity",
+    # round-9: hyperplane-LSH recall gate — completes the recall-gate
+    # family (MinHash/SimHash/SemDeDup): sign-LSH is a high-similarity
+    # filter and the gate makes its two-band contract machine-readable
+    "embeddings_hyperplane_recall",
 ]
 
 

@@ -1389,3 +1389,54 @@ def customers_k_anonymize_enforced(
         "bal_band",
         F.col("n").cast("bigint").alias("n"),
     ).orderBy("geo", "segment", "bal_band")
+
+
+# --------------------------------------------------------------------------
+# l-diversity readout (round 9) — k-anonymity's partner measurement
+# (Machanavajjhala et al.): a class can be large (k-safe) yet leak if
+# everyone in it shares the SENSITIVE value. Quasi-identifiers here
+# are (nation, market segment); the sensitive attribute is the
+# account-balance band. l = the smallest number of distinct sensitive
+# values in any QI class; the rule-of-thumb floor (l >= 3) gets its
+# violating-class count and share. Same scale shape as the k readout:
+# one groupBy bounded by the QI domain, then a scalar aggregate.
+@query(
+    "customers_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+      FROM customer
+      GROUP BY 1, 2)
+    SELECT CAST(MIN(l) AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) AS BIGINT) AS classes,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_l3,
+           ROUND(CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pct_below_l3,
+           CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_in_low_l_classes
+    FROM classes
+    """,
+)
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("l"),
+    )
+    low = F.when(F.col("l") < 3, 1).otherwise(0)
+    return classes.agg(
+        F.min("l").cast("bigint").alias("l_diversity"),
+        F.count(F.lit(1)).cast("bigint").alias("classes"),
+        F.sum(low).cast("bigint").alias("classes_below_l3"),
+        F.round(
+            F.sum(low).cast("double") / F.count(F.lit(1)), 6
+        ).alias("pct_below_l3"),
+        F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_in_low_l_classes"),
+    )

@@ -1854,3 +1854,154 @@ def _rrf_indexed_core(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Hyperplane-LSH recall gate (round 9) — completes the recall-gate
+# family (MinHash r8, SimHash r8, SemDeDup r7/r8): end-to-end recall
+# of the PRODUCTION hyperplane blocking (hyperplane_band_sigs /
+# hyperplane_neardup_pairs shape, identical planes) against exact
+# cosine ground truth over a fixed 256-vector cohort, reported in
+# two similarity bands. Sign-LSH collision probability is
+# (1 - θ/π)^bits per band — steep in cosine — so the honest contract
+# is: high-similarity pairs (cos ≥ 0.9) are mostly caught, the
+# 0.3–0.9 band is mostly NOT at 4×8 bits (those pairs belong to the
+# SemDeDup / brute-force paths). The gate makes that machine-readable
+# instead of folklore. Cohort-bounded: constant cost at any corpus
+# size; the pipeline under test is the production banding verbatim.
+_HP_RECALL_COHORT = 256
+_HP_COS_HI = "0.9"
+_HP_COS_LO = "0.3"
+
+
+def _hp_recall_oracle() -> str:
+    planes = _hp_planes()
+    band_selects = []
+    for bi, band in enumerate(planes):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(ev, [{coefs}]) >= 0 "
+            "THEN '1' ELSE '0' END)".format(
+                coefs=", ".join(f"{c:.6f}" for c in h)
+            )
+            for h in band
+        )
+        band_selects.append(
+            f"SELECT vec_id, {bi} AS band_idx, {bits} AS sig FROM e"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE vec_id < {_HP_RECALL_COHORT}),
+    b AS (
+      {bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2
+        ON a.band_idx = b2.band_idx AND a.sig = b2.sig
+       AND a.vec_id < b2.vec_id),
+    truth AS (
+      SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+             ROUND(list_dot_product(ea.ev, eb.ev)
+                   / (sqrt(list_dot_product(ea.ev, ea.ev))
+                      * sqrt(list_dot_product(eb.ev, eb.ev))), 6) AS cos
+      FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id)
+    SELECT CAST({_HP_COS_HI} AS DOUBLE) AS threshold_hi,
+           CAST({_HP_COS_LO} AS DOUBLE) AS threshold_lo,
+           CAST(SUM(CASE WHEN t.cos >= {_HP_COS_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_true,
+           CAST(SUM(CASE WHEN t.cos >= {_HP_COS_HI}
+                          AND c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hi_hits,
+           ROUND(CAST(SUM(CASE WHEN t.cos >= {_HP_COS_HI}
+                               AND c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t.cos >= {_HP_COS_HI}
+                              THEN 1 ELSE 0 END), 0), 6) AS recall_hi,
+           CAST(SUM(CASE WHEN t.cos >= {_HP_COS_LO}
+                          AND t.cos < {_HP_COS_HI} THEN 1 ELSE 0 END)
+                AS BIGINT) AS lo_true,
+           CAST(SUM(CASE WHEN t.cos >= {_HP_COS_LO}
+                          AND t.cos < {_HP_COS_HI}
+                          AND c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS lo_hits,
+           ROUND(CAST(SUM(CASE WHEN t.cos >= {_HP_COS_LO}
+                               AND t.cos < {_HP_COS_HI}
+                               AND c.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN t.cos >= {_HP_COS_LO}
+                              AND t.cos < {_HP_COS_HI}
+                              THEN 1 ELSE 0 END), 0), 6) AS recall_lo
+    FROM truth t
+    LEFT JOIN cand c ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b
+    WHERE t.cos >= {_HP_COS_LO}
+    """
+
+
+@query("embeddings_hyperplane_recall", oracle=_hp_recall_oracle())
+def embeddings_hyperplane_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.caching import tracked_cache
+    from fabric_claims_spark.extensions.similarity import (
+        hyperplane_band_sigs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < _HP_RECALL_COHORT
+    )
+    e = tracked_cache(
+        emb.select("vec_id", _as_double("embedding").alias("ev"))
+    )
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*hyperplane_band_sigs(F.col("ev"), _hp_planes()))
+        ).alias("band_idx", "sig"),
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), "band_idx", "sig"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), "band_idx", "sig"
+    )
+    cand = (
+        a.join(b, ["band_idx", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ev").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ev").alias("vb"))
+    truth = (
+        ea.join(eb, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= float(_HP_COS_LO))
+    )
+    hi = F.col("cos") >= float(_HP_COS_HI)
+    lo = ~hi
+    j = truth.join(cand, ["vec_a", "vec_b"], "left")
+    caught = F.col("hit").isNotNull()
+    return j.agg(
+        F.lit(float(_HP_COS_HI)).alias("threshold_hi"),
+        F.lit(float(_HP_COS_LO)).alias("threshold_lo"),
+        F.sum(hi.cast("int")).cast("bigint").alias("hi_true"),
+        F.sum((hi & caught).cast("int")).cast("bigint").alias("hi_hits"),
+        F.round(
+            F.sum((hi & caught).cast("int")).cast("double")
+            / F.nullif(F.sum(hi.cast("int")), F.lit(0)),
+            6,
+        ).alias("recall_hi"),
+        F.sum(lo.cast("int")).cast("bigint").alias("lo_true"),
+        F.sum((lo & caught).cast("int")).cast("bigint").alias("lo_hits"),
+        F.round(
+            F.sum((lo & caught).cast("int")).cast("double")
+            / F.nullif(F.sum(lo.cast("int")), F.lit(0)),
+            6,
+        ).alias("recall_lo"),
+    )

@@ -1709,3 +1709,65 @@ def test_dsir_source_bps_allocation_and_ordering(spark, sf_dir):
     rest = [r["bps"] for r in rows if r["source"] not in DSIR_TARGET]
     assert tgt and rest
     assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)
+
+
+def test_hyperplane_recall_gate_contract(spark, sf_dir):
+    """The sign-LSH gate must read out the operator's real contract.
+    The fixture cohort has no cos>=0.9 pairs, so the LOW band carries
+    the fixture evidence: recall there must be small (sign-LSH at
+    4x8 bits is a high-similarity filter — theory ~6-15% at
+    cos 0.3-0.5) but non-degenerate. The HIGH band the fixture lacks
+    is synthesized: near-parallel vector pairs (cos~0.95, per-band
+    catch 1-(1-0.899^8)^4 ~ 0.89) must be mostly caught by the same
+    production banding."""
+    from fabric_claims_spark.extensions.similarity import (
+        hyperplane_band_sigs,
+    )
+    from fabric_claims_spark.queries import load_all_queries
+    from fabric_claims_spark.queries.similarity import _hp_planes
+
+    row = (
+        load_all_queries()["embeddings_hyperplane_recall"]
+        .fn(spark, sf_dir)
+        .first()
+    )
+    assert row["lo_true"] > 0
+    assert 0.0 < row["recall_lo"] < 0.4, row["recall_lo"]
+
+    # synthesized high-similarity pairs: v and v + small perturbation
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    dim = 64
+    for p in range(40):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nv = math.sqrt(sum(x * x for x in v))
+        # unit(v) + N(0, 0.04) per axis: noise norm ≈ 0.04·√64 = 0.32,
+        # so cosine ≈ 1/√(1+0.32²) ≈ 0.95
+        eps = [x / nv + rng.gauss(0.0, 1.0) * 0.04 for x in v]
+        rows.append((2 * p, [x / nv for x in v]))
+        rows.append((2 * p + 1, eps))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    e = vecs.select("vec_id", F.col("embedding").alias("ev"))
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*hyperplane_band_sigs(F.col("ev"), _hp_planes()))
+        ).alias("band_idx", "sig"),
+    )
+    a = banded.select(F.col("vec_id").alias("va"), "band_idx", "sig")
+    b = banded.select(F.col("vec_id").alias("vb"), "band_idx", "sig")
+    got = {
+        (r["va"], r["vb"])
+        for r in a.join(b, ["band_idx", "sig"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+        .collect()
+    }
+    caught = sum((2 * p, 2 * p + 1) in got for p in range(40))
+    assert caught >= 24, caught  # >=60% of ~cos 0.95 pairs
