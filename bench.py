@@ -247,6 +247,8 @@ def main() -> None:
         # masquerade as regression.
         fulls = sorted(_glob.glob(os.path.join(here, "BENCH_full_r*.json")))
         if full and fulls:
+            import statistics as _stats
+
             prior = fulls[-1]
             prev = _bc_load(prior)
             shared = [
@@ -254,7 +256,68 @@ def main() -> None:
                 for q in set(prev) & set(timings)
                 if prev[q] > 0.05  # sub-50ms timings are noise
             ]
-            if shared:
+
+            # Drift basis: the END-of-suite canaries from BOTH runs.
+            # The headline-window canary misnormalizes the suite —
+            # the two windows can drift oppositely within one run
+            # (measured within_run_drift 0.29-0.46 this round), which
+            # manufactures fake per-query regressions. Fall back to
+            # the headline-canary verdict only when the prior record
+            # predates the end-canary instrumentation.
+            def _end_canary(recs: list[dict]) -> dict[str, float]:
+                for r in recs:
+                    if r.get("metric") == "full_suite_drift":
+                        return dict(r.get("canary_end_queries") or {})
+                return {}
+
+            with open(prior) as f:
+                prior_recs = [
+                    json.loads(ln)
+                    for ln in f
+                    if ln.strip().startswith("{")
+                ]
+            prev_end = _end_canary(prior_recs)
+            now_end = _end_canary(records)
+            end_ratios = [
+                now_end[q] / prev_end[q]
+                for q in prev_end
+                if q in now_end and prev_end[q] > 0
+            ]
+            if shared and end_ratios:
+                host = _stats.median(end_ratios)
+                worst = sorted(
+                    (
+                        ((timings[q] / prev[q]) / host, q)
+                        for q in shared
+                        if prev[q] > 0
+                    ),
+                    reverse=True,
+                )
+                tot_prev = sum(prev[q] for q in shared)
+                tot_now = sum(timings[q] for q in shared)
+                emit(
+                    {
+                        "metric": "full_suite_compare_normalized",
+                        "vs": os.path.basename(prior),
+                        "drift_basis": "end-of-suite canary",
+                        "host_drift": round(host, 3),
+                        "shared_queries": len(shared),
+                        "shared_total_prev": round(tot_prev, 3),
+                        "shared_total_now": round(tot_now, 3),
+                        "normalized_total_ratio": round(
+                            (tot_now / tot_prev) / host, 3
+                        )
+                        if tot_prev
+                        else None,
+                        "worst_normalized": [
+                            [q, round(n, 3)] for n, q in worst[:5]
+                        ],
+                        "regressions_over_1p5x": [
+                            [q, round(n, 3)] for n, q in worst if n > 1.5
+                        ],
+                    }
+                )
+            elif shared:
                 verdict = _bc_verdict(
                     {q: prev[q] for q in shared},
                     {q: timings[q] for q in shared},
