@@ -34,6 +34,44 @@ from fabric_claims_spark.queries import load_all_queries  # noqa: E402
 from fabric_claims_spark.session import get_spark  # noqa: E402
 from tools.bench_compare import CANARY  # noqa: E402
 
+def _current_round(here: str) -> int:
+    """The round this run belongs to: SPARK_GRAFT_ROUND if set, else
+    max(BENCH_r*.json)+1 — i.e. the driver has not yet written this
+    round's capture. When the driver HAS already written BENCH_r{N}
+    (a re-run inside the same round), the env override is the
+    authoritative label; without it the inference points one past the
+    recorded rounds, which is still a PRIOR-round-exclusive bound for
+    baseline selection."""
+    import glob as _glob
+    import re as _re
+
+    n_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if n_round:
+        return int(n_round)
+    seen = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(seen) + 1 if seen else 1
+
+
+def _full_record_path(here: str) -> str:
+    """Non-clobbering path for this run's full-suite record. The
+    canonical name is BENCH_full_r{N:02d}.json; if a record for this
+    round already exists (an earlier run this round — possibly the
+    very baseline the compare just used), suffix _run2, _run3, …
+    instead of overwriting it."""
+    n = _current_round(here)
+    base = os.path.join(here, f"BENCH_full_r{n:02d}")
+    if not os.path.exists(base + ".json"):
+        return base + ".json"
+    k = 2
+    while os.path.exists(f"{base}_run{k}.json"):
+        k += 1
+    return f"{base}_run{k}.json"
+
+
 HEADLINE = [
     "pricing_summary",
     "star_revenue_by_region_year",
@@ -224,6 +262,7 @@ def main() -> None:
     # can read the canary-normalized ratio instead of re-deriving it.
     try:
         import glob as _glob
+        import re as _re
 
         from tools.bench_compare import load as _bc_load
         from tools.bench_compare import normalized_verdict as _bc_verdict
@@ -245,7 +284,19 @@ def main() -> None:
         # ratio against the newest prior full record — computed over
         # the shared-query intersection, so registry growth doesn't
         # masquerade as regression.
-        fulls = sorted(_glob.glob(os.path.join(here, "BENCH_full_r*.json")))
+        # Baselines must be PRIOR rounds only: comparing against a
+        # same-round file (e.g. an earlier run of this very suite, or
+        # the thin record a headline-only run used to leave behind)
+        # self-compares and then gets clobbered — the committed r9
+        # record shows 'vs': its own filename. Exclude every full
+        # record belonging to the current round.
+        cur_round = _current_round(here)
+        fulls = sorted(
+            p
+            for p in _glob.glob(os.path.join(here, "BENCH_full_r*.json"))
+            if (m := _re.search(r"BENCH_full_r(\d+)", os.path.basename(p)))
+            and int(m.group(1)) < cur_round
+        )
         if full and fulls:
             import statistics as _stats
 
@@ -295,6 +346,33 @@ def main() -> None:
                 )
                 tot_prev = sum(prev[q] for q in shared)
                 tot_now = sum(timings[q] for q in shared)
+                # Median confirmation (VERDICT r9 item 7): within-run
+                # drift 0.29–0.46 makes a single suite-pass timing too
+                # noisy to call a >1.5× flag a regression (r9: 9 fake
+                # flags on identical trees). Re-run each flagged query
+                # solo 3× and recompute the ratio from the median —
+                # the flag carries a median-confirmed bit, so only
+                # flags that survive re-measurement read as code
+                # regressions. Bounded to the 8 worst to cap re-run
+                # cost.
+                flags = []
+                for n, q in worst:
+                    if n <= 1.5:
+                        break
+                    entry = [q, round(n, 3)]
+                    if len(flags) < 8:
+                        solo: list[float] = []
+                        for _ in range(3):
+                            scratch: dict[str, float] = {}
+                            run_one(q, scratch)
+                            solo.append(scratch[q])
+                        med = sorted(solo)[1]
+                        med_ratio = (med / prev[q]) / host
+                        entry += [
+                            round(med_ratio, 3),
+                            bool(med_ratio > 1.5),
+                        ]
+                    flags.append(entry)
                 emit(
                     {
                         "metric": "full_suite_compare_normalized",
@@ -312,9 +390,9 @@ def main() -> None:
                         "worst_normalized": [
                             [q, round(n, 3)] for n, q in worst[:5]
                         ],
-                        "regressions_over_1p5x": [
-                            [q, round(n, 3)] for n, q in worst if n > 1.5
-                        ],
+                        # entries: [q, suite_ratio] or
+                        # [q, suite_ratio, median_ratio, confirmed]
+                        "regressions_over_1p5x": flags,
                     }
                 )
             elif shared:
@@ -361,29 +439,25 @@ def main() -> None:
     # Persist the complete record set beside this file: the driver's
     # BENCH_r{N}.json keeps only a head-truncated tail of stdout (r8
     # lost all but 14 of 248 per-query timings), so the audit copy is
-    # written here and committed with the round.
-    try:
-        import glob as _glob
-        import re as _re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        n_round = os.environ.get("SPARK_GRAFT_ROUND")
-        if not n_round:
-            seen = [
-                int(m.group(1))
-                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            n_round = str(max(seen) + 1 if seen else 1)
-        out = os.path.join(here, f"BENCH_full_r{int(n_round):02d}.json")
-        with open(out, "w") as f:
-            for rec in records:
-                f.write(json.dumps(rec) + "\n")
-    except Exception as e:  # persistence must never sink the bench
-        print(
-            json.dumps({"metric": "bench_persist", "error": str(e)[:200]}),
-            flush=True,
-        )
+    # written here and committed with the round. FULL runs only — a
+    # headline-only run would leave a thin record that a later full
+    # compare mistakes for a complete prior baseline — and never
+    # clobbering: a second full run in the same round gets a _runK
+    # suffix instead of overwriting the file the compare just read.
+    if full:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            out = _full_record_path(here)
+            with open(out, "w") as f:
+                for rec in records:
+                    f.write(json.dumps(rec) + "\n")
+        except Exception as e:  # persistence must never sink the bench
+            print(
+                json.dumps(
+                    {"metric": "bench_persist", "error": str(e)[:200]}
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -430,6 +430,14 @@ def kmeans_centroids(
     ``None`` (default) keeps exact full-corpus training — the
     determinism-gate setting every oracle-checked query pins.
 
+    A cut that under-fills k (cap near k, sparse hash density) widens
+    ×4 per step — still deterministic (a bigger cut is a strict
+    superset of the smaller sample) — and each widening emits a
+    ``UserWarning``; only if no cut short of the whole grid yields k
+    vectors does training fall back to the full corpus, with a
+    louder warning, so the O(n·k·iters) cost the cap exists to avoid
+    is never reintroduced silently (ADVICE r9).
+
     ``assign`` picks the Lloyd-step assignment strategy (see
     ``lloyd_assign``): ``literal`` (default, the oracle-pinned
     zero-shuffle expression tree) or ``join`` (broadcast centroid
@@ -445,16 +453,49 @@ def kmeans_centroids(
 
             grid = 1 << 20
             cut = max(1, (sample_cap * grid) // n)
-            sampled = ev.where(
-                F.pmod(md5_long(F.col("vec_id").cast("string")), F.lit(grid))
-                < F.lit(cut)
-            )
-            # a cap near k (or sparse hash density) can yield < k rows;
-            # training on that would silently return < k centroids and
-            # degrade every downstream assignment — fall back to the
-            # exact full corpus instead of shipping a truncated model
-            if sampled.count() >= k:
-                ev = sampled
+            # a cap near k (or sparse hash density) can yield < k
+            # rows; training on that would silently return < k
+            # centroids and degrade every downstream assignment.
+            # Widen the hash cut (×4 per step — a strict superset of
+            # the prior sample, so still deterministic) before giving
+            # up on sampling: abandoning it outright reintroduces the
+            # O(n·k·iters) full-corpus cost the cap exists to avoid.
+            # Every widening/fallback warns, so callers can tell the
+            # training cost silently grew (ADVICE r9).
+            import warnings
+
+            def sampled_n(frame, c: int) -> int:
+                return frame.where(
+                    F.pmod(
+                        md5_long(F.col("vec_id").cast("string")),
+                        F.lit(grid),
+                    )
+                    < F.lit(c)
+                ).count()
+
+            while cut < grid and sampled_n(ev, cut) < k:
+                warnings.warn(
+                    f"kmeans_centroids: hash sample at cut={cut}/{grid} "
+                    f"yielded < k={k} vectors; widening the cut ×4",
+                    stacklevel=2,
+                )
+                cut = min(grid, cut * 4)
+            if cut >= grid:
+                warnings.warn(
+                    "kmeans_centroids: sample_cap could not yield k "
+                    "vectors at any cut — training on the FULL corpus "
+                    f"(n={n}); sampled-training cost guarantees do not "
+                    "apply to this call",
+                    stacklevel=2,
+                )
+            else:
+                ev = ev.where(
+                    F.pmod(
+                        md5_long(F.col("vec_id").cast("string")),
+                        F.lit(grid),
+                    )
+                    < F.lit(cut)
+                )
     cents: list[tuple[int, list[float]]] = [
         (r["vec_id"], list(r["v"])) for r in ev.orderBy("vec_id").limit(k).collect()
     ]

@@ -1586,22 +1586,39 @@ def test_lloyd_assign_join_strategy_bit_identical(spark, sf_dir):
 
 
 def test_kmeans_sample_cap_never_underfills_k(spark, sf_dir):
-    """Guard rails on sampled training (ADVICE r8): a cap whose hash
-    sample would yield fewer than k rows falls back to full-corpus
-    training instead of silently returning < k centroids; a corpus
-    genuinely smaller than k raises instead of shipping a truncated
-    model."""
+    """Guard rails on sampled training (ADVICE r8 + r9): a cap whose
+    hash sample would yield fewer than k rows WIDENS the cut (never
+    silently returns < k centroids, never silently abandons sampling
+    for full-corpus cost) and warns on every widening so callers can
+    see the training cost grew; a corpus genuinely smaller than k
+    raises instead of shipping a truncated model."""
+    import warnings
+
     import pytest
 
     from fabric_claims_spark.extensions.similarity import kmeans_centroids
     from fabric_claims_spark.sources.parquet import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # cap == k: the ~k-row hash sample is almost surely < k rows; the
-    # fallback must still train and return exactly k centroids
-    cents = kmeans_centroids(emb, k=8, iters=1, sample_cap=8)
+    # cap < k: the ~cap-row hash sample is deterministically < k rows
+    # (measured: cap=4 cuts exactly 4 of the 500 sf0.001 vectors); the
+    # widening path must still train, return exactly k centroids, and
+    # WARN about the degradation (ADVICE r9: no silent cost growth)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cents = kmeans_centroids(emb, k=8, iters=1, sample_cap=4)
     assert len(cents) == 8
     assert len({cid for cid, _ in cents}) == 8
+    assert any(
+        "widening the cut" in str(w.message)
+        or "FULL corpus" in str(w.message)
+        for w in caught
+    )
+    # an ample cap must sample cleanly with NO degradation warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        kmeans_centroids(emb, k=4, iters=0, sample_cap=200)
+    assert not [w for w in caught if "kmeans_centroids" in str(w.message)]
 
     tiny = emb.limit(3)
     with pytest.raises(ValueError, match="cannot seed k=8"):
