@@ -609,6 +609,13 @@ GATE_PRIORITY: list[str] = [
     # family (MinHash/SimHash/SemDeDup): sign-LSH is a high-similarity
     # filter and the gate makes its two-band contract machine-readable
     "embeddings_hyperplane_recall",
+    # round-10: l-diversity ENFORCEMENT (VERDICT r9 item 3) — the
+    # transform behind the readout; joint k+l level choice plus
+    # two-stage suppression, sharing k_anonymize's ladder verbatim
+    # (k_anonymize IS kl_anonymize at l=1); at the sf0.01 gate scale
+    # the group-level stage suppresses 13 of 25 groups, so the hash
+    # witnesses a PARTIAL l-cut, not a no-op
+    "customers_kl_anonymize_enforced",
 ]
 
 

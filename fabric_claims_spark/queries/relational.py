@@ -1440,3 +1440,82 @@ def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_in_low_l_classes"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity ENFORCEMENT (round 10, VERDICT r9 item 3) — the
+# transform behind the readout above, completing the measure→enforce
+# pair the way customers_k_anonymize_enforced completed the k pair.
+# plans/governance.kl_anonymize shares the k ladder machinery
+# verbatim (k_anonymize IS kl_anonymize at l=1): the level choice
+# requires min-k over full-QI cells AND min-l distinct balance bands
+# per (geo, segment) group jointly; suppression is two-stage — below-k
+# cells drop first, then any group whose SURVIVING cells carry < l
+# distinct bands drops whole (removing a group cannot push a
+# remaining cell below k, so two passes reach the fixpoint).
+#
+# Fixture regimes (measured, k=5 l=4): sf0.001 suppresses every
+# group (empty release), sf0.01 — the driver's gate scale —
+# suppresses 13 of 25 groups (PARTIAL: the hash witnesses the
+# group-level cut, not a no-op), sf0.1 suppresses none. Both floors
+# are visible in the released hash: min(n) ≥ 5 per cell, ≥ 4
+# distinct bands per (geo, segment) group.
+@query(
+    "customers_kl_anonymize_enforced",
+    oracle="""
+    WITH cj AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             'n' || CAST(c_nationkey AS VARCHAR) AS geo_n,
+             'r' || CAST(n_regionkey AS VARCHAR) AS geo_r
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    allv AS (
+      SELECT 0 AS level, geo_n AS geo, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM cj
+      UNION ALL
+      SELECT 1, geo_n, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 2, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 3, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 4000) AS BIGINT) FROM cj),
+    g AS (
+      SELECT level, geo, segment, bal_band, COUNT(*) AS n
+      FROM allv GROUP BY 1, 2, 3, 4),
+    kml AS (SELECT level, MIN(n) AS kmin FROM g GROUP BY level),
+    lml AS (
+      SELECT level, MIN(l_) AS lmin FROM (
+        SELECT level, geo, segment, COUNT(DISTINCT bal_band) AS l_
+        FROM g GROUP BY 1, 2, 3) GROUP BY level),
+    lv AS (
+      SELECT COALESCE(MIN(kml.level), 3) AS lv
+      FROM kml JOIN lml ON kml.level = lml.level
+      WHERE kmin >= 5 AND lmin >= 4),
+    gk AS (
+      SELECT g.* FROM g JOIN lv ON g.level = lv.lv WHERE g.n >= 5),
+    gl AS (
+      SELECT geo, segment FROM gk GROUP BY geo, segment
+      HAVING COUNT(DISTINCT bal_band) >= 4)
+    SELECT CAST(gk.level AS BIGINT) AS level, gk.geo, gk.segment,
+           gk.bal_band, CAST(gk.n AS BIGINT) AS n
+    FROM gk JOIN gl ON gk.geo = gl.geo AND gk.segment = gl.segment
+    ORDER BY gk.geo, gk.segment, gk.bal_band
+    """,
+)
+def customers_kl_anonymize_enforced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.plans.governance import kl_anonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    _, classes = kl_anonymize(c, n, k=5, l=4)
+    return classes.select(
+        F.col("level"),
+        "geo",
+        "segment",
+        "bal_band",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("geo", "segment", "bal_band")

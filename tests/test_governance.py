@@ -115,6 +115,86 @@ def test_k_anonymize_enforces_k_floor(spark, sf_dir):
     assert rows.count() == sum(r["n"] for r in cls)
 
 
+def test_kl_anonymize_enforces_both_floors(spark, sf_dir):
+    """The combined transform's guarantee (VERDICT r9 item 3): every
+    released cell has >= k members AND every released (geo, segment)
+    group carries >= l distinct balance bands; rows re-aggregate to
+    classes exactly; l=1 degenerates bit-identically to pure
+    k-anonymity."""
+    from fabric_claims_spark.plans.governance import (
+        k_anonymize,
+        kl_anonymize,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rows, classes = kl_anonymize(c, n, k=2, l=2)
+    cls = classes.collect()
+    assert cls and min(r["n"] for r in cls) >= 2  # k floor
+    by_group: dict[tuple, set] = {}
+    for r in cls:
+        by_group.setdefault((r["geo"], r["segment"]), set()).add(
+            r["bal_band"]
+        )
+    assert min(len(bands) for bands in by_group.values()) >= 2  # l floor
+    re = {
+        (r["geo"], r["segment"], r["bal_band"]): r["cnt"]
+        for r in rows.groupBy("geo", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert re == {
+        (r["geo"], r["segment"], r["bal_band"]): r["n"] for r in cls
+    }
+
+    # l=1 IS k_anonymize — the delegation must be result-identical
+    k_rows, k_cls = k_anonymize(c, n, k=5)
+    kl_rows, kl_cls = kl_anonymize(c, n, k=5, l=1)
+    assert sorted(map(tuple, k_cls.collect())) == sorted(
+        map(tuple, kl_cls.collect())
+    )
+    assert sorted(map(tuple, k_rows.collect())) == sorted(
+        map(tuple, kl_rows.collect())
+    )
+
+
+def test_kl_anonymize_two_stage_suppression_interplay(spark):
+    """The subtle fixpoint case the two-stage order exists for: at
+    the fallback level a below-k CELL drops first, which pushes its
+    (geo, segment) group's SURVIVING distinct-band count below l, so
+    the whole group — including its k-safe cells — must drop in
+    stage 2, while an untouched group releases in full. Crafted so
+    no ladder level satisfies the joint choice (a singleton cell at
+    every level forces the fallback)."""
+    from fabric_claims_spark.plans.governance import kl_anonymize
+
+    custs = spark.createDataFrame(
+        # region 0 / nation 0: two full cells -> survives both stages
+        [(1, 0, "S", 500.0), (2, 0, "S", 500.0),
+         (3, 0, "S", 4500.0), (4, 0, "S", 4500.0),
+         # region 1 / nation 1: one k-safe cell + one singleton cell;
+         # after the singleton drops, the group has 1 distinct band
+         (5, 1, "S", 500.0), (6, 1, "S", 500.0), (7, 1, "S", 4500.0)],
+        "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double",
+    )
+    nats = spark.createDataFrame(
+        [(0, 0), (1, 1)], "n_nationkey long, n_regionkey long"
+    )
+    rows, classes = kl_anonymize(custs, nats, k=2, l=2)
+    cls = sorted(
+        (r["geo"], r["segment"], r["bal_band"], r["n"])
+        for r in classes.collect()
+    )
+    # fallback = last ladder level (region rollup, 4000-band): region
+    # 0 releases both cells; region 1 is suppressed WHOLE even though
+    # its band-0 cell alone is k-safe
+    assert cls == [("r0", "S", 0, 2), ("r0", "S", 1, 2)]
+    kept = sorted(r["c_custkey"] for r in rows.collect())
+    assert kept == [1, 2, 3, 4]
+
+
 def test_enforce_k_anonymity_audits_suppression(spark, tmp_path, sf_dir):
     """The audited wrapper logs the KEPT row count under the
     governance layer (never the suppressed keys) and reports an
@@ -138,3 +218,16 @@ def test_enforce_k_anonymity_audits_suppression(spark, tmp_path, sf_dir):
     assert len(rows) == 1
     assert rows[0]["RowsWritten"] == got["kept"]
     assert rows[0]["TargetObject"] == "k_anonymize(k=5)"
+
+    # the combined wrapper records both floors in the audit target
+    got_kl = enforce_k_anonymity(
+        store, c, n, k=5, l=4, audit_pipeline="kl_anonymize"
+    )
+    assert got_kl["kept"] + got_kl["suppressed"] == got_kl["total"]
+    assert got_kl["kept"] <= got["kept"]  # l can only suppress more
+    kl_audit = store.read(AUDIT_TABLE).where(
+        F.col("PipelineName") == "kl_anonymize"
+    ).collect()
+    assert len(kl_audit) == 1
+    assert kl_audit[0]["TargetObject"] == "kl_anonymize(k=5,l=4)"
+    assert kl_audit[0]["RowsWritten"] == got_kl["kept"]
