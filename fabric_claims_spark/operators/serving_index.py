@@ -79,6 +79,7 @@ LSH_PAIRS = "lsh_pairs"
 LSH_COMMITS = "lsh_commits"
 
 IVF_VECS = "ivf_vecs"
+IVF_CENTROIDS = "ivf_centroids"
 IVF_COMMITS = "ivf_commits"
 
 _TOKEN = "_token"
@@ -119,6 +120,32 @@ def _committed_rows(store: TableStore, table: str, commits_table: str) -> DataFr
     rows = store.read(table)
     tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
     return rows.join(F.broadcast(tokens), _TOKEN, "left_semi").drop(_TOKEN)
+
+
+def compact_index_table(
+    store: TableStore, table: str, commits_table: str, n_files: int = 8
+) -> int:
+    """Rewrite the committed rows of ``table`` into one coalesced
+    version (VERDICT r9 item 6): incremental maintenance leaves one
+    token-stamped parquet append per increment, and at minutes-cadence
+    increments the reader's file-listing/open cost grows linearly
+    even though the DATA is bounded. Compaction = read committed rows
+    (dropping any orphans for free), repartition to ``n_files``, one
+    atomic pointer-swap overwrite. Tokens are RETAINED, so reader
+    visibility is bit-identical before/after and the commit table
+    needs no touch — a crash mid-compact leaves the old version
+    current (the same torn-write contract every TableStore write
+    carries). Returns the number of rows in the compacted version.
+    A maintenance action, never on the apply path; in production it
+    runs at a fixed increment count (e.g. every 100) or file-count
+    threshold."""
+    if not store.exists(table) or not store.exists(commits_table):
+        return 0
+    rows = store.read(table)
+    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
+    keep = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    store.overwrite(table, keep.repartition(n_files))
+    return store.read(table).count()
 
 
 def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int:
@@ -357,6 +384,21 @@ def apply_ivf_batch(
         return
     ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = batch_vectors.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
+    assigned = _ivf_assign(e, centroids)
+    token = uuid.uuid4().hex
+    store.append(IVF_VECS, assigned.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, IVF_COMMITS, batch_id, token)
+
+
+def _ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The one coarse-assignment expression set — cosine rounded to
+    6 dp, row_number ties to the smaller centroid_id (the exact
+    ``embeddings_ivf_assign`` expressions). Shared verbatim by
+    ``apply_ivf_batch`` and ``rebuild_ivf_index`` so incremental
+    maintenance and rebuild reassignment cannot drift. Broadcast-join
+    shaped: O(rows·k) work, O(1) plan size — no per-centroid literal
+    expressions, so it carries any k without the plan-cost wall
+    measured for the literal Lloyd path (SCALING.md round 9)."""
 
     def _dot(a, b):
         return F.aggregate(
@@ -375,7 +417,7 @@ def apply_ivf_batch(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("centroid_id").asc()
     )
-    assigned = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
@@ -385,9 +427,83 @@ def apply_ivf_batch(
             F.col("sim").alias("centroid_sim"),
         )
     )
+
+
+def rebuild_ivf_index(
+    store: TableStore,
+    k: int = 8,
+    iters: int = 3,
+    sample_cap: int | None = None,
+    train_assign: str = "literal",
+) -> list[tuple[int, list[float]]]:
+    """Index REBUILD — the contract ``apply_ivf_batch`` names but
+    round 9 left unimplemented: retraining the quantizer moves every
+    bucket boundary, so it cannot be folded incrementally; it is a
+    full retrain + reassign + atomic swap.
+
+    1. RETRAIN on the committed vectors
+       (``kmeans_centroids(sample_cap=…, assign=…)`` — the measured
+       strategies: sampled training bounds the paper-scale k·n cost,
+       'join'/'arrow' bound the plan/compute cost; seeds = the k
+       smallest committed vec_ids, the oracle-pinned rule).
+    2. REASSIGN every committed vector to the new centroids with the
+       verbatim ``_ivf_assign`` expressions — broadcast-join shaped,
+       one linear pass, never pair-shaped.
+    3. ATOMIC SWAP under the existing commit protocol: the new
+       assignment rows and the new quantizer rows (``ivf_centroids``)
+       append token-stamped and INVISIBLE, then one pointer-swap
+       overwrite of the commit table re-points every previously
+       committed batch_id at the rebuild token. That single swap
+       flips readers from the old index (vectors AND quantizer) to
+       the rebuilt one; a crash before it leaves the old index fully
+       intact with reclaimable orphans, and redelivery of any
+       pre-rebuild batch_id stays a no-op because the batch_ids
+       survive the swap.
+    4. VACUUM the pre-rebuild rows (now invisible by the swap) — a
+       maintenance rewrite, never on the read path.
+
+    Returns the retrained centroids (driver state, k·dim doubles).
+    Consumers pick the new quantizer up via ``read_ivf_centroids``
+    for post-rebuild ``apply_ivf_batch`` calls and probe routing.
+    """
+    if not store.exists(IVF_COMMITS):
+        raise ValueError("rebuild_ivf_index: no committed index to rebuild")
+    from fabric_claims_spark.extensions.similarity import kmeans_centroids
+
+    committed = read_ivf_index(store).select("vec_id", "ev")
+    cents = kmeans_centroids(
+        committed,
+        k=k,
+        iters=iters,
+        id_col="vec_id",
+        vec_col="ev",
+        sample_cap=sample_cap,
+        assign=train_assign,
+    )
+    spark = store.spark
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "centroid_id long, cv array<double>",
+    )
+    assigned = _ivf_assign(committed, F.broadcast(cent_df))
     token = uuid.uuid4().hex
+    # appends are invisible until the commit swap (readers semi-join
+    # committed tokens); the append itself reads the OLD version's
+    # files and writes a new version dir, so the lazy self-read is
+    # safe under the TableStore pointer-swap contract
     store.append(IVF_VECS, assigned.withColumn(_TOKEN, F.lit(token)))
-    _commit(store, IVF_COMMITS, batch_id, token)
+    store.append(IVF_CENTROIDS, cent_df.withColumn(_TOKEN, F.lit(token)))
+    prior = [
+        int(r["batch_id"])
+        for r in store.read(IVF_COMMITS).select("batch_id").collect()
+    ]
+    swapped = spark.createDataFrame(
+        [(b, token) for b in prior], "batch_id long, token string"
+    )
+    store.overwrite(IVF_COMMITS, swapped.coalesce(1))
+    vacuum_uncommitted(store, IVF_VECS, IVF_COMMITS)
+    vacuum_uncommitted(store, IVF_CENTROIDS, IVF_COMMITS)
+    return cents
 
 
 def read_ivf_index(store: TableStore) -> DataFrame:
@@ -397,3 +513,18 @@ def read_ivf_index(store: TableStore) -> DataFrame:
     only its buckets; the gate consumers filter on the column, which
     partition-prunes the same way."""
     return _committed_rows(store, IVF_VECS, IVF_COMMITS)
+
+
+def read_ivf_centroids(store: TableStore) -> DataFrame:
+    """(centroid_id, cv) — the committed quantizer, k rows (always
+    broadcast-sized). Populated by ``rebuild_ivf_index``; before the
+    first rebuild the build-time quantizer is caller state (it was
+    the ``centroids`` argument to every ``apply_ivf_batch``), so this
+    returns empty — the same one-commit-table visibility rule as the
+    vectors, which is what makes the rebuild swap atomic across both
+    tables."""
+    if not store.exists(IVF_CENTROIDS):
+        return store.spark.createDataFrame(
+            [], "centroid_id long, cv array<double>"
+        )
+    return _committed_rows(store, IVF_CENTROIDS, IVF_COMMITS)

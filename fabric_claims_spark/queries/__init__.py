@@ -616,6 +616,18 @@ GATE_PRIORITY: list[str] = [
     # the group-level stage suppresses 13 of 25 groups, so the hash
     # witnesses a PARTIAL l-cut, not a no-op
     "customers_kl_anonymize_enforced",
+    # round-10: IVF REBUILD (VERDICT r9 item 2) — retrain + reassign +
+    # atomic swap over an incrementally-built store must hash-equal a
+    # fresh one-shot trained build (oracle = unrolled Lloyd + the
+    # verbatim cosine assignment); completes the serving lifecycle
+    # (build → maintain → serve → REBUILD)
+    "embeddings_ivf_rebuild",
+    # round-10: decontamination with the hot-gram df cap (VERDICT r9
+    # item 5) — the probe-side document-frequency cutoff that bounds
+    # the gram join's fan-out (boilerplate grams are not contamination
+    # evidence); differs from the uncapped release at sf0.01/0.1, so
+    # the cap is visibly load-bearing in the hash
+    "docs_decontaminated_train_capped",
 ]
 
 

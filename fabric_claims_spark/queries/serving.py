@@ -419,3 +419,71 @@ def embeddings_ivf_search_served(
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# IVF REBUILD (round 10, VERDICT r9 item 2): the lifecycle step the
+# maintenance gate only documents — retraining the quantizer moves
+# every bucket boundary, so it is a full retrain + reassign + atomic
+# swap, never an incremental fold. The gate claim: rebuilding an
+# INCREMENTALLY-built store (three increments, seed quantizer) yields
+# the exact index a FRESH one-shot build would — the oracle IS that
+# fresh build in SQL: the unrolled Lloyd trainer (the bit-exactness
+# `embeddings_kmeans` proves) over all vectors, then the verbatim
+# cosine coarse assignment to the retrained centroids.
+
+
+def _ivf_rebuild_oracle(k: int = 8, iters: int = 2) -> str:
+    from fabric_claims_spark.queries.similarity import _kmeans_ctes
+
+    return f"""
+    WITH {_kmeans_ctes(k, iters)},
+    scored AS (
+      SELECT e.vec_id, c.cid AS centroid_id,
+             ROUND(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+      FROM ev e CROSS JOIN cent{iters} c)
+    SELECT vec_id, centroid_id AS assigned_centroid, sim AS centroid_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1
+    ORDER BY vec_id
+    """
+
+
+@query("embeddings_ivf_rebuild", oracle=_ivf_rebuild_oracle())
+def embeddings_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild == fresh-build: the store is built with the SEED
+    quantizer (vec_id < 8; one apply — the multi-increment build and
+    redelivery no-op are ``embeddings_ivf_index_maintenance``'s
+    claim, and the multi-batch_id re-pointing is pytest-pinned, so
+    this gate pays for one), then ``rebuild_ivf_index`` retrains
+    (Lloyd, 2 rounds, seeds = the k smallest committed vec_ids),
+    reassigns every committed vector with the shared ``_ivf_assign``
+    expressions, and atomically swaps — and the post-swap reader must
+    hash-equal the from-scratch trained assignment the oracle
+    computes. The swapped quantizer is itself consumer-visible
+    (``read_ivf_centroids``, pinned by pytest)."""
+    from fabric_claims_spark.operators.serving_index import (
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    work = tempfile.mkdtemp(prefix="ivf_rb_")
+    try:
+        store = TableStore(spark, work)
+        apply_ivf_batch(store, emb, 0, seed)
+        rebuild_ivf_index(store, k=8, iters=2)
+        return (
+            read_ivf_index(store)
+            .select("vec_id", "assigned_centroid", "centroid_sim")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -2781,6 +2781,109 @@ def docs_decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Decontamination with the HOT-GRAM CAP (round 10, VERDICT r9 item
+# 5): the uncapped removal above joins train grams to eval grams on
+# equality — linear on real data, but a boilerplate 8-gram (license
+# header, nav chrome) shared by every eval doc AND a large train
+# slice makes that key quadratic-hot (measured: tools/
+# scale_round10.decon_skew). The production lever is a
+# document-frequency cutoff on the PROBE side: an eval gram matching
+# more than ``_DECON_DF_CAP`` train documents is boilerplate, not
+# contamination evidence — exactly the LSH bucket-cap discipline
+# (extensions/dedup.incremental_dedup). The cap bounds every gram's
+# join fan-out, so the candidate table is ≤ cap·|eval grams| rows by
+# construction.
+#
+# _DECON_DF_CAP = 1 pins the MECHANISM at a value the fixture can
+# exercise (natural df maxes at 2 here: the capped release keeps the
+# df-2-gram docs the uncapped removal drops at sf0.01/0.1, so the
+# hashes differ and the cap is visibly load-bearing); a production
+# corpus uses a cap near 10^3 — far above any true eval overlap,
+# far below web boilerplate df.
+_DECON_DF_CAP = 1
+
+
+@query(
+    "docs_decontaminated_train_capped",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, source, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+               % 100 AS bucket
+      FROM documents),
+    t AS (
+      SELECT doc_id, bucket, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM split WHERE length(trim(text)) > 0),
+    dg AS (
+      SELECT DISTINCT doc_id, bucket,
+             array_to_string(
+               list_slice(toks, i, i + {_DECON_GRAM - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, bucket, toks,
+               unnest(generate_series(
+                 1, greatest(len(toks) - {_DECON_GRAM - 1}, 1))) AS i
+        FROM t)),
+    evg AS (SELECT DISTINCT gram FROM dg WHERE bucket >= 80),
+    hot AS (
+      SELECT g.gram
+      FROM dg g JOIN evg ON g.gram = evg.gram
+      WHERE g.bucket < 80
+      GROUP BY g.gram
+      HAVING COUNT(DISTINCT g.doc_id) > {_DECON_DF_CAP}),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM dg tr
+      JOIN (SELECT gram FROM evg
+            WHERE gram NOT IN (SELECT gram FROM hot)) ev
+        ON tr.gram = ev.gram
+      WHERE tr.bucket < 80)
+    SELECT s.doc_id, s.lang, s.source
+    FROM split s
+    WHERE s.bucket < 80
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY s.doc_id
+    """,
+)
+def docs_decontaminated_train_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.extensions.dedup import md5_long, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.col("doc_id").cast("string")) % 100).cast("long")
+    split = d.select(
+        "doc_id", "lang", "source", "text", bucket.alias("bucket")
+    )
+    dg = split.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), _DECON_GRAM))
+        ).alias("gram"),
+    )
+    tg = dg.where(F.col("bucket") < 80).select("doc_id", "gram")
+    eg = dg.where(F.col("bucket") >= 80).select("gram").distinct()
+    # probe-side df cutoff: count train docs per MATCHED gram only
+    # (the semi-joined frame — never a full train-gram rollup), then
+    # drop the hot grams from the probe set
+    hot = (
+        tg.join(eg, "gram")
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("tdf"))
+        .where(F.col("tdf") > _DECON_DF_CAP)
+        .select("gram")
+    )
+    probe = eg.join(hot, "gram", "left_anti")
+    contaminated = tg.join(probe, "gram").select("doc_id").distinct()
+    return (
+        split.where(F.col("bucket") < 80)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # DSIR → mixture weights (DoReMi-flavored, round 9): turn the
 # per-document importance scores into PER-SOURCE basis-point mixture
 # weights — the measure → weight → allocate loop closed. Each
