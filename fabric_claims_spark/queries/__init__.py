@@ -162,7 +162,17 @@ GATE_PRIORITY: list[str] = [
     # operators gain driver coverage through their superset) and the
     # k-anonymity risk readout (the governance family's measurement).
     "docs_dsir_pipeline",
-    "customers_k_anonymity",
+    # round-10 swap (VERDICT r9 item 1): the k-anonymity RISK READOUT
+    # moves to the tail (still oracle-checked locally) — its
+    # machinery (QI groupBy + min-class readout) is a strict subset
+    # of the promoted combined ENFORCEMENT query, whose kml/lml level
+    # tables compute the same per-class count and min-distinct
+    # readouts over the same quasi-identifiers before enforcing both
+    # floors (k_anonymize itself delegates to kl_anonymize, so the
+    # ladder runs verbatim). The driver row now witnesses the two
+    # never-checked machines: generalization-ladder enforcement and
+    # the l-diversity group-suppression stage.
+    "customers_kl_anonymize_enforced",
     "scd2_customer_history",
     "docs_jaccard_pairs",
     # round-6 swap: docs_minhash_signatures and docs_simhash are
@@ -172,7 +182,16 @@ GATE_PRIORITY: list[str] = [
     # both operators stay prefix-checked; the standalone signature
     # queries move to the tail (still oracle-checked locally).
     "docs_minhash_neardup",
-    "docs_dup_clusters",
+    # round-10 swap (VERDICT r9 item 1): the cluster row passes to its
+    # SERVED twin — the oracle is shared VERBATIM
+    # (_dup_clusters_oracle(0.5)), so the exact docs_dup_clusters
+    # semantics stay driver-hash-checked, and the served query
+    # additionally exercises the never-checked LSH serving store
+    # (apply_lsh_batch signature/band/pair build — minhash_near_dups
+    # runs inline for batch-internal pairs — plus the token-commit
+    # visibility protocol and read_lsh_pairs). The in-plan twin stays
+    # oracle-checked locally at tri-scale.
+    "docs_dup_clusters_served",
     "docs_bm25_topk",
     # round-9 swap: the full-corpus SimHash banding moves to the tail
     # (still oracle-checked locally) — its recall GATE runs the same
@@ -230,7 +249,15 @@ GATE_PRIORITY: list[str] = [
     # top-10 identical to the scan twin, so the fusion semantics stay
     # prefix-checked while docs_hybrid_rrf_search moves to the tail
     # (still oracle-checked locally).
-    "docs_hybrid_rrf_indexed",
+    # round-10 swap (VERDICT r9 item 1): the RRF row passes on again,
+    # to the SERVED variant — oracle shared VERBATIM
+    # (_RRF_INDEXED_ORACLE), so the indexed fusion semantics stay
+    # driver-hash-checked, and the served query additionally
+    # exercises the never-checked lexical serving store
+    # (apply_lexical_batch postings/doclen appends, the idempotent df
+    # rollup, the token-commit protocol, read_lexical_index). The
+    # in-plan twin stays oracle-checked locally at tri-scale.
+    "docs_hybrid_rrf_served",
     # round-6 flagship rows (the four rotated IN, VERDICT r5 item 2):
     # the sanctioned applyInPandas escape hatch, the null-aware anti
     # join, the correlated-having TPC-H shape, and Lloyd-trained
@@ -556,9 +583,13 @@ GATE_PRIORITY: list[str] = [
     # pair-table semantics, and the cluster consumer over the stored
     # pair table (hash == docs_dup_clusters)
     "lexical_index_maintenance",
-    "docs_hybrid_rrf_served",
+    # (docs_hybrid_rrf_served and docs_dup_clusters_served were
+    # promoted to the 50-row prefix in round 10; their in-plan twins
+    # hold these tail slots — oracles shared verbatim, so the tail
+    # replica keeps hash-checking the identical semantics.)
+    "docs_hybrid_rrf_indexed",
     "docs_lsh_index_maintenance",
-    "docs_dup_clusters_served",
+    "docs_dup_clusters",
     # (round-8's SemDeDup multi-probe pair/recall queries were
     # promoted to the 50-row prefix in round 9.)
     # round-8: DSIR importance weights (hashed-ngram log-likelihood
@@ -609,13 +640,11 @@ GATE_PRIORITY: list[str] = [
     # family (MinHash/SimHash/SemDeDup): sign-LSH is a high-similarity
     # filter and the gate makes its two-band contract machine-readable
     "embeddings_hyperplane_recall",
-    # round-10: l-diversity ENFORCEMENT (VERDICT r9 item 3) — the
-    # transform behind the readout; joint k+l level choice plus
-    # two-stage suppression, sharing k_anonymize's ladder verbatim
-    # (k_anonymize IS kl_anonymize at l=1); at the sf0.01 gate scale
-    # the group-level stage suppresses 13 of 25 groups, so the hash
-    # witnesses a PARTIAL l-cut, not a no-op
-    "customers_kl_anonymize_enforced",
+    # (customers_kl_anonymize_enforced — l-diversity ENFORCEMENT,
+    # VERDICT r9 item 3 — was promoted straight into the 50-row
+    # prefix in round 10; the k-anonymity risk readout it covers
+    # holds this tail slot, still oracle-checked locally.)
+    "customers_k_anonymity",
     # round-10: IVF REBUILD (VERDICT r9 item 2) — retrain + reassign +
     # atomic swap over an incrementally-built store must hash-equal a
     # fresh one-shot trained build (oracle = unrolled Lloyd + the

@@ -77,10 +77,13 @@ def _cos(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def _recall_at10(stored, cents_df, queries, nprobe: int = 4) -> float:
-    """Mean recall@10 over the query frame (qid, qv): IVF probe with
-    the given quantizer vs brute-force cosine over the same stored
-    corpus. One windowed pass each — no per-query driver loop."""
+def _recall_at10(stored, cents_df, queries, nprobe: int = 4):
+    """(mean recall@10, mean probe candidate share) over the query
+    frame (qid, qv): IVF probe with the given quantizer vs
+    brute-force cosine over the same stored corpus. Candidate share =
+    the fraction of the corpus the probe actually scans — the number
+    a hot (skewed) bucket inflates, i.e. the real per-query cost at
+    scale. One windowed pass each — no per-query driver loop."""
     q = F.broadcast(queries)
     # ground truth: brute force top-10 per query
     rn = F.row_number().over(
@@ -134,7 +137,13 @@ def _recall_at10(stored, cents_df, queries, nprobe: int = 4) -> float:
     )
     hit = truth.join(got, ["qid", "vec_id"], "left_semi").count()
     n_q = queries.count()
-    return round(hit / (10.0 * n_q), 3)
+    n_corpus = stored.count()
+    scanned = stored.join(
+        F.broadcast(probes),
+        stored["assigned_centroid"] == probes["centroid_id"],
+    ).count()
+    share = round(scanned / float(n_q * n_corpus), 3)
+    return round(hit / (10.0 * n_q), 3), share
 
 
 def ivf_crossover(spark) -> None:
@@ -200,8 +209,9 @@ def ivf_crossover(spark) -> None:
               f"apply(init) {t_init}s")
         print()
         print("| increments folded | corpus | apply wall (s) | "
-              "skew max/mean | recall@10 (drifted queries, stale quantizer) |")
-        print("|---|---|---|---|---|")
+              "skew max/mean | recall@10 (drifted queries) | "
+              "probe candidate share (ideal nprobe/k = 0.25) |")
+        print("|---|---|---|---|---|---|")
         applies = []
         for i in range(1, N_INC + 1):
             inc = spark.read.parquet(f"{work}/inc{i}")
@@ -228,9 +238,10 @@ def ivf_crossover(spark) -> None:
                     .select(F.col("vec_id").alias("qid"),
                             F.col("ev").alias("qv"))
                 )
-                rec = _recall_at10(stored, cent_df, queries, NPROBE)
+                rec, share = _recall_at10(stored, cent_df, queries, NPROBE)
                 print(
-                    f"| {i} | {n} | {applies[-1]} | {skew} | {rec} |"
+                    f"| {i} | {n} | {applies[-1]} | {skew} | {rec} "
+                    f"| {share} |"
                 )
         # the rebuild: retrain on committed vectors, reassign, swap
         _clear(spark)
@@ -249,9 +260,10 @@ def ivf_crossover(spark) -> None:
             .limit(10)
             .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
         )
-        rec = _recall_at10(stored, new_cents, queries, NPROBE)
+        rec, share = _recall_at10(stored, new_cents, queries, NPROBE)
         print(
-            f"| REBUILD after {N_INC} | {n} | {t_rb} | {skew} | {rec} |"
+            f"| REBUILD after {N_INC} | {n} | {t_rb} | {skew} | {rec} "
+            f"| {share} |"
         )
         print()
         print(
