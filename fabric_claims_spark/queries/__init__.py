@@ -657,6 +657,11 @@ GATE_PRIORITY: list[str] = [
     # evidence); differs from the uncapped release at sf0.01/0.1, so
     # the cap is visibly load-bearing in the hash
     "docs_decontaminated_train_capped",
+    # round-10: t-closeness readout — the privacy triad's third leg
+    # (k-anonymity → l-diversity → t-closeness, Li et al. ICDE 2007):
+    # max ordered-EMD between any class's sensitive distribution and
+    # the global one, exact-integer numerators, one final division
+    "customers_t_closeness",
 ]
 
 

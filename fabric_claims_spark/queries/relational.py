@@ -1443,6 +1443,127 @@ def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t-closeness readout (round 10) — the third leg of the privacy
+# measurement triad (k-anonymity → l-diversity → t-closeness; Li,
+# Li, Venkatasubramanian, ICDE 2007): an l-diverse class still leaks
+# if its sensitive-value DISTRIBUTION skews far from the table's
+# (e.g. a class whose balances are all in the top bands). t = the
+# max over QI classes of the Earth Mover's Distance between the
+# class's balance-band distribution and the global one; for an
+# ordered attribute EMD has the closed form
+#   (1/(m-1)) · Σ_i |Σ_{j≤i} (p_j − q_j)|.
+#
+# Cross-engine determinism: p_j − q_j = n_cj/N_c − g_j/N is kept as
+# the exact INTEGER numerator n_cj·N − g_j·N_c over the common
+# denominator N_c·N; cumulative sums and |·| stay integer, and ONE
+# final division (exactly-rounded IEEE in both engines) produces the
+# per-class EMD, rounded to 6 dp only at the output edge. At sf0.1
+# the numerators stay < 2^31; a 100-TB run casts the products to
+# decimal(38,0) first (noted, not needed at gate scale).
+#
+# Scale shape: two groupBys bounded by |QI domain| and |band domain|,
+# a dense (class × band) grid (bounded product, broadcast), one
+# window over the band order per class (partition = class, bounded
+# frames), then a scalar aggregate. Nothing row-shaped leaves the
+# first groupBy.
+@query(
+    "customers_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    gb AS (SELECT band, COUNT(*) AS g FROM base GROUP BY 1),
+    cls AS (SELECT nat, seg, COUNT(*) AS nc FROM base GROUP BY 1, 2),
+    cb AS (SELECT nat, seg, band, COUNT(*) AS ncb FROM base GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT cls.nat, cls.seg, cls.nc, gb.band, gb.g,
+             COALESCE(cb.ncb, 0) AS ncb
+      FROM cls CROSS JOIN gb
+      LEFT JOIN cb ON cb.nat = cls.nat AND cb.seg = cls.seg
+                  AND cb.band = gb.band),
+    cum AS (
+      SELECT nat, seg, nc,
+             SUM(ncb * (SELECT n FROM tot) - g * nc) OVER (
+               PARTITION BY nat, seg ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumnum
+      FROM grid),
+    emd AS (
+      SELECT nat, seg,
+             CAST(SUM(ABS(cumnum)) AS DOUBLE)
+               / (MIN(nc) * (SELECT n FROM tot)
+                  * ((SELECT COUNT(*) FROM gb) - 1)) AS t
+      FROM cum GROUP BY 1, 2)
+    SELECT ROUND(MAX(t), 6) AS t_closeness,
+           CAST(COUNT(*) AS BIGINT) AS classes,
+           CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_over_t02,
+           ROUND(CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pct_over_t02
+    FROM emd
+    """,
+)
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    n_total = base.count()
+    gb = base.groupBy("band").agg(F.count(F.lit(1)).alias("g"))
+    m = gb.count()
+    cls = base.groupBy("nat", "seg").agg(F.count(F.lit(1)).alias("nc"))
+    cb = base.groupBy("nat", "seg", "band").agg(
+        F.count(F.lit(1)).alias("ncb")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gb))
+        .join(cb, ["nat", "seg", "band"], "left")
+        .select(
+            "nat",
+            "seg",
+            "nc",
+            "band",
+            "g",
+            F.coalesce(F.col("ncb"), F.lit(0)).alias("ncb"),
+        )
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "nat",
+        "seg",
+        "nc",
+        F.sum(
+            F.col("ncb") * F.lit(n_total) - F.col("g") * F.col("nc")
+        ).over(w).alias("cumnum"),
+    )
+    emd = cum.groupBy("nat", "seg").agg(
+        (
+            F.sum(F.abs(F.col("cumnum"))).cast("double")
+            / (F.min("nc") * F.lit(n_total) * F.lit(m - 1))
+        ).alias("t")
+    )
+    over = F.when(F.col("t") > 0.2, 1).otherwise(0)
+    return emd.agg(
+        F.round(F.max("t"), 6).alias("t_closeness"),
+        F.count(F.lit(1)).cast("bigint").alias("classes"),
+        F.sum(over).cast("bigint").alias("classes_over_t02"),
+        F.round(F.sum(over).cast("double") / F.count(F.lit(1)), 6).alias(
+            "pct_over_t02"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # l-diversity ENFORCEMENT (round 10, VERDICT r9 item 3) — the
 # transform behind the readout above, completing the measure→enforce
 # pair the way customers_k_anonymize_enforced completed the k pair.
