@@ -662,6 +662,11 @@ GATE_PRIORITY: list[str] = [
     # max ordered-EMD between any class's sensitive distribution and
     # the global one, exact-integer numerators, one final division
     "customers_t_closeness",
+    # round-10: the full serving lifecycle in one oracle row — build
+    # incrementally (one redelivered), COMPACT mid-stream, fold a
+    # further increment, read; the hash carries the maintained df
+    # rollup AND the df recomputed from the compacted postings
+    "lexical_index_lifecycle",
 ]
 
 

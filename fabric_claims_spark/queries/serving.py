@@ -102,6 +102,65 @@ def lexical_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "lexical_index_lifecycle",
+    oracle=r"""
+    WITH td AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS df_from_postings
+    FROM td GROUP BY term ORDER BY term
+    """,
+)
+def lexical_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full serving lifecycle in one oracle-gated row (round 10):
+    build incrementally, COMPACT the data tables mid-stream
+    (`compact_index_table` — committed rows → one version, tokens
+    retained), fold a further increment into the compacted store,
+    then read. The hash carries BOTH the maintained df rollup and the
+    df recomputed from the compacted-then-extended POSTINGS table —
+    both must equal the plain full-corpus aggregate, so a compaction
+    that dropped/duplicated a committed row, broke token visibility,
+    or disturbed the rollup's idempotence would diverge the hash.
+    (Redelivery no-ops are lexical_index_maintenance's claim — this
+    gate pays for the compaction path instead.) Oracle shared with
+    lexical_index_maintenance (the df column) plus the
+    postings-derived twin column."""
+    from fabric_claims_spark.operators.serving_index import (
+        LEX_COMMITS,
+        LEX_DOCLEN,
+        LEX_POSTINGS,
+        compact_index_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lex_lc_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(2):
+            batch = docs.where(F.pmod("doc_id", F.lit(3)) == b)
+            apply_lexical_batch(store, batch, b)
+        compact_index_table(store, LEX_POSTINGS, LEX_COMMITS)
+        compact_index_table(store, LEX_DOCLEN, LEX_COMMITS)
+        apply_lexical_batch(
+            store, docs.where(F.pmod("doc_id", F.lit(3)) == 2), 2
+        )
+        td, dfc, _ = read_lexical_index(store)
+        from_postings = td.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_from_postings")
+        )
+        return (
+            dfc.join(from_postings, "term")
+            .select("term", "df", "df_from_postings")
+            .orderBy("term")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("docs_hybrid_rrf_served", oracle=_RRF_INDEXED_ORACLE)
 def docs_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The served twin of ``docs_hybrid_rrf_indexed``: identical
