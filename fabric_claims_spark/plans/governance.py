@@ -124,6 +124,38 @@ def _qi_levels(cj: DataFrame, ladder) -> DataFrame:
     return out
 
 
+def klt_anonymize(
+    customers: DataFrame,
+    nations: DataFrame,
+    k: int = 5,
+    l: int = 1,
+    t: float | None = None,
+    ladder=K_LADDER,
+) -> tuple[DataFrame, DataFrame]:
+    """The full privacy-triad ENFORCEMENT: k-anonymity + l-diversity
+    + t-closeness (Li et al., ICDE 2007) over the same generalization
+    ladder. Everything ``kl_anonymize`` documents, plus: the level
+    choice additionally requires the max per-(geo, segment) ordered
+    EMD between the group's balance-band distribution and the
+    ORIGINAL table's (the attacker's prior — a fixed reference, so
+    suppression needs no fixpoint) to stay ≤ t, and the group
+    suppression stage drops groups whose SURVIVING cells exceed t
+    alongside those below l. EMD uses the exact-integer-numerator
+    form (customers_t_closeness's determinism argument): cumulative
+    sums of n_cb·N − g_b·N_c stay integer; one exactly-rounded IEEE
+    division per group.
+
+    ``t=None`` skips the EMD machinery entirely — the plan is then
+    exactly ``kl_anonymize``'s (hash-pinned by its oracle queries).
+
+    Scale shape: adds two bounded dense (group × band) grids (both
+    broadcast-sized products of QI × band domains), one window per
+    group over the band order, and a per-level max — nothing
+    row-shaped beyond the existing groupBys.
+    """
+    return _ladder_anonymize(customers, nations, k, l, t, ladder)
+
+
 def kl_anonymize(
     customers: DataFrame,
     nations: DataFrame,
@@ -168,6 +200,94 @@ def kl_anonymize(
     choice, broadcast semi-joins for suppression. Nothing
     pair-shaped, no window over raw rows.
     """
+    return _ladder_anonymize(customers, nations, k, l, None, ladder)
+
+
+def _group_emd(
+    cells: DataFrame,
+    glb: DataFrame,
+    mlv: DataFrame,
+    n_total: int,
+    by_level: bool,
+) -> DataFrame:
+    """Per-(geo, segment) ordered EMD of ``cells`` (level, geo,
+    segment, bal_band, n) against the ORIGINAL per-level global band
+    distribution ``glb`` (level, bal_band, gn). Exact integer
+    numerators (n_cb·N − g_b·N_c over the common denominator N_c·N)
+    through the cumulative window; one IEEE division per group.
+    ``by_level=True`` grids every ladder level (the level-choice
+    readout); False expects single-level cells (the survivor stage).
+    Returns (level, geo, segment, emd). All frames bounded by
+    QI × band domains."""
+    from pyspark.sql.window import Window
+
+    grp = cells.groupBy("level", "geo", "segment").agg(
+        F.sum("n").alias("nc")
+    )
+    grid = (
+        grp.join(F.broadcast(glb), "level")
+        .join(
+            cells.select(
+                "level", "geo", "segment", "bal_band",
+                F.col("n").alias("ncb"),
+            ),
+            ["level", "geo", "segment", "bal_band"],
+            "left",
+        )
+        .select(
+            "level",
+            "geo",
+            "segment",
+            "nc",
+            "bal_band",
+            "gn",
+            F.coalesce(F.col("ncb"), F.lit(0)).alias("ncb"),
+        )
+    )
+    part = (
+        ["level", "geo", "segment"] if by_level else ["geo", "segment"]
+    )
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "level",
+        "geo",
+        "segment",
+        "nc",
+        F.sum(
+            F.col("ncb") * F.lit(n_total) - F.col("gn") * F.col("nc")
+        ).over(w).alias("cumnum"),
+    )
+    return (
+        cum.groupBy("level", "geo", "segment")
+        .agg(
+            F.sum(F.abs(F.col("cumnum"))).alias("s"),
+            F.min("nc").alias("nc"),
+        )
+        .join(F.broadcast(mlv), "level")
+        .select(
+            "level",
+            "geo",
+            "segment",
+            (
+                F.col("s").cast("double")
+                / (F.col("nc") * F.lit(n_total) * (F.col("m") - 1))
+            ).alias("emd"),
+        )
+    )
+
+
+def _ladder_anonymize(
+    customers: DataFrame,
+    nations: DataFrame,
+    k: int,
+    l: int,
+    t: float | None,
+    ladder,
+) -> tuple[DataFrame, DataFrame]:
     cj = customers.join(
         F.broadcast(
             nations.select("n_nationkey", "n_regionkey")
@@ -186,13 +306,30 @@ def kl_anonymize(
         .agg(F.min("l_").alias("lmin"))
         .withColumnRenamed("level", "l_level")
     )
-    last = len(ladder) - 1
-    lv = (
-        kml.join(lml, kml["level"] == F.col("l_level"))
-        .where((F.col("kmin") >= k) & (F.col("lmin") >= l))
-        .agg(
-            F.coalesce(F.min("level"), F.lit(last)).cast("long").alias("lv")
+    if t is not None:
+        # per-level global band distribution (the attacker's prior at
+        # each granularity) and band-domain sizes — both bounded
+        n_total = customers.count()
+        glb = allv.groupBy("level", "bal_band").agg(
+            F.count(F.lit(1)).alias("gn")
         )
+        mlv = glb.groupBy("level").agg(F.count(F.lit(1)).alias("m"))
+        tml = (
+            _group_emd(g, glb, mlv, n_total, by_level=True)
+            .groupBy("level")
+            .agg(F.max("emd").alias("tmax"))
+            .withColumnRenamed("level", "t_level")
+        )
+    last = len(ladder) - 1
+    choice = kml.join(lml, kml["level"] == F.col("l_level")).where(
+        (F.col("kmin") >= k) & (F.col("lmin") >= l)
+    )
+    if t is not None:
+        choice = choice.join(
+            tml, F.col("level") == F.col("t_level")
+        ).where(F.col("tmax") <= t)
+    lv = choice.agg(
+        F.coalesce(F.min("level"), F.lit(last)).cast("long").alias("lv")
     )
     gk = (
         g.join(F.broadcast(lv), g["level"] == F.col("lv"))
@@ -205,6 +342,14 @@ def kl_anonymize(
         .where(F.col("l_sur") >= l)
         .select("geo", "segment")
     )
+    if t is not None:
+        # the t-stage evaluates the SURVIVING cells against the
+        # ORIGINAL prior at the chosen level's granularity — a fixed
+        # reference, so no fixpoint iteration is needed
+        gt = _group_emd(gk, glb, mlv, n_total, by_level=False).where(
+            F.col("emd") <= t
+        ).select("geo", "segment")
+        gl = gl.join(F.broadcast(gt), ["geo", "segment"], "left_semi")
     classes = gk.join(F.broadcast(gl), ["geo", "segment"], "left_semi")
     rows = allv.join(F.broadcast(lv), allv["level"] == F.col("lv")).join(
         F.broadcast(classes.select("geo", "segment", "bal_band")),

@@ -663,10 +663,16 @@ GATE_PRIORITY: list[str] = [
     # the global one, exact-integer numerators, one final division
     "customers_t_closeness",
     # round-10: the full serving lifecycle in one oracle row — build
-    # incrementally (one redelivered), COMPACT mid-stream, fold a
-    # further increment, read; the hash carries the maintained df
+    # incrementally, COMPACT mid-stream, fold a further increment,
+    # read; the hash carries the maintained df
     # rollup AND the df recomputed from the compacted postings
     "lexical_index_lifecycle",
+    # round-10: full privacy-triad ENFORCEMENT — joint k+l+t level
+    # choice (t = max group EMD vs the ORIGINAL band distribution),
+    # group stage drops under-diverse OR over-skewed survivor groups;
+    # at sf0.001 both cuts fire partially (9 l-drops, 3 t-drops, 12
+    # released), so each is visible in the hash
+    "customers_klt_anonymize_enforced",
 ]
 
 

@@ -1640,3 +1640,127 @@ def customers_kl_anonymize_enforced(
         "bal_band",
         F.col("n").cast("bigint").alias("n"),
     ).orderBy("geo", "segment", "bal_band")
+
+
+# --------------------------------------------------------------------------
+# Full privacy-triad ENFORCEMENT (round 10): k-anonymity +
+# l-diversity + t-closeness over the same generalization ladder —
+# the measure→enforce pair for customers_t_closeness, sharing the
+# kl machinery verbatim (plans/governance.klt_anonymize; kl IS klt
+# at t=None, pytest-pinned). The level choice jointly requires
+# min-k cells, min-l group diversity, AND max group EMD ≤ t vs the
+# ORIGINAL table's band distribution (the attacker's prior — a
+# fixed reference, so the two suppression stages stay
+# non-iterative); the group stage then drops survivors' groups that
+# are under-diverse OR over-skewed.
+#
+# Fixture regimes (measured, k=2 l=2 t=0.15): sf0.001 falls back to
+# the last level and BOTH group conditions fire partially (of 24
+# k-surviving groups: 9 drop on l, 3 drop on t, 12 release — the
+# hash witnesses each cut); sf0.01 chooses level 2 via the joint
+# rule; sf0.1 releases level 0 clean.
+@query(
+    "customers_klt_anonymize_enforced",
+    oracle="""
+    WITH cj AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             'n' || CAST(c_nationkey AS VARCHAR) AS geo_n,
+             'r' || CAST(n_regionkey AS VARCHAR) AS geo_r
+      FROM customer JOIN nation ON n_nationkey = c_nationkey),
+    allv AS (
+      SELECT 0 AS level, geo_n AS geo, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM cj
+      UNION ALL
+      SELECT 1, geo_n, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 2, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) FROM cj
+      UNION ALL
+      SELECT 3, geo_r, c_mktsegment,
+             CAST(floor(c_acctbal / 4000) AS BIGINT) FROM cj),
+    tot AS (SELECT COUNT(*) AS n FROM customer),
+    g AS (
+      SELECT level, geo, segment, band, COUNT(*) AS ncb
+      FROM allv GROUP BY 1, 2, 3, 4),
+    glb AS (SELECT level, band, COUNT(*) AS gn FROM allv GROUP BY 1, 2),
+    mlv AS (SELECT level, COUNT(*) AS m FROM glb GROUP BY 1),
+    kml AS (SELECT level, MIN(ncb) AS kmin FROM g GROUP BY 1),
+    lml AS (
+      SELECT level, MIN(l_) AS lmin FROM (
+        SELECT level, geo, segment, COUNT(DISTINCT band) AS l_
+        FROM g GROUP BY 1, 2, 3) GROUP BY 1),
+    grp AS (
+      SELECT level, geo, segment, SUM(ncb) AS nc FROM g GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT grp.level, grp.geo, grp.segment, grp.nc, glb.band, glb.gn,
+             COALESCE(g.ncb, 0) AS ncb
+      FROM grp JOIN glb ON glb.level = grp.level
+      LEFT JOIN g ON g.level = grp.level AND g.geo = grp.geo
+                 AND g.segment = grp.segment AND g.band = glb.band),
+    cum AS (
+      SELECT level, geo, segment, nc,
+             SUM(ncb * (SELECT n FROM tot) - gn * nc) OVER (
+               PARTITION BY level, geo, segment ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumnum
+      FROM grid),
+    emd AS (
+      SELECT c.level, geo, segment,
+             CAST(SUM(ABS(cumnum)) AS DOUBLE)
+               / (MIN(nc) * (SELECT n FROM tot) * (MIN(m.m) - 1)) AS t
+      FROM cum c JOIN mlv m ON m.level = c.level GROUP BY 1, 2, 3),
+    tml AS (SELECT level, MAX(t) AS tmax FROM emd GROUP BY 1),
+    lv AS (
+      SELECT COALESCE(MIN(kml.level), 3) AS lv
+      FROM kml JOIN lml ON kml.level = lml.level
+               JOIN tml ON tml.level = kml.level
+      WHERE kmin >= 2 AND lmin >= 2 AND tmax <= 0.15),
+    gk AS (
+      SELECT g.* FROM g JOIN lv ON g.level = lv.lv WHERE g.ncb >= 2),
+    grpk AS (
+      SELECT level, geo, segment, SUM(ncb) AS nc,
+             COUNT(DISTINCT band) AS lsur
+      FROM gk GROUP BY 1, 2, 3),
+    gridk AS (
+      SELECT grpk.level, grpk.geo, grpk.segment, grpk.nc, grpk.lsur,
+             glb.band, glb.gn, COALESCE(gk.ncb, 0) AS ncb
+      FROM grpk JOIN glb ON glb.level = grpk.level
+      LEFT JOIN gk ON gk.geo = grpk.geo AND gk.segment = grpk.segment
+                  AND gk.band = glb.band),
+    cumk AS (
+      SELECT level, geo, segment, nc, lsur,
+             SUM(ncb * (SELECT n FROM tot) - gn * nc) OVER (
+               PARTITION BY geo, segment ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumnum
+      FROM gridk),
+    emdk AS (
+      SELECT c.level, geo, segment, MIN(lsur) AS lsur,
+             CAST(SUM(ABS(cumnum)) AS DOUBLE)
+               / (MIN(nc) * (SELECT n FROM tot) * (MIN(m.m) - 1)) AS t
+      FROM cumk c JOIN mlv m ON m.level = c.level GROUP BY 1, 2, 3),
+    keep AS (
+      SELECT geo, segment FROM emdk WHERE lsur >= 2 AND t <= 0.15)
+    SELECT CAST(gk.level AS BIGINT) AS level, gk.geo, gk.segment,
+           gk.band AS bal_band, CAST(gk.ncb AS BIGINT) AS n
+    FROM gk JOIN keep ON gk.geo = keep.geo AND gk.segment = keep.segment
+    ORDER BY gk.geo, gk.segment, gk.band
+    """,
+)
+def customers_klt_anonymize_enforced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.plans.governance import klt_anonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    _, classes = klt_anonymize(c, n, k=2, l=2, t=0.15)
+    return classes.select(
+        F.col("level"),
+        "geo",
+        "segment",
+        "bal_band",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("geo", "segment", "bal_band")

@@ -195,6 +195,65 @@ def test_kl_anonymize_two_stage_suppression_interplay(spark):
     assert kept == [1, 2, 3, 4]
 
 
+def test_klt_anonymize_enforces_all_three_floors(spark, sf_dir):
+    """The triad transform (round 10): every released cell >= k,
+    every released group >= l distinct bands AND <= t ordered-EMD vs
+    the ORIGINAL global band distribution at the chosen level's
+    granularity; t=None degenerates bit-identically to kl; on the
+    real sf0.001 data the t-stage is load-bearing (kl releases
+    groups klt suppresses)."""
+    from fabric_claims_spark.plans.governance import (
+        kl_anonymize,
+        klt_anonymize,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rows, classes = klt_anonymize(c, n, k=2, l=2, t=0.15)
+    cls = classes.collect()
+    assert cls and min(r["n"] for r in cls) >= 2  # k floor
+    by_group: dict[tuple, dict] = {}
+    for r in cls:
+        d = by_group.setdefault(
+            (r["geo"], r["segment"]), {"bands": {}, "level": r["level"]}
+        )
+        d["bands"][r["bal_band"]] = r["n"]
+    assert min(len(d["bands"]) for d in by_group.values()) >= 2  # l floor
+
+    # t floor, re-derived independently: EMD of each released group's
+    # SURVIVING cells vs the original global distribution at the
+    # chosen level's band granularity
+    level = cls[0]["level"]
+    width = [1000, 2000, 2000, 4000][level]
+    base = c.selectExpr(
+        f"cast(floor(c_acctbal / {width}) as bigint) as band"
+    ).collect()
+    n_total = len(base)
+    from collections import Counter
+
+    gdist = Counter(r["band"] for r in base)
+    bands = sorted(gdist)
+    m = len(bands)
+    for (geo, seg), d in by_group.items():
+        nc = sum(d["bands"].values())
+        cum, s = 0, 0
+        for b in bands:
+            cum += d["bands"].get(b, 0) * n_total - gdist[b] * nc
+            s += abs(cum)
+        emd = s / (nc * n_total * (m - 1))
+        assert emd <= 0.15 + 1e-12, (geo, seg, emd)
+
+    # t=None IS kl — the delegation must be result-identical
+    a_rows = kl_anonymize(c, n, k=2, l=2)[1].collect()
+    b_rows = klt_anonymize(c, n, k=2, l=2, t=None)[1].collect()
+    assert sorted(map(tuple, a_rows)) == sorted(map(tuple, b_rows))
+    # ... and on this data the t-stage actually suppresses: kl
+    # releases groups the triad drops as over-skewed
+    kl_groups = {(r["geo"], r["segment"]) for r in a_rows}
+    assert set(by_group) < kl_groups
+
+
 def test_enforce_k_anonymity_audits_suppression(spark, tmp_path, sf_dir):
     """The audited wrapper logs the KEPT row count under the
     governance layer (never the suppressed keys) and reports an
