@@ -1,0 +1,216 @@
+"""Distributed byte-pair-encoding tokenizer training and application.
+
+True learned-merge BPE (Sennrich et al., ACL 2016) over the corpus
+word-frequency table — the real tokenizer-training step of an LLM data
+pipeline, complementing the fixed-regex cost proxy in
+``extensions/text.bpe_ish_token_count``.
+
+Algorithm (classic, expressed Spark-first):
+
+1. ``word_frequencies``: one corpus scan → explode whitespace tokens →
+   hash-aggregate to (word, freq). At 100 TB this is the only
+   corpus-sized shuffle; everything after runs on the vocabulary table
+   (≪ corpus — tens of millions of rows for web-scale text).
+2. Each word becomes a symbol array: its characters plus a single
+   end-of-word marker symbol (so merges can learn word-final units,
+   and two words can never merge across a boundary).
+3. Per merge round: count adjacent symbol pairs weighted by word
+   frequency (posexplode + hash aggregate over the vocab table), pick
+   the most frequent pair (deterministic tie-break: count DESC, then
+   lexicographic), and rewrite every word's symbol array with that
+   pair merged. The chosen pair is the round's ONLY driver state —
+   one collected row, same bounded-scalar class as the k-means
+   centroid loop (extensions/similarity.kmeans_centroids).
+
+Merge semantics — exact left-to-right scan: positions merge greedily
+left to right and a merged token is never re-paired within the same
+round (the merged symbol ``p1||p2`` is strictly longer than ``p1``, so
+the fold's last-element check can never re-fire on it). This is
+implemented as an init-less left fold over the symbol array
+(``F.aggregate`` seeded with the first element), NOT the common
+space-padded ``replace`` trick: replace() consumes the shared boundary
+space between adjacent occurrences and deterministically under-merges
+runs (" a a a a a a " → " aa a aa a ", not "aa aa aa" — measured), and
+iterating it to a fixpoint still converges to the wrong answer. The
+DuckDB oracle twin expresses the identical fold via ``list_reduce``,
+which is likewise init-less — proven bit-exact against this trainer
+(merge table AND per-word symbol arrays) by the
+docs_bpe_train_merges / docs_bpe_tokenize_stats gates.
+
+Plan-size discipline: each round's rewrite nests a higher-order fold
+inside the previous round's output. Leaving that as lazy lineage makes
+round r's plan contain r nested folds — Catalyst analysis/codegen cost
+grows superlinearly and a 12-round train takes >11 minutes on 31 words
+(measured); an eager ``localCheckpoint`` per round truncates the
+lineage, making every round O(1) plan depth and the whole train linear
+(~0.5 s/round at gate scale). Production BPE trainers materialize the
+vocab state per round for exactly this reason; at cluster scale the
+checkpoint is a persisted vocab table, far smaller than the corpus.
+
+Reference parity: the reference pipeline has no tokenizer trainer
+(951-LoC Fabric notebook surface); this is a north-star extension op
+(SURVEY.md §7.8) in the training-data-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+#: End-of-word marker symbol. Any string disjoint from the word
+#: alphabet works (corpus words are [a-z]+; verified per scale).
+WORD_MARKER = "_"
+
+#: Whitespace tokenizer shared with the rest of the text suite.
+_WS = r"\s+"
+
+MERGE_SCHEMA = StructType(
+    [
+        StructField("merge_rank", LongType(), False),
+        StructField("left_sym", StringType(), False),
+        StructField("right_sym", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """Corpus → (word, freq) vocabulary table (one scan, one shuffle)."""
+    nonempty = docs.where(F.length(F.trim("text")) > 0)
+    return (
+        nonempty.select(
+            F.explode(F.split(F.trim("text"), _WS)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def init_symbols(words: DataFrame, marker: str = WORD_MARKER) -> DataFrame:
+    """Attach the initial symbol array: characters + end-of-word marker.
+
+    ``F.split(word, '')`` yields exactly the character list (no empty
+    trailing element on Spark 4; DuckDB's regexp_split_to_array(word,'')
+    agrees — probed).
+    """
+    return words.withColumn(
+        "syms", F.concat(F.split("word", ""), F.array(F.lit(marker)))
+    )
+
+
+def _merge_fold(p1: str, p2: str, merged: str) -> Column:
+    """One merge round as an init-less left fold over ``syms``.
+
+    Exact left-to-right scan semantics: the accumulator is the spaced
+    symbol string; a step merges iff the accumulator's LAST symbol is
+    ``p1`` and the incoming symbol is ``p2``. Symbols never contain
+    spaces (chars + marker, merges concatenate them), so the
+    last-symbol regex is exact.
+    """
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.regexp_extract(acc, r"([^ ]+)$", 1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(F.regexp_replace(acc, r"[^ ]+$", ""), F.lit(merged)),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    # Init-less: seed with the first symbol, fold the rest — the exact
+    # shape list_reduce gives the DuckDB twin. Every word has ≥2
+    # symbols (≥1 char + marker), so the slice is never out of range.
+    return F.aggregate(
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        F.element_at(F.col("syms"), 1),
+        step,
+    )
+
+
+def _apply_merge(words: DataFrame, p1: str, p2: str, merged: str) -> DataFrame:
+    """Rewrite every word's symbol array with one pair merged, then
+    truncate lineage (see module docstring: plan-size discipline)."""
+    rewritten = words.select(
+        "word",
+        "freq",
+        F.split(_merge_fold(p1, p2, merged), " ").alias("syms"),
+    )
+    return rewritten.localCheckpoint()
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the vocab table (freq-weighted).
+
+    posexplode of the first n-1 symbols + element_at(i+2) gives every
+    adjacent pair without a join; the aggregate is a plain hash
+    aggregate on (p1, p2) — vocab-sized, not corpus-sized.
+    """
+    sz = F.size("syms")
+    return (
+        words.where(sz >= 2)
+        .select(
+            "freq",
+            F.posexplode(F.slice("syms", 1, sz - 1)).alias("i", "p1"),
+            "syms",
+        )
+        .select(
+            "freq", "p1", F.element_at("syms", F.col("i") + 2).alias("p2")
+        )
+        .groupBy("p1", "p2")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, marker: str = WORD_MARKER
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merge list, final vocab DataFrame with per-word symbol
+    arrays). The merge list is the learned model — n rows of driver
+    state, one collected row per round (bounded-scalar class). Stops
+    early if the vocabulary runs out of pairs (every word fully
+    merged); with the end-of-word marker this needs n_merges ≳ total
+    distinct symbols, far beyond any configured gate.
+    """
+    words = init_symbols(word_frequencies(docs), marker).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        b = top[0]
+        merged = b.p1 + b.p2
+        merges.append((rank, b.p1, b.p2, merged, int(b.cnt)))
+        words = _apply_merge(words, b.p1, b.p2, merged)
+    return merges, words
+
+
+def bpe_segment(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    marker: str = WORD_MARKER,
+) -> DataFrame:
+    """Apply a learned merge list to a (word, freq) table — the
+    tokenizer's APPLY path, valid for words never seen in training
+    (out-of-vocabulary words start as characters and pick up whatever
+    learned merges fire). Merges apply in rank order, each with the
+    same exact-scan fold as training, each checkpointed so the plan
+    stays O(1) deep regardless of merge count.
+    """
+    out = init_symbols(words, marker).localCheckpoint()
+    for _, p1, p2, merged, _cnt in merges:
+        out = _apply_merge(out, p1, p2, merged)
+    return out
+
+
+def merges_as_df(
+    spark: SparkSession, merges: list[tuple[int, str, str, str, int]]
+) -> DataFrame:
+    """The learned merge table as a DataFrame (model artifact)."""
+    return spark.createDataFrame(merges, MERGE_SCHEMA)

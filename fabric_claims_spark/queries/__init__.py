@@ -673,6 +673,20 @@ GATE_PRIORITY: list[str] = [
     # at sf0.001 both cuts fire partially (9 l-drops, 3 t-drops, 12
     # released), so each is visible in the hash
     "customers_klt_anonymize_enforced",
+    # round-10: learned-BPE tokenizer training (Sennrich 2016) — the
+    # merge loop runs on the vocab table with one collected argmax row
+    # per round; the oracle unrolls the identical loop as MATERIALIZED
+    # CTEs with the same init-less list_reduce fold (exact scan
+    # semantics — the space-padded replace trick under-merges runs)
+    "docs_bpe_train_merges",
+    # round-10: tokenizer APPLY path + per-source fertility stats —
+    # bpe_segment replays the learned merges on the vocab table, the
+    # segmented lengths join back to corpus tokens per source
+    "docs_bpe_tokenize_stats",
+    # round-10: approximate functional-dependency discovery — g3 error
+    # (Kivinen & Mannila) over a curated cross-table candidate list;
+    # the discovery twin of referential_integrity_audit's assertions
+    "fd_discovery_profile",
 ]
 
 
@@ -694,6 +708,7 @@ def load_all_queries() -> dict[str, QuerySpec]:
         tpch_shapes,
         pipeline_smoke,
         serving,
+        tokenizer,
     )
 
     ordered: dict[str, QuerySpec] = {}

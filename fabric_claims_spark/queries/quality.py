@@ -259,3 +259,101 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("constraint_name")
+
+
+# --------------------------------------------------------------------------
+# Approximate functional-dependency DISCOVERY — the profiling twin of
+# the audit above: instead of asserting known constraints, measure how
+# strongly each candidate A → B holds via the g3 error (Kivinen &
+# Mannila 1995: the minimum fraction of rows to delete so the FD holds
+# exactly — N minus the sum over determinant groups of the modal
+# dependent count, over N). Emits the full strength spectrum (exact
+# FDs, near-FDs worth enforcing, and non-FDs), plus the determinant's
+# uniqueness ratio (a key is the g3 = 0, uniqueness = 1 corner).
+#
+# Scale notes (100 TB): each candidate is two hash aggregates —
+# groupBy(det, dep) then groupBy(det) with max — so cost is one
+# shuffle pair per candidate over the candidate's two columns only
+# (column-pruned scan). The curated candidate list is the production
+# shape too: schema-wide pairwise discovery is |cols|² aggregates and
+# is run on a sample or over HLL sketches first (extensions/sketches)
+# to shortlist, then exactly, like this, on the shortlist.
+_FD_CANDIDATES: list[tuple[str, str, str]] = [
+    # (table, determinant, dependent) — spans exact / near / non-FDs.
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_name", "c_nationkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_partkey", "p_type"),
+    ("part", "p_brand", "p_type"),
+    ("supplier", "s_suppkey", "s_nationkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+]
+
+
+def _fd_candidate_sql(tbl: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{tbl}.{det}->{dep}' AS candidate,
+           n_rows, det_groups, n_rows - kept AS g3_violations,
+           CAST(n_rows - kept AS DOUBLE) / n_rows AS g3_error,
+           CAST(det_groups AS DOUBLE) / n_rows AS det_uniqueness,
+           n_rows = kept AS holds_exactly
+    FROM (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS det_groups,
+             CAST(SUM(mx) AS BIGINT) AS kept
+      FROM (
+        SELECT {det}, MAX(c) AS mx, SUM(c) AS c
+        FROM (SELECT {det}, {dep}, COUNT(*) AS c
+              FROM {tbl}
+              WHERE {det} IS NOT NULL AND {dep} IS NOT NULL
+              GROUP BY 1, 2)
+        GROUP BY 1))"""
+
+
+@query(
+    "fd_discovery_profile",
+    oracle="\nUNION ALL\n".join(
+        _fd_candidate_sql(t, a, b) for t, a, b in _FD_CANDIDATES
+    ),
+)
+def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(tbl: str, det: str, dep: str) -> DataFrame:
+        t = (
+            load_table(spark, sf_dir, tbl)
+            .select(det, dep)
+            .where(F.col(det).isNotNull() & F.col(dep).isNotNull())
+        )
+        per_pair = t.groupBy(det, dep).agg(F.count(F.lit(1)).alias("c"))
+        per_det = per_pair.groupBy(det).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("c")
+        )
+        agg = per_det.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("det_groups"),
+            F.sum("mx").cast("long").alias("kept"),
+        )
+        return agg.select(
+            F.lit(f"{tbl}.{det}->{dep}").alias("candidate"),
+            "n_rows",
+            "det_groups",
+            (F.col("n_rows") - F.col("kept")).alias("g3_violations"),
+            (
+                (F.col("n_rows") - F.col("kept")).cast("double")
+                / F.col("n_rows")
+            ).alias("g3_error"),
+            (F.col("det_groups").cast("double") / F.col("n_rows")).alias(
+                "det_uniqueness"
+            ),
+            (F.col("n_rows") == F.col("kept")).alias("holds_exactly"),
+        )
+
+    frames = [profile(t, a, b) for t, a, b in _FD_CANDIDATES]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
