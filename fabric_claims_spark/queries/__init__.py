@@ -687,6 +687,15 @@ GATE_PRIORITY: list[str] = [
     # (Kivinen & Mannila) over a curated cross-table candidate list;
     # the discovery twin of referential_integrity_audit's assertions
     "fd_discovery_profile",
+    # round-10: two-sample Kolmogorov–Smirnov drift test (binning-free
+    # complement of the PSI readout) — exact integer ECDF numerator,
+    # one division, exactly-rounded sqrt threshold
+    "orders_value_ks_period_drift",
+    # round-10: interpolated Kneser–Ney bigram LM — absolute
+    # discounting + continuation-probability backoff (the KenLM-style
+    # upgrade of docs_bigram_logprob's add-one smoothing), micro-nats
+    # integer discipline for the cross-engine log
+    "docs_kneser_ney_logprob",
 ]
 
 

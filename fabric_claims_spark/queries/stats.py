@@ -2441,3 +2441,110 @@ def events_conversion_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(_LOGRANK_CRIT_95)).alias("significant_95"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test on the order-value
+# distribution across date periods — the distribution-shape
+# complement of the binned PSI readout (orders_value_psi_periods):
+# KS is binning-free and sensitive to any ECDF gap, PSI to mass
+# re-allocation between coarse bins.
+#
+# Determinism: the KS statistic is max|F1(v) − F2(v)| over pooled
+# values. Both ECDFs jump only at observed values, so the max is
+# attained at a pooled value; with integer cumulative counts the
+# numerator |cum1·n2 − cum2·n1| is EXACT integer arithmetic and the
+# statistic needs exactly one division — bit-identical cross-engine
+# (same discipline as the Mann–Whitney/logrank integer cores). The
+# α=0.05 rejection threshold c(α)·sqrt((n1+n2)/(n1·n2)) uses only
+# exactly-rounded IEEE ops (sqrt, *, /), so the boolean is
+# deterministic too.
+#
+# Scale notes (100 TB): one column-pruned scan, a hash aggregate on
+# value (the histogram is |distinct values|-sized, not row-sized), a
+# single ordered window over that histogram, one final aggregate.
+# The int64 numerator is exact while n1·n2 < 2^63 (≈3e9 rows per
+# side); beyond that, promote the cumulative counts to DECIMAL(38,0)
+# — same plan shape.
+_KS_CRIT_95 = 1.358  # Smirnov asymptotic c(α) at α = 0.05
+
+
+@query(
+    "orders_value_ks_period_drift",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,4)) AS v,
+             CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 0 END AS g1
+      FROM orders),
+    h AS (
+      SELECT v, SUM(g1) AS c1, COUNT(*) - SUM(g1) AS c2
+      FROM v GROUP BY v),
+    c AS (
+      SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+      FROM h WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM h),
+    dmax AS (
+      SELECT CAST(MAX(ABS(cum1 * (SELECT n2 FROM tot)
+                          - cum2 * (SELECT n1 FROM tot))) AS BIGINT)
+               AS d_num
+      FROM c)
+    SELECT t.n1, t.n2, d.d_num,
+           CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2) AS ks_d,
+           1.358 * sqrt((CAST(t.n1 AS DOUBLE) + t.n2)
+                        / (CAST(t.n1 AS DOUBLE) * t.n2)) AS crit_95,
+           CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2)
+             > 1.358 * sqrt((CAST(t.n1 AS DOUBLE) + t.n2)
+                            / (CAST(t.n1 AS DOUBLE) * t.n2)) AS reject_95
+    FROM tot t CROSS JOIN dmax d
+    """,
+)
+def orders_value_ks_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        money("o_totalprice").alias("v"),
+        F.when(F.year("o_orderdate") < 1998, 1).otherwise(0).alias("g1"),
+    )
+    h = v.groupBy("v").agg(
+        F.sum("g1").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g1")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    tot = h.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    # The max runs over |cum1·n2 − cum2·n1| with the scalar totals
+    # broadcast onto the histogram — exact int64 everywhere.
+    joined = c.crossJoin(F.broadcast(tot))
+    dmax = joined.agg(
+        F.max(
+            F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+        .cast("long")
+        .alias("d_num"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    ks_d = F.col("d_num").cast("double") / (n1d * F.col("n2"))
+    crit = F.lit(_KS_CRIT_95) * F.sqrt(
+        (n1d + F.col("n2")) / (n1d * F.col("n2"))
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        "d_num",
+        ks_d.alias("ks_d"),
+        crit.alias("crit_95"),
+        (ks_d > crit).alias("reject_95"),
+    )

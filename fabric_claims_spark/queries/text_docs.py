@@ -2996,3 +2996,114 @@ def docs_dsir_source_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram language model (Kneser & Ney 1995;
+# Chen & Goodman 1998) — the production-grade upgrade of the add-one
+# model above (docs_bigram_logprob): absolute discounting D=0.75 with
+# the discounted mass re-allocated by CONTINUATION probability (how
+# many distinct contexts a word follows), the smoothing KenLM-style
+# perplexity filters actually use on web corpora.
+#
+#   P(w2|w1) = (max(c(w1,w2)−D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1)
+#   Pcont(w2) = N1+(·,w2) / N1+(··)
+#
+# Determinism: all counts are exact integers from hash aggregates;
+# D = 0.75 is exact binary; the probability uses only exactly-rounded
+# IEEE ops in an expression tree written identically in both engines;
+# ln() follows the established micro-nats discipline (round to 6
+# decimals → int64 → exact integer sum → one final division).
+#
+# Scale notes (100 TB): one corpus scan explodes bigrams; the three
+# model tables (bigram counts, context stats, continuation counts)
+# are vocab²-bounded aggregates that broadcast back onto the bigram
+# stream (swap to shuffle joins for web-scale vocabs — same keys);
+# N1+(··) is one collected scalar. Per-doc scoring is a single hash
+# aggregate.
+@query(
+    "docs_kneser_ney_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT d.doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1w1
+      FROM bc GROUP BY w1),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nw2
+      FROM bc GROUP BY w2),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bc),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(ROUND(ROUND(ln(
+               (GREATEST(b.c12 - 0.75, 0.0)
+                + ((0.75 * x.n1w1)
+                   * (CAST(o.nw2 AS DOUBLE) / n.ntypes))) / x.c1),
+               6) * 1000000, 0) AS BIGINT) AS micro_log
+      FROM bg g
+      JOIN bc b ON b.w1 = g.w1 AND b.w2 = g.w2
+      JOIN ctx x ON x.w1 = g.w1
+      JOIN cont o ON o.w2 = g.w2
+      CROSS JOIN nt n)
+    SELECT doc_id, COUNT(*) AS bigrams,
+           CAST(SUM(micro_log) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS avg_kn_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), _WS).alias("t"))
+    )
+    bigram_structs = F.expr(
+        "transform(slice(t, 1, size(t) - 1),"
+        " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+    )
+    bg = (
+        d.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigram_structs).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1w1"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nw2")
+    )
+    ntypes = bc.count()  # one scalar: distinct bigram types
+    p = (
+        F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0))
+        + (
+            (F.lit(0.75) * F.col("n1w1"))
+            * (F.col("nw2").cast("double") / F.lit(ntypes))
+        )
+    ) / F.col("c1")
+    micro_log = F.round(F.round(F.log(p), 6) * 1_000_000, 0).cast("long")
+    scored = (
+        bg.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .withColumn("micro_log", micro_log)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("bigrams"),
+        (
+            F.sum("micro_log").cast("double")
+            / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+        ).alias("avg_kn_logprob"),
+    )
