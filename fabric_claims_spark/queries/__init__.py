@@ -696,6 +696,18 @@ GATE_PRIORITY: list[str] = [
     # upgrade of docs_bigram_logprob's add-one smoothing), micro-nats
     # integer discipline for the cross-engine log
     "docs_kneser_ney_logprob",
+    # round-10: contrastive pair mining — per-anchor top-k same-label
+    # positives + different-label hard negatives (triplet-ready table
+    # for embedding-model fine-tuning); broadcast anchor cohort
+    "embeddings_hard_negatives",
+    # round-10: Matryoshka-style truncation recall — ANN recall at
+    # dim budgets 8/16/32 vs the full-dim truth; exact integer hit
+    # counts, one division per budget row
+    "embeddings_truncation_recall",
+    # round-10: positional phrase search — the inverted index's
+    # position-adjacency join (postings of the corpus's own top
+    # trigram joined on doc_id + pos±k)
+    "docs_phrase_search_positional",
 ]
 
 

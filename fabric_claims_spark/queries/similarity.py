@@ -2005,3 +2005,210 @@ def embeddings_hyperplane_recall(
             6,
         ).alias("recall_lo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining — the training-data op for embedding-model
+# fine-tuning: for every anchor in a deterministic cohort, the top-k
+# nearest SAME-label neighbors (positives) and top-k nearest
+# DIFFERENT-label neighbors (hard negatives — the pairs that actually
+# move a contrastive loss; easy negatives are uninformative). Output
+# is a triplet-ready table (anchor, role, rank, candidate, cosine).
+#
+# Scale notes (100 TB): the anchor cohort broadcasts onto the stored
+# corpus — the corpus never shuffles; per-anchor top-k is a window
+# over (anchor, role), rank-bounded. For web-scale mining swap the
+# brute-force candidate scan for the IVF probe path
+# (apply_ivf_batch / embeddings_ivf_search — same scoring, bucket-
+# pruned candidates); the mining semantics (role split + ranked
+# cutoff) are unchanged. Cosines round to 6 dp with vec_id
+# tie-breaks — the suite's standard determinism discipline.
+_HARDNEG_K = 3
+_HARDNEG_COHORT = 100  # anchors: vec_id % 100 == 0 (5/5/20 per scale)
+
+
+@query(
+    "embeddings_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, ev AS av
+      FROM e WHERE vec_id % {_HARDNEG_COHORT} = 0),
+    scored AS (
+      SELECT a.anchor_id,
+             CASE WHEN e.label = a.anchor_label THEN 'pos' ELSE 'neg' END
+               AS role,
+             e.vec_id AS cand_id, e.label AS cand_label,
+             ROUND(list_dot_product(e.ev, a.av)
+                   / (sqrt(list_dot_product(e.ev, e.ev))
+                      * sqrt(list_dot_product(a.av, a.av))), 6)
+               AS cosine_sim
+      FROM e, a
+      WHERE e.vec_id != a.anchor_id)
+    SELECT anchor_id, role,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+           cand_id, cand_label, cosine_sim
+    FROM scored
+    WINDOW w AS (PARTITION BY anchor_id, role
+                 ORDER BY cosine_sim DESC, cand_id ASC)
+    QUALIFY ROW_NUMBER() OVER w <= {_HARDNEG_K}
+    """,
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    a = e.where(F.col("vec_id") % _HARDNEG_COHORT == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("ev").alias("av"),
+    )
+    scored = (
+        e.join(F.broadcast(a), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("label") == F.col("anchor_label"), "pos")
+            .otherwise("neg")
+            .alias("role"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(_cosine(F.col("ev"), F.col("av")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "role").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _HARDNEG_K)
+        .select("anchor_id", "role", "rnk", "cand_id", "cand_label",
+                "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-truncation recall (Matryoshka-style, Kusupati et al.
+# 2022): how much ANN recall survives when stored vectors keep only
+# their first d dimensions — the storage/compute lever for a 100-TB
+# vector corpus (d=16 of 64 is 4× less scan bytes AND 4× less dot-
+# product work per candidate, composing with the SQ8/PQ compression
+# paths). For each dim budget, per-anchor top-k by truncated cosine
+# is compared against the full-dimension top-k truth; recall is an
+# exact integer hit count with ONE final division.
+#
+# Scale notes: same broadcast-cohort shape as the other recall gates
+# (corpus never shuffles; per-anchor top-k is a rank-bounded window).
+# The truncated scoring slices the stored array in-plan; production
+# stores the prefix as its own column/file so the scan itself sheds
+# the bytes — the plan is otherwise identical.
+_TRUNC_BUDGETS = (8, 16, 32)
+_TRUNC_TOPK = 10
+
+
+def _trunc_topk_sql(vec_expr_e: str, vec_expr_a: str) -> str:
+    """Per-anchor top-k CTE body over the given vector expressions."""
+    return f"""
+      SELECT anchor_id, cand_id FROM (
+        SELECT a.anchor_id, e.vec_id AS cand_id,
+               ROUND(list_dot_product({vec_expr_e}, {vec_expr_a})
+                     / (sqrt(list_dot_product({vec_expr_e}, {vec_expr_e}))
+                        * sqrt(list_dot_product({vec_expr_a},
+                                                {vec_expr_a}))), 6) AS sim
+        FROM e, a WHERE e.vec_id != a.anchor_id)
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY sim DESC, cand_id ASC)
+        <= {_TRUNC_TOPK}"""
+
+
+def _trunc_budget_sql(d: int) -> str:
+    return f"""
+    SELECT CAST({d} AS BIGINT) AS dim_budget,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(hits) AS BIGINT) AS hits,
+           CAST(SUM(hits) AS DOUBLE)
+             / (COUNT(*) * {_TRUNC_TOPK}) AS recall_at_{_TRUNC_TOPK}
+    FROM (
+      SELECT anc.anchor_id, COUNT(x.cand_id) AS hits
+      FROM a anc
+      LEFT JOIN (
+        SELECT p.anchor_id, p.cand_id
+        FROM ({_trunc_topk_sql(f"e.ev[1:{d}]", f"a.av[1:{d}]")}) p
+        JOIN truth t
+          ON t.anchor_id = p.anchor_id AND t.cand_id = p.cand_id) x
+        ON x.anchor_id = anc.anchor_id
+      GROUP BY anc.anchor_id)
+    """
+
+
+@query(
+    "embeddings_truncation_recall",
+    oracle=(
+        f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    a AS (
+      SELECT vec_id AS anchor_id, ev AS av
+      FROM e WHERE vec_id % {_HARDNEG_COHORT} = 0),
+    truth AS ({_trunc_topk_sql("e.ev", "a.av")})
+    """
+        + "\nUNION ALL\n".join(
+            _trunc_budget_sql(d) for d in _TRUNC_BUDGETS
+        )
+    ),
+)
+def embeddings_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("ev"))
+    a = e.where(F.col("vec_id") % _HARDNEG_COHORT == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("ev").alias("av")
+    )
+    anchors = a.select("anchor_id")
+
+    def topk(ev: Column, av: Column) -> DataFrame:
+        scored = e.join(
+            F.broadcast(a), F.col("vec_id") != F.col("anchor_id")
+        ).select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cosine(ev, av), 6).alias("sim"),
+        )
+        w = Window.partitionBy("anchor_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _TRUNC_TOPK)
+            .select("anchor_id", "cand_id")
+        )
+
+    truth = topk(F.col("ev"), F.col("av")).localCheckpoint()
+
+    def budget_recall(d: int) -> DataFrame:
+        approx = topk(
+            F.slice(F.col("ev"), 1, d), F.slice(F.col("av"), 1, d)
+        )
+        matched = approx.join(truth, ["anchor_id", "cand_id"], "left_semi")
+        hits = matched.groupBy("anchor_id").agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        per_anchor = anchors.join(hits, "anchor_id", "left").select(
+            "anchor_id", F.coalesce("h", F.lit(0)).alias("hits")
+        )
+        return per_anchor.agg(
+            F.lit(d).cast("long").alias("dim_budget"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.sum("hits").cast("long").alias("hits"),
+            (
+                F.sum("hits").cast("double")
+                / (F.count(F.lit(1)) * F.lit(_TRUNC_TOPK))
+            ).alias(f"recall_at_{_TRUNC_TOPK}"),
+        )
+
+    out = budget_recall(_TRUNC_BUDGETS[0])
+    for d in _TRUNC_BUDGETS[1:]:
+        out = out.unionByName(budget_recall(d))
+    return out

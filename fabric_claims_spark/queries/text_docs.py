@@ -3107,3 +3107,102 @@ def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1_000_000.0) * F.count(F.lit(1)))
         ).alias("avg_kn_logprob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search — the inverted-index machinery the lexical
+# serving store lacks: a positional postings table (word, doc_id, pos)
+# answers exact-phrase queries by joining the phrase terms' postings
+# on (doc_id, adjacent positions). The searched phrase is the corpus's
+# own most frequent trigram (deterministic argmax, count DESC then
+# lexicographic), so the gate is self-contained and non-empty at every
+# scale.
+#
+# Scale notes (100 TB): a phrase lookup touches only the phrase
+# terms' posting lists (in the stored index those are per-word
+# buckets — the scan is |postings(w1)|+|postings(w2)|+|postings(w3)|,
+# not corpus-sized), and the adjacency join is an equi-join on
+# (doc_id, pos±k). Here the postings build is in-plan for the gate;
+# production appends pos to operators/serving_index.apply_lexical
+# postings and this query becomes three bucket reads + two joins.
+@query(
+    "docs_phrase_search_positional",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    post AS (
+      SELECT doc_id, t[i] AS word, i AS pos
+      FROM d, unnest(generate_series(1, len(t))) s(i)),
+    tg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM d, unnest(generate_series(1, len(t) - 2)) s(i)
+      WHERE len(t) >= 3),
+    best AS (
+      SELECT w1, w2, w3
+      FROM (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY 1, 2, 3)
+      ORDER BY c DESC, w1, w2, w3 LIMIT 1),
+    m AS (
+      SELECT p1.doc_id, b.w1, b.w2, b.w3
+      FROM best b
+      JOIN post p1 ON p1.word = b.w1
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                  AND p2.word = b.w2
+      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+                  AND p3.word = b.w3)
+    SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM m GROUP BY 1, 2
+    """,
+)
+def docs_phrase_search_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), _WS).alias("t"))
+    )
+    post = d.select(
+        "doc_id", F.posexplode("t").alias("pos", "word")
+    )
+    trigram_structs = F.expr(
+        "transform(slice(t, 1, size(t) - 2),"
+        " (x, i) -> struct(x AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+    )
+    tg = (
+        d.where(F.size("t") >= 3)
+        .select(F.explode(trigram_structs).alias("g"))
+        .select("g.w1", "g.w2", "g.w3")
+    )
+    best = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2", "w3")
+        .limit(1)
+        .select("w1", "w2", "w3")
+    )
+    p1 = post.alias("p1").join(
+        F.broadcast(best), F.col("p1.word") == F.col("w1")
+    )
+    p2 = post.alias("p2")
+    p3 = post.alias("p3")
+    m = p1.join(
+        p2,
+        (F.col("p2.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1)
+        & (F.col("p2.word") == F.col("w2")),
+    ).join(
+        p3,
+        (F.col("p3.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p3.pos") == F.col("p1.pos") + 2)
+        & (F.col("p3.word") == F.col("w3")),
+    )
+    return (
+        m.select(F.col("p1.doc_id").alias("doc_id"), "w1", "w2", "w3")
+        .groupBy(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+        )
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
