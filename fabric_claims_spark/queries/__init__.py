@@ -89,10 +89,21 @@ GATE_PRIORITY: list[str] = [
     # with a left_anti join; customers_without_urgent_orders moves
     # to the tail (still oracle-checked locally) so the PSI drift
     # monitor gains a driver row.
-    "orders_value_psi_periods",
+    # round-10b swap: the drift monitor's prefix row passes from the
+    # binned PSI readout to the two-sample KS test — same column, same
+    # period split, strictly stronger determinism surface (exact
+    # integer ECDF numerator + deterministic rejection boolean); PSI
+    # stays tri-scale oracle-checked locally.
+    "orders_value_ks_period_drift",
     "distinct_customer_profile",
     "dedup_latest_order_per_customer",
-    "unique_customers_per_status",
+    # round-10b swap: A8 DISTINCTCOUNT stays prefix-checked via the
+    # promoted query's vocab_syms = COUNT(DISTINCT symbol) per source
+    # (A5–A7 live in pricing_summary, row 0); the learned-BPE
+    # trainer + apply path — train, segment, fertility join — gains
+    # the driver row. unique_customers_per_status moves to the tail
+    # (still oracle-checked locally).
+    "docs_bpe_tokenize_stats",
     "priority_fulfillment_rates",
     "watermark_max_lookup",
     "rollup_revenue_year_priority",
@@ -679,18 +690,17 @@ GATE_PRIORITY: list[str] = [
     # CTEs with the same init-less list_reduce fold (exact scan
     # semantics — the space-padded replace trick under-merges runs)
     "docs_bpe_train_merges",
-    # round-10: tokenizer APPLY path + per-source fertility stats —
-    # bpe_segment replays the learned merges on the vocab table, the
-    # segmented lengths join back to corpus tokens per source
-    "docs_bpe_tokenize_stats",
+    # (docs_bpe_tokenize_stats — tokenizer APPLY + fertility stats —
+    # was promoted into the 50-row prefix in the round-10b swap.)
     # round-10: approximate functional-dependency discovery — g3 error
     # (Kivinen & Mannila) over a curated cross-table candidate list;
     # the discovery twin of referential_integrity_audit's assertions
     "fd_discovery_profile",
-    # round-10: two-sample Kolmogorov–Smirnov drift test (binning-free
-    # complement of the PSI readout) — exact integer ECDF numerator,
-    # one division, exactly-rounded sqrt threshold
-    "orders_value_ks_period_drift",
+    # (orders_value_ks_period_drift — the binning-free KS drift test —
+    # was promoted into the 50-row prefix in the round-10b swap; the
+    # demoted twins below stay tri-scale oracle-checked locally.)
+    "orders_value_psi_periods",
+    "unique_customers_per_status",
     # round-10: interpolated Kneser–Ney bigram LM — absolute
     # discounting + continuation-probability backoff (the KenLM-style
     # upgrade of docs_bigram_logprob's add-one smoothing), micro-nats

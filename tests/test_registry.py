@@ -241,7 +241,10 @@ def test_round7_flagship_rotation():
     prefix = set(list(reg)[:50])
     for promoted in (
         "orders_bootstrap_ci",
-        "orders_value_psi_periods",
+        # orders_value_psi_periods' round-7 row passed to the KS
+        # drift test in round 10b — same column and period split,
+        # exact-integer ECDF core (see test_round10b_flagship_rotation)
+        "orders_value_ks_period_drift",
         "events_daily_modified_zscore",
         "docs_dedup_cascade",
         # docs_hybrid_rrf_search's round-7 row passed to the indexed
@@ -514,3 +517,49 @@ def test_round10_flagship_rotation():
         "docs_decontaminated_train_capped",
     ):
         assert added in reg and reg[added].oracle is not None, added
+
+
+def test_round10b_flagship_rotation():
+    """Round-10b curation: two rows rotate so the session's new
+    machines gain driver coverage, each with its displaced duty
+    provably still prefix-covered:
+
+    * orders_value_psi_periods -> tail: the drift-monitor prefix row
+      passes to orders_value_ks_period_drift — same column
+      (o_totalprice), same period split, strictly stronger
+      determinism surface (exact integer ECDF numerator + a
+      deterministic rejection boolean vs PSI's micro-rounded logs).
+      New machine: the two-sample KS core.
+    * unique_customers_per_status -> tail: A8 (DISTINCTCOUNT) stays
+      prefix-checked via the promoted docs_bpe_tokenize_stats'
+      vocab_syms = COUNT(DISTINCT symbol) per source; A5-A7 live in
+      pricing_summary (row 0). New machines: learned-BPE merge
+      training + the bpe_segment apply path + the fertility join.
+    Both demoted queries stay oracle-registered (tri-scale checked
+    by the local replica)."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "orders_value_ks_period_drift",
+        "docs_bpe_tokenize_stats",
+    ):
+        assert promoted in prefix, promoted
+    for demoted in (
+        "orders_value_psi_periods",
+        "unique_customers_per_status",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
+    # the coverage-transfer claims, pinned at the source: the KS
+    # query must keep the same table/column/period split as PSI, and
+    # the BPE stats oracle must carry a COUNT(DISTINCT ...) so the
+    # A8 duty is real.
+    from fabric_claims_spark.queries import REGISTRY
+
+    ks = REGISTRY["orders_value_ks_period_drift"].oracle
+    psi = REGISTRY["orders_value_psi_periods"].oracle
+    assert "o_totalprice" in ks and "o_totalprice" in psi
+    # identical period split: PSI's year <= 1997 == KS's year < 1998
+    assert "year(o_orderdate) < 1998" in ks
+    assert "year FROM o_orderdate) <= 1997" in psi
+    assert "COUNT(DISTINCT s)" in REGISTRY["docs_bpe_tokenize_stats"].oracle
