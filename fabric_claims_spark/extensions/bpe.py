@@ -161,10 +161,10 @@ def pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame, n_merges: int, marker: str = WORD_MARKER
+def bpe_train_words(
+    words: DataFrame, n_merges: int, marker: str = WORD_MARKER
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Learn ``n_merges`` BPE merges from the corpus.
+    """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
     Returns (merge list, final vocab DataFrame with per-word symbol
     arrays). The merge list is the learned model — n rows of driver
@@ -173,7 +173,7 @@ def bpe_train(
     merged); with the end-of-word marker this needs n_merges ≳ total
     distinct symbols, far beyond any configured gate.
     """
-    words = init_symbols(word_frequencies(docs), marker).localCheckpoint()
+    words = init_symbols(words, marker).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -189,6 +189,14 @@ def bpe_train(
         merges.append((rank, b.p1, b.p2, merged, int(b.cnt)))
         words = _apply_merge(words, b.p1, b.p2, merged)
     return merges, words
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, marker: str = WORD_MARKER
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus (one scan →
+    vocabulary table → bpe_train_words)."""
+    return bpe_train_words(word_frequencies(docs), n_merges, marker)
 
 
 def bpe_segment(

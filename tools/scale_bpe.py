@@ -1,0 +1,130 @@
+"""BPE trainer scale evidence (extensions/bpe.py).
+
+Two axes, one honesty check:
+
+1. ``corpus``: train cost across sf0.001/0.01/0.1 (corpus ×100, vocab
+   CONSTANT at 31 words) — after the one word_frequencies scan, merge
+   rounds run on the vocab table, so wall time should be ~flat.
+2. ``vocab``: train cost across synthetic vocabularies of 1k/10k/100k
+   distinct words (hex words from md5, deterministic freqs) — the axis
+   that actually grows on a real corpus. Rounds are vocab-sized
+   groupBys; wall per round should grow far slower than vocab.
+3. ``lineage``: the documented plan-blowup claim — per-round wall with
+   the production localCheckpoint discipline vs the same loop with
+   lazy lineage (capped at a few rounds; the lazy chain's analysis
+   cost grows superlinearly).
+
+Usage: python tools/scale_bpe.py [corpus|vocab|lineage|all]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fabric_claims_spark.extensions.bpe import (  # noqa: E402
+    _apply_merge,
+    _merge_fold,
+    bpe_train,
+    bpe_train_words,
+    init_symbols,
+    pair_counts,
+)
+from fabric_claims_spark.session import get_spark  # noqa: E402
+from fabric_claims_spark.sources.parquet import load_table  # noqa: E402
+
+N_MERGES = 12
+
+
+def bench_corpus(spark) -> None:
+    print("== train cost vs corpus size (vocab constant) ==")
+    for sf in ("0.001", "0.01", "0.1"):
+        d = load_table(spark, f"/root/testdata/sf{sf}", "documents")
+        t0 = time.time()
+        merges, _ = bpe_train(d, N_MERGES)
+        print(
+            f"sf{sf}: {time.time() - t0:6.1f} s for {len(merges)} merges "
+            f"(top merge {merges[0][3]!r} cnt={merges[0][4]})"
+        )
+
+
+def _synth_words(spark, n: int):
+    """Deterministic synthetic vocabulary: hex words (8-24 chars),
+    freq cycling 1..100."""
+    return spark.range(n).select(
+        F.substring(
+            F.md5(F.col("id").cast("string")),
+            1,
+            (F.col("id") % 17 + 8).cast("int"),
+        ).alias("word"),
+        (F.col("id") % 100 + 1).cast("long").alias("freq"),
+    )
+
+
+def bench_vocab(spark) -> None:
+    print("== train cost vs vocabulary size (the real growth axis) ==")
+    for n in (1_000, 10_000, 100_000):
+        w = _synth_words(spark, n)
+        t0 = time.time()
+        merges, _ = bpe_train_words(w, N_MERGES)
+        dt = time.time() - t0
+        print(
+            f"vocab {n:>7,}: {dt:6.1f} s total, {dt / N_MERGES:5.2f} s/round "
+            f"(top merge {merges[0][3]!r} cnt={merges[0][4]})"
+        )
+
+
+def bench_lineage(spark) -> None:
+    print("== localCheckpoint discipline vs lazy lineage ==")
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    from fabric_claims_spark.extensions.bpe import word_frequencies
+
+    base = word_frequencies(d)
+    # production path: checkpoint per round
+    t0 = time.time()
+    bpe_train_words(base, N_MERGES)
+    print(f"checkpointed, {N_MERGES} rounds: {time.time() - t0:6.1f} s")
+    # lazy path: identical loop, no checkpoints — every collect
+    # re-analyzes the whole nested-fold chain
+    words = init_symbols(base)
+    t0 = time.time()
+    for rank in range(1, N_MERGES + 1):
+        round_t = time.time()
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .collect()
+        )
+        b = top[0]
+        words = words.select(
+            "word",
+            "freq",
+            F.split(_merge_fold(b.p1, b.p2, b.p1 + b.p2), " ").alias("syms"),
+        )
+        dt = time.time() - round_t
+        print(f"  lazy round {rank}: {dt:6.1f} s")
+        if time.time() - t0 > 300:
+            print("  (lazy path aborted at 300 s — blowup demonstrated)")
+            return
+    print(f"lazy, {N_MERGES} rounds: {time.time() - t0:6.1f} s")
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("scale-bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("corpus", "all"):
+        bench_corpus(spark)
+    if which in ("vocab", "all"):
+        bench_vocab(spark)
+    if which in ("lineage", "all"):
+        bench_lineage(spark)
+
+
+if __name__ == "__main__":
+    main()
