@@ -82,6 +82,9 @@ IVF_VECS = "ivf_vecs"
 IVF_CENTROIDS = "ivf_centroids"
 IVF_COMMITS = "ivf_commits"
 
+POS_POSTINGS = "pos_postings"
+POS_COMMITS = "pos_commits"
+
 _TOKEN = "_token"
 
 
@@ -226,6 +229,84 @@ def read_lexical_index(
         "term", F.col("df").cast("long").alias("df")
     )
     return td, dfc, dn
+
+
+# -- positional index --------------------------------------------------------
+#
+# The phrase-query extension of the lexical family: positions make
+# exact-phrase and proximity queries answerable from the store
+# (docs_phrase_search_positional is the in-plan twin). Positions are
+# per-occurrence rows — NOT distinct like lex_postings — so the table
+# is token-stream-sized; per-term bucketing is the production layout
+# (a phrase lookup reads only its terms' buckets).
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos) with pos the 0-based token index — the
+    canonical positional-posting expressions, shared verbatim by the
+    in-plan phrase query and the stored-index apply path."""
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(text_col), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .select("doc_id", "term", "pos")
+    )
+
+
+def apply_positional_batch(
+    store: TableStore,
+    batch_docs: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold one corpus increment into the stored positional index —
+    O(batch) append under the standard token-commit protocol
+    (idempotent on batch_id; orphans from a torn apply stay invisible
+    and vacuumable)."""
+    if _applied(store, POS_COMMITS, batch_id):
+        return
+    rows = positional_postings(batch_docs, id_col, text_col)
+    token = uuid.uuid4().hex
+    store.append(POS_POSTINGS, rows.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, POS_COMMITS, batch_id, token)
+
+
+def read_positional_index(store: TableStore) -> DataFrame:
+    """(doc_id, term, pos) — committed rows only."""
+    return _committed_rows(store, POS_POSTINGS, POS_COMMITS)
+
+
+def phrase_occurrences(positions: DataFrame, phrase: DataFrame) -> DataFrame:
+    """Exact-phrase occurrences via the position-adjacency join:
+    ``phrase`` is a one-row (w1, w2, w3) frame (broadcast); each term's
+    postings join on (doc_id, pos+k). Returns one row per occurrence
+    (doc_id, w1, w2, w3). At scale each leg touches only its term's
+    posting bucket; the adjacency joins are equi-joins on
+    (doc_id, pos±k)."""
+    p1 = positions.alias("p1").join(
+        F.broadcast(phrase), F.col("p1.term") == F.col("w1")
+    )
+    m = p1.join(
+        positions.alias("p2"),
+        (F.col("p2.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p2.pos") == F.col("p1.pos") + 1)
+        & (F.col("p2.term") == F.col("w2")),
+    ).join(
+        positions.alias("p3"),
+        (F.col("p3.doc_id") == F.col("p1.doc_id"))
+        & (F.col("p3.pos") == F.col("p1.pos") + 2)
+        & (F.col("p3.term") == F.col("w3")),
+    )
+    return m.select(
+        F.col("p1.doc_id").alias("doc_id"), "w1", "w2", "w3"
+    )
 
 
 # -- LSH near-dup index ------------------------------------------------------

@@ -718,6 +718,11 @@ GATE_PRIORITY: list[str] = [
     # position-adjacency join (postings of the corpus's own top
     # trigram joined on doc_id + pos±k)
     "docs_phrase_search_positional",
+    # round-10: the positional index as a SERVING store — three
+    # token-committed increments (one redelivered), phrase query over
+    # the stored postings; oracle shared verbatim with the in-plan
+    # twin, so the hash pins stored == in-plan
+    "docs_phrase_search_served",
 ]
 
 

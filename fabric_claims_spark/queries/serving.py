@@ -546,3 +546,49 @@ def embeddings_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+from fabric_claims_spark.queries.text_docs import (  # noqa: E402
+    _PHRASE_POSITIONAL_ORACLE,
+    _top_trigram,
+)
+
+
+@query("docs_phrase_search_served", oracle=_PHRASE_POSITIONAL_ORACLE)
+def docs_phrase_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index serving twin (round 10): the corpus arrives as
+    three disjoint pmod(doc_id, 3) increments (increment 1
+    redelivered — exactly-once visibility), and the phrase query runs
+    against the STORED positional postings via the same
+    phrase_occurrences adjacency join as the in-plan
+    docs_phrase_search_positional. Oracle shared VERBATIM, so the
+    driver hash pins stored == in-plan. The phrase itself (the
+    corpus's top trigram) is derived in-plan exactly as the twin does
+    — the stored machinery under test is the postings, not the
+    argmax."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_positional_batch,
+        phrase_occurrences,
+        read_positional_index,
+    )
+    from fabric_claims_spark.queries.text_docs import _WS
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pos_idx_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(3):
+            batch = docs.where(F.pmod("doc_id", F.lit(3)) == b)
+            apply_positional_batch(store, batch, b)
+            if b == 1:  # redelivery must be a no-op
+                apply_positional_batch(store, batch, b)
+        d = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+            "doc_id", F.split(F.trim(F.col("text")), _WS).alias("t")
+        )
+        m = phrase_occurrences(read_positional_index(store), _top_trigram(d))
+        out = m.groupBy(
+            "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("phrase")
+        ).agg(F.count(F.lit(1)).alias("occurrences"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

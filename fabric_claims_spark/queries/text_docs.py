@@ -3125,9 +3125,7 @@ def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id, pos±k). Here the postings build is in-plan for the gate;
 # production appends pos to operators/serving_index.apply_lexical
 # postings and this query becomes three bucket reads + two joins.
-@query(
-    "docs_phrase_search_positional",
-    oracle="""
+_PHRASE_POSITIONAL_ORACLE = """
     WITH d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
@@ -3153,19 +3151,13 @@ def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS phrase,
            CAST(COUNT(*) AS BIGINT) AS occurrences
     FROM m GROUP BY 1, 2
-    """,
-)
-def docs_phrase_search_positional(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim(F.col("text"))) > 0)
-        .select("doc_id", F.split(F.trim(F.col("text")), _WS).alias("t"))
-    )
-    post = d.select(
-        "doc_id", F.posexplode("t").alias("pos", "word")
-    )
+    """
+
+
+def _top_trigram(d: DataFrame) -> DataFrame:
+    """The corpus's most frequent trigram as a one-row (w1, w2, w3)
+    frame — deterministic argmax (count DESC then lexicographic).
+    ``d`` is the (doc_id, t token-array) frame."""
     trigram_structs = F.expr(
         "transform(slice(t, 1, size(t) - 2),"
         " (x, i) -> struct(x AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
@@ -3175,34 +3167,30 @@ def docs_phrase_search_positional(
         .select(F.explode(trigram_structs).alias("g"))
         .select("g.w1", "g.w2", "g.w3")
     )
-    best = (
+    return (
         tg.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "w1", "w2", "w3")
         .limit(1)
         .select("w1", "w2", "w3")
     )
-    p1 = post.alias("p1").join(
-        F.broadcast(best), F.col("p1.word") == F.col("w1")
+
+
+@query("docs_phrase_search_positional", oracle=_PHRASE_POSITIONAL_ORACLE)
+def docs_phrase_search_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.operators.serving_index import (
+        phrase_occurrences,
+        positional_postings,
     )
-    p2 = post.alias("p2")
-    p3 = post.alias("p3")
-    m = p1.join(
-        p2,
-        (F.col("p2.doc_id") == F.col("p1.doc_id"))
-        & (F.col("p2.pos") == F.col("p1.pos") + 1)
-        & (F.col("p2.word") == F.col("w2")),
-    ).join(
-        p3,
-        (F.col("p3.doc_id") == F.col("p1.doc_id"))
-        & (F.col("p3.pos") == F.col("p1.pos") + 2)
-        & (F.col("p3.word") == F.col("w3")),
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("t")
     )
-    return (
-        m.select(F.col("p1.doc_id").alias("doc_id"), "w1", "w2", "w3")
-        .groupBy(
-            "doc_id",
-            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
-        )
-        .agg(F.count(F.lit(1)).alias("occurrences"))
-    )
+    post = positional_postings(docs)
+    m = phrase_occurrences(post, _top_trigram(d))
+    return m.groupBy(
+        "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("phrase")
+    ).agg(F.count(F.lit(1)).alias("occurrences"))

@@ -276,3 +276,56 @@ def test_ivf_torn_rebuild_is_invisible_and_vacuumable(spark, tmp_path):
     assert vacuum_uncommitted(store, IVF_VECS, IVF_COMMITS) == n
     assert vacuum_uncommitted(store, IVF_CENTROIDS, IVF_COMMITS) == 8
     assert read_ivf_index(store).count() == n
+
+
+def test_positional_incremental_torn_and_compaction(spark, docs, tmp_path):
+    """The positional index under the full store contract in one
+    walk: three increments (one redelivered) == one-shot positions;
+    a torn apply stays invisible and vacuums; compaction preserves
+    the reader view bit-for-bit and phrase results survive it."""
+    from fabric_claims_spark.operators.serving_index import (
+        POS_COMMITS,
+        POS_POSTINGS,
+        apply_positional_batch,
+        compact_index_table,
+        phrase_occurrences,
+        positional_postings,
+        read_positional_index,
+    )
+
+    store = TableStore(spark, str(tmp_path / "pos"))
+    for b in range(3):
+        batch = docs.where(F.pmod("doc_id", F.lit(3)) == b)
+        apply_positional_batch(store, batch, b)
+        if b == 1:
+            apply_positional_batch(store, batch, b)  # redelivery no-op
+    oneshot = {tuple(r) for r in positional_postings(docs).collect()}
+    assert {tuple(r) for r in read_positional_index(store).collect()} == oneshot
+
+    # torn apply: token-stamped, never committed -> invisible, vacuumable
+    orphan = positional_postings(docs.limit(5)).withColumn(
+        "_token", F.lit("dead-attempt")
+    )
+    store.append(POS_POSTINGS, orphan)
+    assert {tuple(r) for r in read_positional_index(store).collect()} == oneshot
+    assert vacuum_uncommitted(store, POS_POSTINGS, POS_COMMITS) == orphan.count()
+
+    # phrase results identical before/after compaction
+    phrase = spark.createDataFrame(
+        [("key", "agg", "row")], ["w1", "w2", "w3"]
+    )
+    before = {
+        tuple(r)
+        for r in phrase_occurrences(
+            read_positional_index(store), phrase
+        ).collect()
+    }
+    compact_index_table(store, POS_POSTINGS, POS_COMMITS)
+    assert {tuple(r) for r in read_positional_index(store).collect()} == oneshot
+    after = {
+        tuple(r)
+        for r in phrase_occurrences(
+            read_positional_index(store), phrase
+        ).collect()
+    }
+    assert after == before
