@@ -404,3 +404,43 @@ def dsir_pipeline_stream(
     w = dsir_weights_from_bucket_counts(dc)
     srcs = store.read(f"{query_name}_sources").select("doc_id", "source")
     return dsir_select_from_weights(w, srcs)
+
+
+def positional_index_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+) -> DataFrame:
+    """Continuously maintained positional index — the streaming face
+    of ``operators/serving_index.apply_positional_batch`` (same
+    contract as lexical_index_stream: the apply is idempotent on
+    batch_id with exactly-once visibility, so at-least-once
+    foreachBatch redelivery needs no extra guard). Returns the served
+    (doc_id, term, pos) frame — committed rows only, the exact frame
+    ``docs_phrase_search_served`` answers phrase queries over."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_positional_batch,
+        read_positional_index,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_positional_batch(store, batch_df, batch_id)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_positional_index(store)

@@ -442,3 +442,45 @@ def test_dsir_pipeline_stream_matches_batch(spark, tmp_path):
         spark, str(docs_dir), ckpt, query_name="t_dp"
     )
     assert [tuple(r) for r in out2.collect()] == want
+
+
+def test_positional_index_stream_matches_oneshot(spark, tmp_path):
+    """Streaming positional-index maintenance: draining the corpus
+    file by file must leave EXACTLY the positions a one-shot apply
+    builds — the phrase-serving state is partitioning-independent."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_positional_batch,
+        read_positional_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import (
+        positional_index_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    for name, part in (
+        ("a", docs.where(F.col("doc_id") % 2 == 0)),
+        ("b", docs.where(F.col("doc_id") % 2 == 1)),
+    ):
+        side = tmp_path / f"side_{name}"
+        part.coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            docs_dir / f"{name}.parquet",
+        )
+
+    streamed = positional_index_stream(
+        spark,
+        str(docs_dir),
+        str(tmp_path / "ckpt_pos"),
+        str(tmp_path / "store_s"),
+    )
+    one = TableStore(spark, str(tmp_path / "store_1"))
+    apply_positional_batch(one, docs, 0)
+    want = {tuple(r) for r in read_positional_index(one).collect()}
+    assert {tuple(r) for r in streamed.collect()} == want
