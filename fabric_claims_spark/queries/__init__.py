@@ -723,6 +723,11 @@ GATE_PRIORITY: list[str] = [
     # the stored postings; oracle shared verbatim with the in-plan
     # twin, so the hash pins stored == in-plan
     "docs_phrase_search_served",
+    # round-10: Theil–Sen robust trend — median-of-pairwise-slopes
+    # twin of events_daily_trend's OLS (pairs over the DAILY rollup,
+    # days² not events²); exact-IEEE pair slopes, SUM/COUNT middle-row
+    # median in both engines
+    "events_theil_sen_trend",
 ]
 
 

@@ -2609,3 +2609,134 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend — the breakdown-resistant twin of
+# events_daily_trend's OLS: slope = median of all pairwise day-slopes
+# (Theil 1950 / Sen 1968; 29% breakdown point vs OLS's zero — one
+# anomalous day cannot swing it), intercept = median of
+# (y − slope·x). The estimator the anomaly monitors should detrend
+# with, since OLS is itself dragged by the anomalies they hunt.
+#
+# Determinism: pair slopes are single exact-IEEE divisions of integer
+# deltas; the median of an even count is (a + b) expressed as
+# SUM/COUNT over the two middle rows — one addition + one division,
+# identical in both engines. Ties among equal slope values cannot
+# affect the selected VALUES.
+#
+# Scale notes (100 TB): pairs form per event_type over the DAILY
+# aggregate (x = day index), so the pair space is days², not events²
+# — bounded by the calendar (a 10-year type is ~6.7M pairs, one
+# shuffle-free flatmap over a broadcast-size per-type day list after
+# the corpus-sized daily rollup). The rollup is the only corpus scan.
+@query(
+    "events_theil_sen_trend",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_TREND_EPOCH}',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    pr AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.x > a.x),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(s) AS DOUBLE) / COUNT(*) AS ts_slope,
+             CAST(MAX(np) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pr)
+      WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+      GROUP BY event_type),
+    resid AS (
+      SELECT d.event_type, d.y - m.ts_slope * d.x AS r, m.ts_slope,
+             m.n_pairs
+      FROM d JOIN med m ON m.event_type = d.event_type),
+    imed AS (
+      SELECT event_type,
+             CAST(SUM(r) AS DOUBLE) / COUNT(*) AS ts_intercept,
+             CAST(MAX(ts_slope) AS DOUBLE) AS ts_slope,
+             CAST(MAX(n_pairs) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT event_type, r, ts_slope, n_pairs,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM resid)
+      WHERE rn IN ((nd + 1) // 2, (nd + 2) // 2)
+      GROUP BY event_type)
+    SELECT event_type, n_pairs,
+           ROUND(ts_slope, 6) AS ts_slope,
+           ROUND(ts_intercept, 6) AS ts_intercept
+    FROM imed
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit(_TREND_EPOCH).cast("date"),
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pr = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+
+    def _median(df: DataFrame, val: str, keep: list[str]) -> DataFrame:
+        wp = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            val,
+            *keep,
+            F.row_number().over(wp.orderBy(val)).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("np"),
+        )
+        # integer-exact middle indices: (np+1) div 2 and (np+2) div 2
+        mid = ranked.where(
+            (F.col("rn") == F.expr("(np + 1) div 2"))
+            | (F.col("rn") == F.expr("(np + 2) div 2"))
+        )
+        aggs = [
+            (F.sum(val).cast("double") / F.count(F.lit(1))).alias(val),
+            F.max("np").cast("long").alias("np"),
+        ] + [F.max(k).alias(k) for k in keep]
+        return mid.groupBy("event_type").agg(*aggs)
+
+    med = _median(pr, "s", []).select(
+        "event_type",
+        F.col("s").alias("ts_slope"),
+        F.col("np").alias("n_pairs"),
+    )
+    resid = d.join(med, "event_type").select(
+        "event_type",
+        (F.col("y") - F.col("ts_slope") * F.col("x")).alias("r"),
+        "ts_slope",
+        "n_pairs",
+    )
+    imed = _median(resid, "r", ["ts_slope", "n_pairs"])
+    return imed.select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round(F.col("r"), 6).alias("ts_intercept"),
+    )
