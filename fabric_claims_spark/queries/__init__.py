@@ -728,6 +728,10 @@ GATE_PRIORITY: list[str] = [
     # days² not events²); exact-IEEE pair slopes, SUM/COUNT middle-row
     # median in both engines
     "events_theil_sen_trend",
+    # round-10: 2-D skyline (Pareto dominance) via the sort-based
+    # price-level pass — no pair space; one window over the LEVEL
+    # table, broadcast join back
+    "parts_price_size_skyline",
 ]
 
 

@@ -1023,3 +1023,73 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND NULLIF(o_custkey, 7) IS NOT NULL)) AS without_null_cnt
         """
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto-dominance) — the multi-criteria shortlist
+# operator (Börzsönyi et al., ICDE 2001): parts not dominated on
+# (minimize retail price, maximize size). The naive plan is an O(n²)
+# dominance theta-join; for two dimensions the skyline is computable
+# in one sort-free pass over PRICE LEVELS: a part survives iff no
+# strictly-cheaper level reaches its size (running max over levels)
+# and nothing at its own price level strictly exceeds its size.
+# Parts tied on both dimensions co-survive (neither dominates).
+#
+# Scale notes (100 TB): one fact scan + a price-level aggregate
+# (|distinct prices|-sized), a single ordered window over the LEVEL
+# table (not the fact), and a broadcast join back — no pair space
+# ever materializes. Higher dimensions decompose into this shape per
+# 2-D slice or fall back to block-nested-loop with pruning; the gate
+# pins the 2-D sort-based shape.
+@query(
+    "parts_price_size_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(p_retailprice AS DECIMAL(18,4)) AS price,
+             CAST(p_size AS BIGINT) AS size
+      FROM part),
+    lvl AS (
+      SELECT price, MAX(size) AS lmax FROM p GROUP BY price),
+    lvl2 AS (
+      SELECT price, lmax,
+             MAX(lmax) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM lvl)
+    SELECT p.p_partkey, p.p_brand,
+           CAST(p.price AS DOUBLE) AS price, p.size
+    FROM p JOIN lvl2 l ON l.price = p.price
+    WHERE (l.prev_max IS NULL OR l.prev_max < p.size)
+      AND p.size = l.lmax
+    """,
+)
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        money("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    lvl = p.groupBy("price").agg(F.max("size").alias("lmax"))
+    w = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl2 = lvl.select(
+        "price", "lmax", F.max("lmax").over(w).alias("prev_max")
+    )
+    return (
+        p.join(lvl2, "price")
+        .where(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("size")))
+            & (F.col("size") == F.col("lmax"))
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("price").cast("double").alias("price"),
+            "size",
+        )
+    )
