@@ -732,6 +732,16 @@ GATE_PRIORITY: list[str] = [
     # price-level pass — no pair space; one window over the LEVEL
     # table, broadcast join back
     "parts_price_size_skyline",
+    # round-10: mutual-information dependence profile — exact-integer
+    # micro-nats numerators (N·L(N) − Σc·L(c) identities), one IEEE
+    # division per reported entropy/MI; the information-theoretic leg
+    # beside FD g3 and chi-squared
+    "mi_dependence_profile",
+    # round-10: split-conformal interval for the daily forecast —
+    # exact order-statistic q̂ on parity-split residuals of a
+    # seasonal-naive base, empirical coverage measured on the test
+    # half; integer arithmetic until the final division
+    "events_conformal_daily_interval",
 ]
 
 

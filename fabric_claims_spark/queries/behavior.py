@@ -2740,3 +2740,121 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ts_slope", 6).alias("ts_slope"),
         F.round(F.col("r"), 6).alias("ts_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval for the daily forecast
+# (Vovk et al. 2005; Lei et al. 2018) — distribution-free uncertainty
+# for the forecasting family (ewma / holtwinters / seasonal naive):
+# calibrate |y − ŷ| on held-out days, take the finite-sample-valid
+# ⌈0.9·(n_cal+1)⌉-th smallest residual as the interval half-width
+# q̂, and MEASURE the empirical coverage on the disjoint test days.
+# Base forecast = seasonal naive ŷ(t) = y(t−7) (join on day index −7,
+# robust to gaps); calibration/test split by day-index parity so both
+# windows span the whole range.
+#
+# Determinism: residuals are integer |count deltas|; q̂ is an exact
+# order statistic selected by integer rank arithmetic
+# ((9·(n+1)+9) div 10 = ⌈0.9·(n+1)⌉); coverage is exact integers with
+# one final division. No floats until the last column.
+#
+# Scale notes: everything after the corpus-sized daily rollup runs on
+# the (type × day) table — the same bounded-aggregate shape as the
+# trend/anomaly family.
+@query(
+    "events_conformal_daily_interval",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_TREND_EPOCH}',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT c.event_type, c.x, ABS(c.y - p.y) AS r
+      FROM d c JOIN d p
+        ON p.event_type = c.event_type AND p.x = c.x - 7),
+    cal AS (
+      SELECT event_type, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY r, x) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM f WHERE x % 2 = 0),
+    q AS (
+      SELECT event_type, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+             CAST(MAX(r) AS BIGINT) AS q_hat
+      FROM cal WHERE rn = (9 * (n_cal + 1) + 9) // 10
+      GROUP BY event_type),
+    t AS (
+      SELECT f.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN f.r <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM f JOIN q ON q.event_type = f.event_type
+      WHERE f.x % 2 = 1
+      GROUP BY f.event_type)
+    SELECT q.event_type, q.n_cal, t.n_test, q.q_hat, t.covered,
+           CAST(t.covered AS DOUBLE) / t.n_test AS coverage
+    FROM q JOIN t ON t.event_type = q.event_type
+    """,
+)
+def events_conformal_daily_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit(_TREND_EPOCH).cast("date"),
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    cur = d.alias("c")
+    prev = d.alias("p")
+    f = cur.join(
+        prev,
+        (F.col("p.event_type") == F.col("c.event_type"))
+        & (F.col("p.x") == F.col("c.x") - 7),
+    ).select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.x").alias("x"),
+        F.abs(F.col("c.y") - F.col("p.y")).alias("r"),
+    )
+    wp = Window.partitionBy("event_type")
+    cal = f.where(F.col("x") % 2 == 0).select(
+        "event_type",
+        "r",
+        F.row_number().over(wp.orderBy("r", "x")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_cal"),
+    )
+    q = (
+        cal.where(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.max("r").cast("long").alias("q_hat"),
+        )
+    )
+    t = (
+        f.where(F.col("x") % 2 == 1)
+        .join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return q.join(t, "event_type").select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        "q_hat",
+        "covered",
+        (F.col("covered").cast("double") / F.col("n_test")).alias(
+            "coverage"
+        ),
+    )

@@ -357,3 +357,122 @@ def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# --------------------------------------------------------------------------
+# Mutual-information dependence profile — the information-theoretic
+# third leg of the dependence suite: FD g3 (above) measures
+# functional determination, chi-squared (stats.py) tests
+# independence, MI measures the SHARED INFORMATION in nats, directly
+# comparable across pairs. For discrete columns:
+#
+#   MI = H(A) + H(B) − H(A,B)
+#      = (N·L(N) − Σ_a c_a·L(c_a) − Σ_b c_b·L(c_b) + Σ_ab c_ab·L(c_ab))
+#        / (N·10⁶)
+#
+# with L(x) = round(ln x, 6)·10⁶ as int64 — the suite's micro-nats
+# discipline: every numerator term is exact integer arithmetic and
+# each reported quantity pays exactly one IEEE division.
+#
+# Scale notes: per pair, three hash aggregates over the pair's two
+# columns (value-, value-, and pair-cardinality-sized) plus a 1-row
+# reduce — column-pruned scans, no joins.
+_MI_PAIRS: list[tuple[str, str, str]] = [
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("part", "p_brand", "p_type"),
+    ("nation", "n_regionkey", "n_name"),
+]
+
+_MICRO_LN = (
+    "CAST(ROUND(ROUND(ln(CAST({x} AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)"
+)
+
+
+def _mi_pair_sql(tbl: str, a: str, b: str) -> str:
+    ln_n = _MICRO_LN.format(x="n")
+    ln_c = _MICRO_LN.format(x="c")
+    return f"""
+    SELECT '{tbl}.{a}~{b}' AS pair, n AS n_rows,
+           CAST(n * {ln_n} - sa AS DOUBLE) / (n * 1000000.0) AS h_a,
+           CAST(n * {ln_n} - sb AS DOUBLE) / (n * 1000000.0) AS h_b,
+           CAST(n * {ln_n} - sab AS DOUBLE) / (n * 1000000.0) AS h_ab,
+           CAST(n * {ln_n} - sa - sb + sab AS DOUBLE)
+             / (n * 1000000.0) AS mi_nats
+    FROM (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {tbl}
+         WHERE {a} IS NOT NULL AND {b} IS NOT NULL) AS n,
+        (SELECT CAST(SUM(c * {ln_c}) AS BIGINT) FROM (
+           SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {tbl}
+           WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+           GROUP BY {a})) AS sa,
+        (SELECT CAST(SUM(c * {ln_c}) AS BIGINT) FROM (
+           SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {tbl}
+           WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+           GROUP BY {b})) AS sb,
+        (SELECT CAST(SUM(c * {ln_c}) AS BIGINT) FROM (
+           SELECT CAST(COUNT(*) AS BIGINT) AS c FROM {tbl}
+           WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+           GROUP BY {a}, {b})) AS sab)"""
+
+
+@query(
+    "mi_dependence_profile",
+    oracle="\nUNION ALL\n".join(
+        _mi_pair_sql(t, a, b) for t, a, b in _MI_PAIRS
+    ),
+)
+def mi_dependence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def micro_ln(col: F.Column) -> F.Column:
+        return (
+            F.round(F.round(F.log(col.cast("double")), 6) * 1_000_000, 0)
+        ).cast("long")
+
+    def profile(tbl: str, a: str, b: str) -> DataFrame:
+        t = (
+            load_table(spark, sf_dir, tbl)
+            .select(a, b)
+            .where(F.col(a).isNotNull() & F.col(b).isNotNull())
+        )
+
+        def sum_c_ln(keys: list[str]) -> DataFrame:
+            return (
+                t.groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                .agg(
+                    F.sum(F.col("c") * micro_ln(F.col("c")))
+                    .cast("long")
+                    .alias("s")
+                )
+            )
+
+        n_df = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        parts = (
+            n_df.crossJoin(sum_c_ln([a]).withColumnRenamed("s", "sa"))
+            .crossJoin(sum_c_ln([b]).withColumnRenamed("s", "sb"))
+            .crossJoin(sum_c_ln([a, b]).withColumnRenamed("s", "sab"))
+        )
+        n = F.col("n")
+        n_ln_n = n * micro_ln(n)
+        denom = n * F.lit(1_000_000.0)
+        return parts.select(
+            F.lit(f"{tbl}.{a}~{b}").alias("pair"),
+            n.alias("n_rows"),
+            ((n_ln_n - F.col("sa")).cast("double") / denom).alias("h_a"),
+            ((n_ln_n - F.col("sb")).cast("double") / denom).alias("h_b"),
+            ((n_ln_n - F.col("sab")).cast("double") / denom).alias("h_ab"),
+            (
+                (n_ln_n - F.col("sa") - F.col("sb") + F.col("sab")).cast(
+                    "double"
+                )
+                / denom
+            ).alias("mi_nats"),
+        )
+
+    frames = [profile(t, a, b) for t, a, b in _MI_PAIRS]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
