@@ -742,6 +742,11 @@ GATE_PRIORITY: list[str] = [
     # seasonal-naive base, empirical coverage measured on the test
     # half; integer arithmetic until the final division
     "events_conformal_daily_interval",
+    # round-10: symmetric-delete (SymSpell) edit-distance-1 pairs —
+    # exact distance-1 recall from a linear deletion-variant index +
+    # hash equi-join + levenshtein verify; the exact-recall complement
+    # of prefix-blocked fuzzy matching
+    "customers_edit1_deletion_pairs",
 ]
 
 

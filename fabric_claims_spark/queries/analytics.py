@@ -1724,3 +1724,85 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "sample_rank", "doc_id", "alloc")
         .orderBy("source", "sample_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance-1 entity pairs via SYMMETRIC DELETE neighborhoods
+# (the SymSpell/FastSS trick) — the exact-recall complement of
+# customers_fuzzy_blocked_match's prefix blocking: prefix blocks miss
+# any pair whose edit sits inside the blocking prefix, while two
+# strings are within Levenshtein distance 1 IFF their single-deletion
+# neighborhoods (each string included as its own 0-deletion variant)
+# intersect. Candidate generation is linear (len+1 variants per
+# name), the candidate join is a hash equi-join on the variant — no
+# pair scan — and one levenshtein verification removes the
+# cross-position false positives (del_i(a) = del_j(b) with i ≠ j can
+# pair distance-2 strings, e.g. 'ab'/'ba').
+#
+# Scale notes (100 TB): variants ≈ (len+1)·n rows feeding one
+# equi-join; hot variants (shared deletion keys) are bounded by the
+# alphabet and name length, and the verify step touches only
+# candidate pairs. Distance k generalizes with C(len, k) variants —
+# the standard spell-index trade.
+@query(
+    "customers_edit1_deletion_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT c_custkey, c_name,
+             CASE WHEN j = 0 THEN c_name
+                  ELSE substr(c_name, 1, j - 1) || substr(c_name, j + 1)
+             END AS variant
+      FROM customer,
+           UNNEST(generate_series(0, length(c_name))) AS t(j)),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS custkey_a, a.c_name AS name_a,
+             b.c_custkey AS custkey_b, b.c_name AS name_b
+      FROM v a JOIN v b
+        ON a.variant = b.variant AND a.c_custkey < b.c_custkey)
+    SELECT custkey_a, custkey_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def customers_edit1_deletion_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length("c_name")),
+        lambda j: F.when(j == 0, F.col("c_name")).otherwise(
+            F.concat(
+                F.col("c_name").substr(F.lit(1), j - 1),
+                F.col("c_name").substr(j + 1, F.length("c_name")),
+            )
+        ),
+    )
+    v = (
+        c.select("c_custkey", "c_name", F.explode(variants).alias("variant"))
+        .distinct()
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= 1).select(
+        "custkey_a",
+        "custkey_b",
+        "name_a",
+        "name_b",
+        dist.cast("long").alias("distance"),
+    )
