@@ -747,6 +747,14 @@ GATE_PRIORITY: list[str] = [
     # hash equi-join + levenshtein verify; the exact-recall complement
     # of prefix-blocked fuzzy matching
     "customers_edit1_deletion_pairs",
+    # round-10: daily autocorrelation at lags 1/7/14 — seasonality
+    # detector with EXACT integer numerator/denominator (d_t = N·y−Σy
+    # centering; 1/N² cancels), one division per lag
+    "events_daily_acf",
+    # round-10: CUPED variance-reduced A/B lift — pre-period covariate
+    # adjustment (theta = exact-integer cov/var), deterministic arm
+    # parity, identical adjusted-mean expression tree in both engines
+    "events_cuped_adjusted_lift",
 ]
 
 

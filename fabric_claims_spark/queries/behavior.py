@@ -2858,3 +2858,220 @@ def events_conformal_daily_interval(
             "coverage"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily autocorrelation function — the seasonality DETECTOR feeding
+# the family that assumes a weekly cycle (events_dow_anomaly,
+# events_seasonal_decomposition, the conformal gate's lag-7 naive):
+# r_k at lags 1/7/14 per event type. With d_t = N·y_t − Σy (integer!)
+# the mean-centering never leaves int64:
+#   r_k = Σ_{t≤N−k} d_t·d_{t+k} / Σ_t d_t²
+# (the 1/N² factors cancel) — exact integer numerator and
+# denominator, ONE division per reported lag. No trig, no logs.
+#
+# Scale notes: daily rollup (the only corpus scan), then a bounded
+# self-equi-join on (type, day+k) over the (type × day) table.
+_ACF_LAGS = (1, 7, 14)
+
+
+@query(
+    "events_daily_acf",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '{_TREND_EPOCH}',
+                       CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM d GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.x, m.n * d.y - m.s AS dt
+      FROM d JOIN m ON m.event_type = d.event_type),
+    den AS (
+      SELECT event_type, CAST(SUM(dt * dt) AS BIGINT) AS den
+      FROM c GROUP BY 1),
+    num AS (
+      SELECT a.event_type, k.lag,
+             CAST(SUM(a.dt * b.dt) AS BIGINT) AS num
+      FROM c a
+      JOIN (SELECT UNNEST([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag) k
+        ON TRUE
+      JOIN c b ON b.event_type = a.event_type AND b.x = a.x + k.lag
+      GROUP BY 1, 2)
+    SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.num, d.den,
+           CAST(n.num AS DOUBLE) / d.den AS acf
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    """,
+)
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit(_TREND_EPOCH).cast("date"),
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    c = d.join(m, "event_type").select(
+        "event_type",
+        "x",
+        (F.col("n") * F.col("y") - F.col("s")).alias("dt"),
+    )
+    den = c.groupBy("event_type").agg(
+        F.sum(F.col("dt") * F.col("dt")).cast("long").alias("den")
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in _ACF_LAGS], "lag int"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.x") == F.col("a.x") + F.col("lag")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(F.sum(F.col("a.dt") * F.col("b.dt")).cast("long").alias("num"))
+    )
+    return num.join(den, "event_type").select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den")).alias("acf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B lift (Deng et al., WSDM 2013) — the
+# experimentation-platform op the plain readout (events_abtest_lift)
+# lacks: adjust each user's post-period metric by their PRE-period
+# activity, removing the between-user variance the experiment did not
+# cause. θ = cov(x, y)/var(x) over all users (integer numerator and
+# denominator via N·Σxy − Σx·Σy — exact), arm assignment is the
+# deterministic user_id parity, and the adjusted lift
+# (ȳ − θ·(x̄ − x̄_pool)) uses the identical expression tree in both
+# engines.
+#
+# Scale notes: one conditional aggregate per user (corpus-sized
+# groupBy), then 1-row reduces — the same shape as the plain A/B
+# readout; θ adds no extra pass.
+@query(
+    "events_cuped_adjusted_lift",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(SUM(CASE WHEN date_diff('day', DATE '{_TREND_EPOCH}',
+                            CAST(date_trunc('day', ts) AS DATE)) < 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN date_diff('day', DATE '{_TREND_EPOCH}',
+                            CAST(date_trunc('day', ts) AS DATE)) >= 15
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    pool AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM u),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+             CAST(SUM(x) AS BIGINT) AS sx_arm,
+             CAST(SUM(y) AS BIGINT) AS sy_arm
+      FROM u GROUP BY 1),
+    th AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS theta
+      FROM pool),
+    adj AS (
+      SELECT a.arm, a.n_arm,
+             CAST(a.sy_arm AS DOUBLE) / a.n_arm AS raw_mean,
+             CAST(a.sy_arm AS DOUBLE) / a.n_arm
+               - t.theta * (CAST(a.sx_arm AS DOUBLE) / a.n_arm
+                            - CAST(t.sx AS DOUBLE) / t.n) AS adj_mean,
+             t.theta
+      FROM arms a CROSS JOIN th t)
+    SELECT
+      MAX(CASE WHEN arm = 0 THEN n_arm END) AS n_a,
+      MAX(CASE WHEN arm = 1 THEN n_arm END) AS n_b,
+      ROUND(MAX(theta), 6) AS theta,
+      ROUND(MAX(CASE WHEN arm = 1 THEN raw_mean END)
+            - MAX(CASE WHEN arm = 0 THEN raw_mean END), 6) AS raw_lift,
+      ROUND(MAX(CASE WHEN arm = 1 THEN adj_mean END)
+            - MAX(CASE WHEN arm = 0 THEN adj_mean END), 6) AS cuped_lift
+    FROM adj
+    """,
+)
+def events_cuped_adjusted_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        F.lit(_TREND_EPOCH).cast("date"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(day < 15, 1).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(day >= 15, 1).otherwise(0)).cast("long").alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("arm"), "x", "y"
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("x").cast("long").alias("sx_arm"),
+        F.sum("y").cast("long").alias("sy_arm"),
+    )
+    raw_mean = F.col("sy_arm").cast("double") / F.col("n_arm")
+    adj_mean = raw_mean - F.col("theta") * (
+        F.col("sx_arm").cast("double") / F.col("n_arm")
+        - F.col("sx").cast("double") / F.col("n")
+    )
+    adj = arms.crossJoin(F.broadcast(pool)).select(
+        "arm",
+        "n_arm",
+        raw_mean.alias("raw_mean"),
+        adj_mean.alias("adj_mean"),
+        "theta",
+    )
+    pick = lambda arm, col: F.max(  # noqa: E731
+        F.when(F.col("arm") == arm, F.col(col))
+    )
+    return adj.agg(
+        pick(0, "n_arm").alias("n_a"),
+        pick(1, "n_arm").alias("n_b"),
+        F.round(F.max("theta"), 6).alias("theta"),
+        F.round(pick(1, "raw_mean") - pick(0, "raw_mean"), 6).alias(
+            "raw_lift"
+        ),
+        F.round(pick(1, "adj_mean") - pick(0, "adj_mean"), 6).alias(
+            "cuped_lift"
+        ),
+    )
