@@ -22,6 +22,18 @@ from fabric_claims_spark.extensions.bpe import (
     word_frequencies,
 )
 
+
+@pytest.fixture(autouse=True)
+def _release_checkpoints(spark):
+    """The trainer localCheckpoints its vocab state per merge round
+    (by design — see extensions/bpe.py). Release those persistent
+    RDDs after each test so the strict zero-storage assertions in
+    test_caching.py (which runs later in the session-scoped Spark)
+    see a clean slate."""
+    yield
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
 # ---------------------------------------------------------------------------
 # Pure-Python reference: classic scan-merge BPE.
 
