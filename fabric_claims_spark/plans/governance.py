@@ -299,13 +299,20 @@ def _ladder_anonymize(
         F.count(F.lit(1)).alias("n")
     )
     kml = g.groupBy("level").agg(F.min("n").alias("kmin"))
-    lml = (
-        g.groupBy("level", "geo", "segment")
-        .agg(F.countDistinct("bal_band").alias("l_"))
-        .groupBy("level")
-        .agg(F.min("l_").alias("lmin"))
-        .withColumnRenamed("level", "l_level")
-    )
+    # l = 1 is vacuous (every nonempty group has ≥1 distinct band):
+    # skip the per-level diversity aggregate and the group stage
+    # entirely — result-identical (hash-pinned by the k_anonymize
+    # gates), and it removes two aggregates the plain k-enforcement
+    # path was paying for nothing (a median-confirmed 1.76× bench
+    # regression when the delegation first landed).
+    if l > 1:
+        lml = (
+            g.groupBy("level", "geo", "segment")
+            .agg(F.countDistinct("bal_band").alias("l_"))
+            .groupBy("level")
+            .agg(F.min("l_").alias("lmin"))
+            .withColumnRenamed("level", "l_level")
+        )
     if t is not None:
         # per-level global band distribution (the attacker's prior at
         # each granularity) and band-domain sizes — both bounded
@@ -321,9 +328,11 @@ def _ladder_anonymize(
             .withColumnRenamed("level", "t_level")
         )
     last = len(ladder) - 1
-    choice = kml.join(lml, kml["level"] == F.col("l_level")).where(
-        (F.col("kmin") >= k) & (F.col("lmin") >= l)
-    )
+    choice = kml.where(F.col("kmin") >= k)
+    if l > 1:
+        choice = choice.join(
+            lml, choice["level"] == F.col("l_level")
+        ).where(F.col("lmin") >= l)
     if t is not None:
         choice = choice.join(
             tml, F.col("level") == F.col("t_level")
@@ -336,12 +345,16 @@ def _ladder_anonymize(
         .where(F.col("n") >= k)
         .select("level", "geo", "segment", "bal_band", "n")
     )
-    gl = (
-        gk.groupBy("geo", "segment")
-        .agg(F.countDistinct("bal_band").alias("l_sur"))
-        .where(F.col("l_sur") >= l)
-        .select("geo", "segment")
-    )
+    if l > 1:
+        gl = (
+            gk.groupBy("geo", "segment")
+            .agg(F.countDistinct("bal_band").alias("l_sur"))
+            .where(F.col("l_sur") >= l)
+            .select("geo", "segment")
+        )
+    else:
+        # every surviving group trivially has ≥1 distinct band
+        gl = gk.select("geo", "segment").distinct()
     if t is not None:
         # the t-stage evaluates the SURVIVING cells against the
         # ORIGINAL prior at the chosen level's granularity — a fixed
@@ -350,7 +363,15 @@ def _ladder_anonymize(
             F.col("emd") <= t
         ).select("geo", "segment")
         gl = gl.join(F.broadcast(gt), ["geo", "segment"], "left_semi")
-    classes = gk.join(F.broadcast(gl), ["geo", "segment"], "left_semi")
+    if l > 1 or t is not None:
+        classes = gk.join(
+            F.broadcast(gl), ["geo", "segment"], "left_semi"
+        )
+    else:
+        # no group-level cut can fire: the surviving cells ARE the
+        # release (skips the group semi-join entirely for plain
+        # k-enforcement)
+        classes = gk
     rows = allv.join(F.broadcast(lv), allv["level"] == F.col("lv")).join(
         F.broadcast(classes.select("geo", "segment", "bal_band")),
         ["geo", "segment", "bal_band"],
