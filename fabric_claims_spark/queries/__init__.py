@@ -755,6 +755,10 @@ GATE_PRIORITY: list[str] = [
     # adjustment (theta = exact-integer cov/var), deterministic arm
     # parity, identical adjusted-mean expression tree in both engines
     "events_cuped_adjusted_lift",
+    # round-10: step-decay (half-life) attribution — exact integer
+    # weights 10⁶ div 2^⌊Δdays/7⌋ (no libm pow), per-user pair join,
+    # the linear query's micro-unit credit discipline
+    "events_attribution_time_decay",
 ]
 
 

@@ -3075,3 +3075,134 @@ def events_cuped_adjusted_lift(
             "cuped_lift"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Step-decay (half-life) attribution — completes the attribution
+# family (last-touch, linear, Markov removal-effect): each prior
+# touch earns weight 2^(−⌊Δdays/7⌋) relative to the purchase (credit
+# halves per full week of staleness) and the purchase value splits
+# proportionally. The DISCRETE half-life step is deliberate: the
+# weight is the exact integer 10⁶ div 2^s (no libm pow anywhere), so
+# the per-touch credit keeps the family's micro-unit determinism
+# (one ROUND of value·10⁴·w/Σw per touch, the linear query's exact
+# discipline).
+#
+# Scale notes: unlike linear (which needs only window COUNTS), decay
+# needs per-(purchase, touch) Δt — a per-user pair join bounded by
+# journeys² within each user, never cross-user; the heavy side
+# shuffles once on user_id.
+@query(
+    "events_attribution_time_decay",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+      FROM events),
+    t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id AS pid, p.value, t.event_type AS touch_type,
+             1000000 // (1::BIGINT << LEAST(
+               date_diff('day', CAST(date_trunc('day', t.ts_s) AS DATE),
+                         CAST(date_trunc('day', p.ts_s) AS DATE)) // 7,
+               19)) AS w
+      FROM p JOIN t
+        ON t.user_id = p.user_id
+       AND (t.ts_s < p.ts_s
+            OR (t.ts_s = p.ts_s AND t.event_id < p.event_id))),
+    c AS (
+      SELECT touch_type, pid,
+             CAST(ROUND(value * 10000.0 * w
+                        / SUM(w) OVER (PARTITION BY pid), 0) AS BIGINT)
+               AS micro
+      FROM j),
+    touched AS (
+      SELECT touch_type,
+             CAST(COUNT(DISTINCT pid) AS BIGINT) AS purchases,
+             CAST(SUM(micro) AS BIGINT) AS micro
+      FROM c GROUP BY touch_type),
+    direct AS (
+      SELECT 'direct' AS touch_type,
+             CAST(COUNT(*) AS BIGINT) AS purchases,
+             CAST(SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))
+                  AS BIGINT) AS micro
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.event_id))
+    SELECT touch_type, purchases,
+           ROUND(CAST(COALESCE(micro, 0) AS DOUBLE) / 10000.0, 4)
+             AS attributed_value
+    FROM (SELECT * FROM touched UNION ALL
+          SELECT * FROM direct WHERE purchases > 0)
+    """,
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _events_s(spark, sf_dir)
+    t = e.where(F.col("event_type").isin("view", "click")).alias("t")
+    p = e.where(F.col("event_type") == "purchase").alias("p")
+    delta_days = F.datediff(
+        F.date_trunc("day", F.col("p.ts_s")).cast("date"),
+        F.date_trunc("day", F.col("t.ts_s")).cast("date"),
+    )
+    j = p.join(
+        t,
+        (F.col("t.user_id") == F.col("p.user_id"))
+        & (
+            (F.col("t.ts_s") < F.col("p.ts_s"))
+            | (
+                (F.col("t.ts_s") == F.col("p.ts_s"))
+                & (F.col("t.event_id") < F.col("p.event_id"))
+            )
+        ),
+    ).select(
+        F.col("p.event_id").alias("pid"),
+        F.col("p.value").alias("value"),
+        F.col("t.event_type").alias("touch_type"),
+        delta_days.alias("dd"),
+    ).withColumn(
+        "w",
+        F.expr(
+            "1000000 div shiftleft(cast(1 as bigint),"
+            " cast(least(dd div 7, 19) as int))"
+        ),
+    )
+    wsum = Window.partitionBy("pid")
+    c = j.select(
+        "touch_type",
+        "pid",
+        F.round(
+            F.col("value") * 10000.0 * F.col("w")
+            / F.sum("w").over(wsum),
+            0,
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    touched = c.groupBy("touch_type").agg(
+        F.count_distinct("pid").cast("long").alias("purchases"),
+        F.sum("micro").cast("long").alias("micro"),
+    )
+    direct = (
+        p.join(
+            j.select(F.col("pid").alias("event_id")).distinct(),
+            "event_id",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("purchases"),
+            F.sum(F.round(F.col("value") * 10000.0, 0).cast("long"))
+            .cast("long")
+            .alias("micro"),
+        )
+        .select(F.lit("direct").alias("touch_type"), "purchases", "micro")
+        .where(F.col("purchases") > 0)
+    )
+    return touched.unionByName(direct).select(
+        "touch_type",
+        "purchases",
+        F.round(
+            F.coalesce(F.col("micro"), F.lit(0)).cast("double") / 10000.0,
+            4,
+        ).alias("attributed_value"),
+    )
