@@ -95,8 +95,32 @@ GATE_PRIORITY: list[str] = [
     # integer ECDF numerator + deterministic rejection boolean); PSI
     # stays tri-scale oracle-checked locally.
     "orders_value_ks_period_drift",
-    "distinct_customer_profile",
-    "dedup_latest_order_per_customer",
+    # round-11 swap (VERDICT r10 item 1): A2 full-row DISTINCT stays
+    # prefix-checked — the promoted lexical serving rows derive their
+    # postings with a full-row .distinct() on (doc_id, term)
+    # (operators/serving_index.py:184), the promoted decontamination
+    # row dedups its gram join the same way, and docs_dedup_cascade's
+    # survivor folds carry the distinct discipline besides;
+    # distinct_customer_profile moves to the tail (still tri-scale
+    # oracle-checked locally) so the IVF REBUILD — retrain + reassign
+    # + atomic quantizer swap over an incrementally-built store, the
+    # serving lifecycle's last never-driver-checked leg — gains a
+    # driver row.
+    "embeddings_ivf_rebuild",
+    # round-11 swap (VERDICT r10 item 1): A4/W1 rank-dedup stays
+    # prefix-checked — claims_pipeline_e2e (row 1) runs the identical
+    # machinery (row_number over the ClaimID key window ordered
+    # latest-first, rank 1 survives, rank >1 quarantined,
+    # pipeline/bronze.py:114-122) and latest-per-key semantics are
+    # additionally pinned by state_latest_per_user's MERGE upserts;
+    # dedup_latest_order_per_customer moves to the tail (still
+    # tri-scale oracle-checked locally) so the full serving-index
+    # LIFECYCLE — incremental build, mid-stream COMPACTION, further
+    # fold, read with the df recomputed from the compacted postings —
+    # gains a driver row (it strictly subsumes
+    # lexical_index_maintenance's df-rollup claim: same oracle df
+    # column plus the postings-derived twin).
+    "lexical_index_lifecycle",
     # round-10b swap: A8 DISTINCTCOUNT stays prefix-checked via the
     # promoted query's vocab_syms = COUNT(DISTINCT symbol) per source
     # (A5–A7 live in pricing_summary, row 0); the learned-BPE
@@ -183,9 +207,31 @@ GATE_PRIORITY: list[str] = [
     # ladder runs verbatim). The driver row now witnesses the two
     # never-checked machines: generalization-ladder enforcement and
     # the l-diversity group-suppression stage.
-    "customers_kl_anonymize_enforced",
+    # round-11 swap (VERDICT r10 item 1): the kl row passes on to the
+    # full-triad ENFORCEMENT — kl_anonymize delegates to
+    # klt_anonymize(t=None) exactly as k delegated to kl (delegation
+    # result-identity hash-pinned by pytest), so the ladder and the
+    # l-diversity suppression stage stay driver-hash-checked
+    # verbatim, and the t-closeness group stage (max ordered-EMD vs
+    # the ORIGINAL band distribution, over-skewed survivor groups
+    # dropped) gains driver coverage; customers_kl_anonymize_enforced
+    # moves to the tail (still tri-scale oracle-checked locally).
+    "customers_klt_anonymize_enforced",
     "scd2_customer_history",
-    "docs_jaccard_pairs",
+    # round-11 swap (VERDICT r10 item 1): exact n-gram Jaccard stays
+    # prefix-checked — the F8 shingle generator
+    # (explode(sequence(...))) is recomputed inline by
+    # docs_minhash_neardup (the round-6 coverage note), and the exact
+    # intersection/union Jaccard score jac = inter/(n_a + n_b -
+    # inter) is computed verbatim by docs_hybrid_rrf_served's lexical
+    # leg (_rrf_indexed_core's overlap groupBy + the same division);
+    # docs_jaccard_pairs moves to the tail (still tri-scale
+    # oracle-checked locally) so decontamination WITH the hot-gram df
+    # cap — the bounded-fan-out gram join whose cap is visibly
+    # load-bearing in the hash (uncapped, one shared boilerplate
+    # header contaminates the whole train split) — gains a driver
+    # row.
+    "docs_decontaminated_train_capped",
     # round-6 swap: docs_minhash_signatures and docs_simhash are
     # strict sub-steps recomputed inline by their neardup twins
     # (minhash_near_dups re-derives the signature matrix;
@@ -656,34 +702,36 @@ GATE_PRIORITY: list[str] = [
     # prefix in round 10; the k-anonymity risk readout it covers
     # holds this tail slot, still oracle-checked locally.)
     "customers_k_anonymity",
-    # round-10: IVF REBUILD (VERDICT r9 item 2) — retrain + reassign +
-    # atomic swap over an incrementally-built store must hash-equal a
-    # fresh one-shot trained build (oracle = unrolled Lloyd + the
-    # verbatim cosine assignment); completes the serving lifecycle
-    # (build → maintain → serve → REBUILD)
-    "embeddings_ivf_rebuild",
-    # round-10: decontamination with the hot-gram df cap (VERDICT r9
-    # item 5) — the probe-side document-frequency cutoff that bounds
-    # the gram join's fan-out (boilerplate grams are not contamination
-    # evidence); differs from the uncapped release at sf0.01/0.1, so
-    # the cap is visibly load-bearing in the hash
-    "docs_decontaminated_train_capped",
+    # (embeddings_ivf_rebuild — retrain + reassign + atomic swap,
+    # round 10 — was promoted into the 50-row prefix in round 11; the
+    # demoted A2 twin holds this tail slot, still tri-scale
+    # oracle-checked locally — full-row DISTINCT stays prefix-covered
+    # via the promoted serving rows' distinct postings projections.)
+    "distinct_customer_profile",
+    # (docs_decontaminated_train_capped — the hot-gram df cap, round
+    # 10 — was promoted into the 50-row prefix in round 11; the
+    # demoted exact-Jaccard pair query holds this tail slot, still
+    # tri-scale oracle-checked locally — shingle explode stays prefix
+    # via docs_minhash_neardup, the exact inter/union division via
+    # docs_hybrid_rrf_served's lexical leg.)
+    "docs_jaccard_pairs",
     # round-10: t-closeness readout — the privacy triad's third leg
     # (k-anonymity → l-diversity → t-closeness, Li et al. ICDE 2007):
     # max ordered-EMD between any class's sensitive distribution and
     # the global one, exact-integer numerators, one final division
     "customers_t_closeness",
-    # round-10: the full serving lifecycle in one oracle row — build
-    # incrementally, COMPACT mid-stream, fold a further increment,
-    # read; the hash carries the maintained df
-    # rollup AND the df recomputed from the compacted postings
-    "lexical_index_lifecycle",
-    # round-10: full privacy-triad ENFORCEMENT — joint k+l+t level
-    # choice (t = max group EMD vs the ORIGINAL band distribution),
-    # group stage drops under-diverse OR over-skewed survivor groups;
-    # at sf0.001 both cuts fire partially (9 l-drops, 3 t-drops, 12
-    # released), so each is visible in the hash
-    "customers_klt_anonymize_enforced",
+    # (lexical_index_lifecycle — incremental build + mid-stream
+    # compaction + fold + read, round 10 — was promoted into the
+    # 50-row prefix in round 11; the demoted A4 twin holds this tail
+    # slot, still tri-scale oracle-checked locally — rank-dedup stays
+    # prefix via claims_pipeline_e2e's bronze quarantining window.)
+    "dedup_latest_order_per_customer",
+    # (customers_klt_anonymize_enforced — full privacy-triad
+    # enforcement — was promoted into the 50-row prefix in round 11;
+    # the kl enforcement it strictly supersedes holds this tail slot,
+    # still tri-scale oracle-checked locally — kl = klt(t=None),
+    # delegation result-identity hash-pinned by pytest.)
+    "customers_kl_anonymize_enforced",
     # round-10: learned-BPE tokenizer training (Sennrich 2016) — the
     # merge loop runs on the vocab table with one collected argmax row
     # per round; the oracle unrolls the identical loop as MATERIALIZED

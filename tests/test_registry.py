@@ -142,7 +142,12 @@ def test_round5_rotation():
     # tokenization + doc-length machinery prefix-checked and the
     # quality gates stay oracle-checked locally.
     assert "docs_bm25_topk" in prefix
-    assert "docs_jaccard_pairs" in prefix  # shingle machinery
+    # shingle machinery: docs_jaccard_pairs' covering duty passed to
+    # docs_minhash_neardup + docs_hybrid_rrf_served in round 11 (the
+    # explode(sequence(...)) generator and the exact inter/union
+    # Jaccard division respectively; see
+    # test_round11_flagship_rotation).
+    assert "docs_minhash_neardup" in prefix
     # vector-norm/cosine algebra (knn_bruteforce was itself demoted by
     # the second round-5 swap; pq_adc + semantic_dedup keep it covered)
     assert "embeddings_pq_adc_knn" in prefix
@@ -200,8 +205,11 @@ def test_round6_flagship_rotation():
     # docs_simhash_neardup's covering duty passed to its recall gate
     # in round 9 (same simhash60_md5 + simhash_band_pairs, identical
     # parameters, cohort-bounded, plus exact cosine ground truth).
+    # (docs_jaccard_pairs' shingle-generator covering duty passed to
+    # docs_minhash_neardup alone in round 11 — the neardup twin
+    # recomputes the identical explode(sequence(...)) shingles.)
     for covering in ("docs_minhash_neardup", "docs_simhash_recall",
-                     "pivot_status_by_priority", "docs_jaccard_pairs"):
+                     "pivot_status_by_priority"):
         assert covering in prefix, covering
     for demoted in (
         "docs_minhash_signatures",
@@ -437,10 +445,10 @@ def test_round9_flagship_rotation():
     for promoted in (
         "docs_dsir_pipeline",
         # the k-anonymity readout row passed to the combined
-        # kl-ENFORCEMENT query in round 10 (the readout machinery is
-        # a strict subset of its kml/lml level tables; see
-        # test_round10_flagship_rotation)
-        "customers_kl_anonymize_enforced",
+        # kl-ENFORCEMENT query in round 10, and on to the full-triad
+        # klt ENFORCEMENT in round 11 (each step a strict machinery
+        # superset via delegation; see test_round10/11 rotations)
+        "customers_klt_anonymize_enforced",
         "docs_simhash_recall",
         "embeddings_semdedup_recall_mp",
         "embeddings_semantic_dedup_mp",
@@ -491,7 +499,10 @@ def test_round10_flagship_rotation():
     reg = load_all_queries()
     prefix = set(list(reg)[:50])
     for promoted in (
-        "customers_kl_anonymize_enforced",
+        # the kl-enforcement row passed on to the full-triad klt
+        # ENFORCEMENT in round 11 (kl = klt(t=None), delegation
+        # result-identity pinned; see test_round11_flagship_rotation)
+        "customers_klt_anonymize_enforced",
         "docs_dup_clusters_served",
         "docs_hybrid_rrf_served",
     ):
@@ -563,3 +574,73 @@ def test_round10b_flagship_rotation():
     assert "year(o_orderdate) < 1998" in ks
     assert "year FROM o_orderdate) <= 1997" in psi
     assert "COUNT(DISTINCT s)" in REGISTRY["docs_bpe_tokenize_stats"].oracle
+
+
+def test_round11_flagship_rotation():
+    """Round-11 curation (VERDICT r10 item 1): four rows rotate so the
+    round-10 machinery the driver has never hash-checked gains driver
+    coverage — each swap with its displaced duty provably still
+    prefix-covered:
+
+    * customers_kl_anonymize_enforced -> tail: the promoted
+      customers_klt_anonymize_enforced strictly supersedes it —
+      kl_anonymize delegates to klt_anonymize(t=None) exactly as k
+      delegated to kl, and the delegation is result-identity-pinned
+      by tests/test_governance.py (t=None IS kl). New machine
+      driver-checked: the t-closeness group-suppression stage.
+    * distinct_customer_profile -> tail: A2 full-row DISTINCT stays
+      prefix-exercised via the promoted serving rows' distinct
+      postings projections (operators/serving_index.py builds
+      lex_postings with a full-row .distinct()). New machine:
+      embeddings_ivf_rebuild — Lloyd retrain + reassign + atomic
+      quantizer swap over an incrementally-built store.
+    * dedup_latest_order_per_customer -> tail: A4/W1 rank-dedup
+      stays prefix-exercised via claims_pipeline_e2e's bronze
+      quarantining window (row_number over the ClaimID key window,
+      rank 1 survives) and latest-per-key via state_latest_per_user.
+      New machine: lexical_index_lifecycle — incremental build +
+      mid-stream compaction + fold + read, whose oracle strictly
+      extends lexical_index_maintenance's df rollup with the
+      postings-derived twin column.
+    * docs_jaccard_pairs -> tail: the shingle generator stays prefix
+      via docs_minhash_neardup (recomputed inline, round-6 note) and
+      the exact inter/(a+b-inter) Jaccard division runs verbatim in
+      docs_hybrid_rrf_served's lexical leg. New machine:
+      docs_decontaminated_train_capped — the hot-gram df-capped
+      contamination join, whose cap is load-bearing in the hash."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "customers_klt_anonymize_enforced",
+        "embeddings_ivf_rebuild",
+        "lexical_index_lifecycle",
+        "docs_decontaminated_train_capped",
+    ):
+        assert promoted in prefix, promoted
+    for demoted in (
+        "customers_kl_anonymize_enforced",
+        "distinct_customer_profile",
+        "dedup_latest_order_per_customer",
+        "docs_jaccard_pairs",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
+    # the coverage-transfer claims, pinned at the source:
+    from fabric_claims_spark.queries import REGISTRY
+
+    # lifecycle oracle = maintenance df aggregate + the
+    # postings-derived twin column (the strict-extension claim)
+    life = REGISTRY["lexical_index_lifecycle"].oracle
+    maint = REGISTRY["lexical_index_maintenance"].oracle
+    shared_td = r"unnest(regexp_split_to_array(trim(text), '\s+'))"
+    assert shared_td in life and shared_td in maint
+    assert "df_from_postings" in life
+    # the df cap must be visibly load-bearing: capped differs from
+    # the uncapped release and names the HAVING df cutoff
+    capped = REGISTRY["docs_decontaminated_train_capped"].oracle
+    uncapped = REGISTRY["docs_decontaminated_train"].oracle
+    assert capped != uncapped
+    assert "HAVING COUNT(DISTINCT g.doc_id)" in capped
+    # the rebuild oracle is the from-scratch trained build (unrolled
+    # Lloyd + cosine assignment), not the seed assignment
+    assert "cent" in REGISTRY["embeddings_ivf_rebuild"].oracle
