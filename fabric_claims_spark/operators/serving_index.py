@@ -609,3 +609,72 @@ def read_ivf_centroids(store: TableStore) -> DataFrame:
             [], "centroid_id long, cv array<double>"
         )
     return _committed_rows(store, IVF_CENTROIDS, IVF_COMMITS)
+
+
+def ivf_bucket_skew(store: TableStore, k: int | None = None) -> float:
+    """Max/mean committed bucket population — the rebuild-trigger
+    measurement (SCALING.md round 10: drift rots bucket BALANCE long
+    before it rots recall, so the policy reads this one bounded
+    groupBy — at most k rows out of the aggregate — instead of paying
+    for a recall evaluation). The mean is n/k over ALL quantizer
+    buckets: an empty bucket is skew evidence, not a missing row, and
+    this matches the measured crossover table
+    (tools/scale_round10.py ``ivf_crossover``).
+
+    ``k`` comes from the stored quantizer when a rebuild has
+    published one (``read_ivf_centroids``); before the first rebuild
+    the quantizer is caller state, so the caller must pass its size.
+    """
+    if k is None:
+        k = read_ivf_centroids(store).count()
+        if k == 0:
+            raise ValueError(
+                "ivf_bucket_skew: no stored quantizer — pass k explicitly"
+            )
+    row = (
+        read_ivf_index(store)
+        .groupBy("assigned_centroid")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(
+            F.max("bn").alias("mx"),
+            F.sum("bn").alias("n"),
+        )
+        .head()
+    )
+    if row is None or row["n"] is None or row["n"] == 0:
+        raise ValueError("ivf_bucket_skew: empty index")
+    return float(row["mx"]) / (float(row["n"]) / float(k))
+
+
+def maybe_rebuild_ivf_index(
+    store: TableStore,
+    skew_threshold: float = 2.5,
+    k: int = 8,
+    iters: int = 3,
+    sample_cap: int | None = None,
+    train_assign: str = "literal",
+) -> tuple[float, list[tuple[int, list[float]]] | None]:
+    """Skew-triggered rebuild policy (VERDICT r10 item 4): the
+    crossover measurement says one rebuild costs about two
+    incremental applies and restores both bucket balance and probe
+    cost, so the production trigger is a threshold on
+    ``ivf_bucket_skew`` — SCALING.md round 10 names the ~2-3 band
+    (healthy builds sit near 1.2-1.5; the drifted fixture reached
+    4.15 with probe candidate share 0.448 vs the 0.25 ideal).
+
+    Reads the one bounded groupBy; below the threshold it is a no-op
+    (the store is untouched — no appends, no commit swap). At or
+    above it, delegates to ``rebuild_ivf_index`` with the same
+    training knobs. Returns ``(measured_skew, retrained_centroids or
+    None)`` so a scheduler can log the decision either way.
+    """
+    skew = ivf_bucket_skew(store, k=k)
+    if skew < skew_threshold:
+        return skew, None
+    return skew, rebuild_ivf_index(
+        store,
+        k=k,
+        iters=iters,
+        sample_cap=sample_cap,
+        train_assign=train_assign,
+    )

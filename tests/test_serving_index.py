@@ -329,3 +329,81 @@ def test_positional_incremental_torn_and_compaction(spark, docs, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_skew_triggered_rebuild_policy(spark, tmp_path):
+    """maybe_rebuild_ivf_index (VERDICT r10 item 4): the production
+    trigger SCALING.md round 10 names — rebuild when max/mean bucket
+    skew crosses the threshold — implemented as one bounded groupBy
+    plus the existing rebuild.
+
+    Drift fixture: a healthy first increment (real sf0.001 vectors,
+    seed quantizer), then a drifted increment whose vectors all point
+    the same way, piling into one bucket. The policy must HOLD on the
+    healthy store (store untouched — no quantizer published, same
+    assignment rows) and FIRE after the drift (skew strictly grew,
+    rebuild ran, retrained quantizer consumer-visible, post-rebuild
+    skew restored below the drifted reading)."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        ivf_bucket_skew,
+        maybe_rebuild_ivf_index,
+        read_ivf_centroids,
+        read_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivf"))
+    apply_ivf_batch(store, emb.where(F.col("vec_id") < 300), 0, seed)
+
+    # pre-rebuild: the quantizer is caller state, so k is explicit
+    with pytest.raises(ValueError):
+        ivf_bucket_skew(store)
+    skew0 = ivf_bucket_skew(store, k=8)
+    thresh = skew0 * 1.001
+
+    # trigger-holds: below threshold the store is untouched
+    before = sorted(
+        tuple(r)
+        for r in read_ivf_index(store)
+        .select("vec_id", "assigned_centroid")
+        .collect()
+    )
+    held_skew, held = maybe_rebuild_ivf_index(
+        store, skew_threshold=thresh, k=8, iters=2
+    )
+    assert held is None and held_skew == skew0
+    assert read_ivf_centroids(store).count() == 0
+    after_hold = sorted(
+        tuple(r)
+        for r in read_ivf_index(store)
+        .select("vec_id", "assigned_centroid")
+        .collect()
+    )
+    assert after_hold == before
+
+    # drifted increment: every vector identical -> one bucket fills
+    drifted = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: F.lit(1.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    apply_ivf_batch(store, drifted, 1, seed)
+    skew1 = ivf_bucket_skew(store, k=8)
+    assert skew1 > skew0  # drift rots bucket balance
+
+    # trigger-fires: rebuild runs, quantizer published, balance back
+    fired_skew, cents = maybe_rebuild_ivf_index(
+        store, skew_threshold=thresh, k=8, iters=2
+    )
+    assert fired_skew == skew1 and cents is not None and len(cents) == 8
+    assert read_ivf_centroids(store).count() == 8
+    # post-rebuild the stored quantizer feeds the skew read directly
+    assert ivf_bucket_skew(store) <= skew1
+    assert read_ivf_index(store).count() == emb.count()
