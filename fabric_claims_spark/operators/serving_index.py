@@ -285,28 +285,30 @@ def read_positional_index(store: TableStore) -> DataFrame:
 
 def phrase_occurrences(positions: DataFrame, phrase: DataFrame) -> DataFrame:
     """Exact-phrase occurrences via the position-adjacency join:
-    ``phrase`` is a one-row (w1, w2, w3) frame (broadcast); each term's
-    postings join on (doc_id, pos+k). Returns one row per occurrence
-    (doc_id, w1, w2, w3). At scale each leg touches only its term's
-    posting bucket; the adjacency joins are equi-joins on
-    (doc_id, pos±k)."""
-    p1 = positions.alias("p1").join(
+    ``phrase`` is a one-row (w1, .., wn) frame (broadcast, any n >= 1
+    — round 11 generalized the fixed 3-term shape); leg i joins term
+    wi's postings on (doc_id, pos + i - 1). Returns one row per
+    occurrence (doc_id, w1, .., wn). At scale each leg touches only
+    its term's posting bucket; the adjacency joins are equi-joins on
+    (doc_id, pos±k), so an n-term phrase costs n bucket reads and
+    n - 1 equi-joins."""
+    terms = list(phrase.columns)
+    if terms != [f"w{i}" for i in range(1, len(terms) + 1)] or not terms:
+        raise ValueError(
+            "phrase_occurrences: phrase frame must have columns "
+            f"w1..wn in order, got {terms!r}"
+        )
+    m = positions.alias("p1").join(
         F.broadcast(phrase), F.col("p1.term") == F.col("w1")
     )
-    m = p1.join(
-        positions.alias("p2"),
-        (F.col("p2.doc_id") == F.col("p1.doc_id"))
-        & (F.col("p2.pos") == F.col("p1.pos") + 1)
-        & (F.col("p2.term") == F.col("w2")),
-    ).join(
-        positions.alias("p3"),
-        (F.col("p3.doc_id") == F.col("p1.doc_id"))
-        & (F.col("p3.pos") == F.col("p1.pos") + 2)
-        & (F.col("p3.term") == F.col("w3")),
-    )
-    return m.select(
-        F.col("p1.doc_id").alias("doc_id"), "w1", "w2", "w3"
-    )
+    for i in range(2, len(terms) + 1):
+        m = m.join(
+            positions.alias(f"p{i}"),
+            (F.col(f"p{i}.doc_id") == F.col("p1.doc_id"))
+            & (F.col(f"p{i}.pos") == F.col("p1.pos") + (i - 1))
+            & (F.col(f"p{i}.term") == F.col(f"w{i}")),
+        )
+    return m.select(F.col("p1.doc_id").alias("doc_id"), *terms)
 
 
 # -- LSH near-dup index ------------------------------------------------------

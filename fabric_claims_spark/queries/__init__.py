@@ -771,6 +771,12 @@ GATE_PRIORITY: list[str] = [
     # the stored postings; oracle shared verbatim with the in-plan
     # twin, so the hash pins stored == in-plan
     "docs_phrase_search_served",
+    # round-11: n-term phrase search (VERDICT r10 item 5) — the
+    # position-adjacency join generalized past the fixed trigram; the
+    # gate searches the corpus's top bigram AND top 4-gram in one row
+    # set, so both the 2-term and the 4-term join chains are visible
+    # in the hash (the 3-term in-plan + served gates are unchanged)
+    "docs_phrase_search_ngram",
     # round-10: Theil–Sen robust trend — median-of-pairwise-slopes
     # twin of events_daily_trend's OLS (pairs over the DAILY rollup,
     # days² not events²); exact-IEEE pair slopes, SUM/COUNT middle-row

@@ -3194,3 +3194,119 @@ def docs_phrase_search_positional(
     return m.groupBy(
         "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("phrase")
     ).agg(F.count(F.lit(1)).alias("occurrences"))
+
+
+# --------------------------------------------------------------------------
+# n-term phrase search (round 11, VERDICT r10 item 5): the adjacency
+# join generalized past the fixed trigram — one leg per phrase term,
+# n bucket reads + n-1 (doc_id, pos±k) equi-joins. The gate searches
+# the corpus's top BIGRAM and top 4-GRAM in one row set (phrase_len
+# distinguishes them), both derived by the same deterministic argmax
+# as the trigram twin, so the 2-term and 4-term paths are each
+# visible in the hash. The 3-term gates (in-plan + served) are
+# unchanged and keep pinning the original shape.
+
+
+def _phrase_ngram_oracle_block(n: int) -> str:
+    """One WITH-block chain computing the top n-gram's occurrence
+    rows (doc_id, phrase, phrase_len, occurrences) — mirrors the
+    trigram oracle with n join legs."""
+    ws = [f"w{i}" for i in range(1, n + 1)]
+    tg_cols = ", ".join(f"t[i + {k}] AS w{k + 1}" for k in range(n))
+    legs = "\n      ".join(
+        f"JOIN post{n} p{i} ON p{i}.doc_id = p1.doc_id "
+        f"AND p{i}.pos = p1.pos + {i - 1} AND p{i}.word = b.w{i}"
+        for i in range(2, n + 1)
+    )
+    b_ws = ", ".join(f"b.{w}" for w in ws)
+    phrase = " || ' ' || ".join(ws)
+    return f"""
+    post{n} AS (
+      SELECT doc_id, t[i] AS word, i AS pos
+      FROM d, unnest(generate_series(1, len(t))) s(i)),
+    tg{n} AS (
+      SELECT {tg_cols}
+      FROM d, unnest(generate_series(1, len(t) - {n - 1})) s(i)
+      WHERE len(t) >= {n}),
+    best{n} AS (
+      SELECT {", ".join(ws)}
+      FROM (SELECT {", ".join(ws)}, COUNT(*) AS c FROM tg{n}
+            GROUP BY {", ".join(str(i) for i in range(1, n + 1))})
+      ORDER BY c DESC, {", ".join(ws)} LIMIT 1),
+    m{n} AS (
+      SELECT p1.doc_id, {b_ws}
+      FROM best{n} b
+      JOIN post{n} p1 ON p1.word = b.w1
+      {legs}),
+    occ{n} AS (
+      SELECT doc_id, {phrase} AS phrase,
+             CAST({n} AS BIGINT) AS phrase_len,
+             CAST(COUNT(*) AS BIGINT) AS occurrences
+      FROM m{n} GROUP BY 1, 2)"""
+
+
+_PHRASE_NGRAM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    {_phrase_ngram_oracle_block(2)},
+    {_phrase_ngram_oracle_block(4)}
+    SELECT * FROM occ2 UNION ALL SELECT * FROM occ4
+    """
+
+
+def _top_ngram(d: DataFrame, n: int) -> DataFrame:
+    """The corpus's most frequent n-gram as a one-row (w1, .., wn)
+    frame — the trigram argmax generalized (count DESC then
+    lexicographic). ``d`` is the (doc_id, t token-array) frame."""
+    ws = [f"w{i}" for i in range(1, n + 1)]
+    fields = ", ".join(
+        ("x" if k == 0 else f"t[i + {k}]") + f" AS w{k + 1}"
+        for k in range(n)
+    )
+    structs = F.expr(
+        f"transform(slice(t, 1, size(t) - {n - 1}),"
+        f" (x, i) -> struct({fields}))"
+    )
+    tg = (
+        d.where(F.size("t") >= n)
+        .select(F.explode(structs).alias("g"))
+        .select(*(f"g.{w}" for w in ws))
+    )
+    return (
+        tg.groupBy(*ws)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), *ws)
+        .limit(1)
+        .select(*ws)
+    )
+
+
+@query("docs_phrase_search_ngram", oracle=_PHRASE_NGRAM_ORACLE)
+def docs_phrase_search_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fabric_claims_spark.operators.serving_index import (
+        phrase_occurrences,
+        positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.col("text")), _WS).alias("t")
+    )
+    post = positional_postings(docs)
+    out = None
+    for n in (2, 4):
+        ws = [f"w{i}" for i in range(1, n + 1)]
+        g = (
+            phrase_occurrences(post, _top_ngram(d, n))
+            .groupBy("doc_id", F.concat_ws(" ", *ws).alias("phrase"))
+            .agg(F.count(F.lit(1)).alias("occurrences"))
+            .select(
+                "doc_id",
+                "phrase",
+                F.lit(n).cast("long").alias("phrase_len"),
+                "occurrences",
+            )
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
