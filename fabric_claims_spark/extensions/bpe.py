@@ -88,6 +88,48 @@ def word_frequencies(docs: DataFrame) -> DataFrame:
     )
 
 
+def _assert_marker_safe(words: DataFrame, marker: str) -> None:
+    """The fold accumulator is a space-joined symbol string and the
+    end-of-word marker must be disjoint from every word, so a word
+    containing the marker (or any whitespace) would silently corrupt
+    symbol arrays rather than fail. One cheap filter-limit on the
+    vocabulary table makes the contract explicit (ADVICE r10)."""
+    bad = (
+        words.where(
+            F.col("word").contains(marker) | F.col("word").rlike(r"\s")
+        )
+        .select("word")
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"BPE vocabulary word {bad[0]['word']!r} contains the "
+            f"end-of-word marker {marker!r} or whitespace — pick a "
+            "disjoint marker (e.g. a non-printable like '\\u0001')"
+        )
+
+
+def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, list]:
+    """``localCheckpoint`` + handles to the persistent RDDs it
+    registered, so the superseded round can be released once the next
+    round materializes (ADVICE r10: a 12-round train × gates × scales
+    otherwise accumulates dozens of persisted RDDs for the session's
+    life). Single-threaded driver: the snapshot diff is race-free."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint()
+    after = sc._jsc.getPersistentRDDs()
+    return out, [after[k] for k in after.keys() if k not in before]
+
+
+def _release_checkpoint(handles: list) -> None:
+    """Unpersist a SUPERSEDED round's checkpointed RDDs. Never call
+    on state still referenced — the checkpoint data is the plan."""
+    for h in handles:
+        h.unpersist()
+
+
 def init_symbols(words: DataFrame, marker: str = WORD_MARKER) -> DataFrame:
     """Attach the initial symbol array: characters + end-of-word marker.
 
@@ -127,15 +169,15 @@ def _merge_fold(p1: str, p2: str, merged: str) -> Column:
     )
 
 
-def _apply_merge(words: DataFrame, p1: str, p2: str, merged: str) -> DataFrame:
-    """Rewrite every word's symbol array with one pair merged, then
-    truncate lineage (see module docstring: plan-size discipline)."""
-    rewritten = words.select(
+def _rewrite_merge(words: DataFrame, p1: str, p2: str, merged: str) -> DataFrame:
+    """Rewrite every word's symbol array with one pair merged — lazy
+    (no checkpoint); callers chain rewrites then truncate lineage once
+    per round (see module docstring: plan-size discipline)."""
+    return words.select(
         "word",
         "freq",
         F.split(_merge_fold(p1, p2, merged), " ").alias("syms"),
     )
-    return rewritten.localCheckpoint()
 
 
 def pair_counts(words: DataFrame) -> DataFrame:
@@ -172,8 +214,13 @@ def bpe_train_words(
     early if the vocabulary runs out of pairs (every word fully
     merged); with the end-of-word marker this needs n_merges ≳ total
     distinct symbols, far beyond any configured gate.
+
+    Each superseded round's checkpoint is unpersisted once the next
+    round materializes — only the latest vocab state stays persisted
+    (the returned DataFrame's checkpoint belongs to the caller).
     """
-    words = init_symbols(words, marker).localCheckpoint()
+    _assert_marker_safe(words, marker)
+    words, handles = _tracked_checkpoint(init_symbols(words, marker))
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -187,7 +234,11 @@ def bpe_train_words(
         b = top[0]
         merged = b.p1 + b.p2
         merges.append((rank, b.p1, b.p2, merged, int(b.cnt)))
-        words = _apply_merge(words, b.p1, b.p2, merged)
+        words, new_handles = _tracked_checkpoint(
+            _rewrite_merge(words, b.p1, b.p2, merged)
+        )
+        _release_checkpoint(handles)
+        handles = new_handles
     return merges, words
 
 
@@ -199,21 +250,144 @@ def bpe_train(
     return bpe_train_words(word_frequencies(docs), n_merges, marker)
 
 
+def _select_compatible_batch(
+    rows, max_accept: int, fetched_all: bool
+) -> list:
+    """The exact-batching rule (VERDICT r10 item 3): from the sorted
+    pair list (cnt DESC, p1, p2 — the sequential trainer's order),
+    accept a greedy PREFIX of pairwise-compatible merges that is
+    provably bit-equal to applying the same number of sequential
+    rounds.
+
+    Merging (a, b) → ab only changes the counts of pairs touching a
+    symbol in {a, b, ab}: it destroys occurrences of (·,a) / (b,·) /
+    (a,b) and creates (·,ab) / (ab,·) — a pair disjoint from all
+    three strings keeps its exact count. So the scan accepts rows
+    while disjoint from every accepted merge's {p1, p2, merged}
+    strings and STOPS at the first conflict (after a conflict, the
+    sequential trainer's next argmax depends on recounted state).
+    Created pairs are the subtle hazard: (x, ab) can inherit up to
+    cnt(x, a) occurrences, and (x, a) conflicts — so every conflicting
+    pair's count bounds every created pair's count. ``c_stop`` (the
+    count at the stopping row, or the last fetched row when the fetch
+    window may hide deeper conflicts, or 0 when the whole pair table
+    was fetched conflict-free) is that bound, and only accepted picks
+    with cnt STRICTLY above it are kept — for those, no destroyed or
+    created pair can reach their count, so each remains the argmax of
+    its sequential round (ties among kept picks resolve in lex order,
+    which is exactly the scan order). The fallback single pick is the
+    global argmax — always exact.
+    """
+    used: set[str] = set()
+    accepted: list = []
+    c_stop = 0
+    for r in rows:
+        touched = {r["p1"], r["p2"], r["p1"] + r["p2"]}
+        if (used & touched) or len(accepted) >= max_accept:
+            c_stop = int(r["cnt"])
+            break
+        accepted.append(r)
+        used |= touched
+    else:
+        c_stop = 0 if fetched_all else int(rows[-1]["cnt"])
+    keep = [r for r in accepted if int(r["cnt"]) > c_stop]
+    return keep or accepted[:1]
+
+
+def bpe_train_words_batched(
+    words: DataFrame,
+    n_merges: int,
+    marker: str = WORD_MARKER,
+    max_batch: int = 16,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """``bpe_train_words`` with batched compatible merges — bit-equal
+    output (merge table AND final symbol arrays; pinned by pytest
+    against the sequential trainer and by the verbatim-shared oracle
+    of ``docs_bpe_train_merges_batched``), but one pair-count job +
+    one collect per BATCH instead of per merge. This bounds the
+    sequential trainer's production wall (VERDICT r10: a 32k-merge
+    vocab at ~0.7-0.9 s/round means hours of driver round-trips):
+    natural-language pair distributions accept multi-merge batches
+    most rounds once the head of the distribution spreads over
+    disjoint symbols, so the round count drops by roughly the mean
+    accepted batch size (measured in SCALING.md round 11).
+
+    Within a round the kept merges apply as chained lazy folds with
+    ONE lineage-truncating checkpoint — plan depth is bounded by
+    ``max_batch``, and the superseded round's checkpoint is released
+    once the next materializes.
+    """
+    _assert_marker_safe(words, marker)
+    words, handles = _tracked_checkpoint(init_symbols(words, marker))
+    merges: list[tuple[int, str, str, str, int]] = []
+    # fetch window: enough rows past the batch to witness a conflict
+    # or bound hidden ones; vocabulary-sized query either way
+    fetch = max_batch * 4 + 8
+    while len(merges) < n_merges:
+        rows = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(fetch)
+            .collect()
+        )
+        if not rows:
+            break
+        picks = _select_compatible_batch(
+            rows, min(max_batch, n_merges - len(merges)), len(rows) < fetch
+        )
+        out = words
+        for r in picks:
+            merged = r["p1"] + r["p2"]
+            merges.append(
+                (len(merges) + 1, r["p1"], r["p2"], merged, int(r["cnt"]))
+            )
+            out = _rewrite_merge(out, r["p1"], r["p2"], merged)
+        words, new_handles = _tracked_checkpoint(out)
+        _release_checkpoint(handles)
+        handles = new_handles
+    return merges, words
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    marker: str = WORD_MARKER,
+    max_batch: int = 16,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Corpus-level twin of ``bpe_train`` on the batched trainer."""
+    return bpe_train_words_batched(
+        word_frequencies(docs), n_merges, marker, max_batch
+    )
+
+
 def bpe_segment(
     words: DataFrame,
     merges: list[tuple[int, str, str, str, int]],
     marker: str = WORD_MARKER,
+    fold_batch: int = 8,
 ) -> DataFrame:
     """Apply a learned merge list to a (word, freq) table — the
     tokenizer's APPLY path, valid for words never seen in training
     (out-of-vocabulary words start as characters and pick up whatever
     learned merges fire). Merges apply in rank order, each with the
-    same exact-scan fold as training, each checkpointed so the plan
-    stays O(1) deep regardless of merge count.
+    same exact-scan fold as training; the plan is checkpointed every
+    ``fold_batch`` merges so it stays O(fold_batch) deep regardless
+    of merge count, and each superseded checkpoint is unpersisted
+    once the next materializes (the final one is the caller's).
+
+    Unlike training, APPLY has no per-merge decision point — the
+    merge list is fixed — so folds chain freely between checkpoints;
+    ``fold_batch`` only balances Catalyst plan depth against
+    checkpoint materialization count.
     """
-    out = init_symbols(words, marker).localCheckpoint()
-    for _, p1, p2, merged, _cnt in merges:
-        out = _apply_merge(out, p1, p2, merged)
+    _assert_marker_safe(words, marker)
+    out, handles = _tracked_checkpoint(init_symbols(words, marker))
+    for i in range(0, len(merges), fold_batch):
+        for _, p1, p2, merged, _cnt in merges[i : i + fold_batch]:
+            out = _rewrite_merge(out, p1, p2, merged)
+        out, new_handles = _tracked_checkpoint(out)
+        _release_checkpoint(handles)
+        handles = new_handles
     return out
 
 

@@ -738,6 +738,10 @@ GATE_PRIORITY: list[str] = [
     # CTEs with the same init-less list_reduce fold (exact scan
     # semantics — the space-padded replace trick under-merges runs)
     "docs_bpe_train_merges",
+    # round-11: the BATCHED trainer (VERDICT r10 item 3) — compatible
+    # merges selected per aggregate, oracle shared VERBATIM with the
+    # sequential row above, so the hash pins batched == sequential
+    "docs_bpe_train_merges_batched",
     # (docs_bpe_tokenize_stats — tokenizer APPLY + fertility stats —
     # was promoted into the 50-row prefix in the round-10b swap.)
     # round-10: approximate functional-dependency discovery — g3 error

@@ -106,6 +106,23 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_as_df(spark, merges)
 
 
+@query("docs_bpe_train_merges_batched", oracle=_TRAIN_ORACLE)
+def docs_bpe_train_merges_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BATCHED trainer (round 11, VERDICT r10 item 3) under the
+    sequential trainer's oracle, shared VERBATIM: the compatible-batch
+    rule (extensions/bpe._select_compatible_batch) is exact, so the
+    learned merge table must hash-equal the unrolled one-merge-per-CTE
+    DuckDB loop even though the Spark side pays one pair-count job per
+    batch instead of per merge."""
+    from fabric_claims_spark.extensions.bpe import bpe_train_batched
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train_batched(d, _N_MERGES)
+    return merges_as_df(spark, merges)
+
+
 # --------------------------------------------------------------------------
 # Tokenizer APPLY + fertility stats: segment the corpus vocabulary with
 # the learned merges (the explicit apply path — bpe_segment replays the

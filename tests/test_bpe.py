@@ -25,14 +25,20 @@ from fabric_claims_spark.extensions.bpe import (
 
 @pytest.fixture(autouse=True)
 def _release_checkpoints(spark):
-    """The trainer localCheckpoints its vocab state per merge round
-    (by design — see extensions/bpe.py). Release those persistent
-    RDDs after each test so the strict zero-storage assertions in
-    test_caching.py (which runs later in the session-scoped Spark)
-    see a clean slate."""
+    """The trainer keeps its LATEST vocab state checkpointed (it now
+    releases superseded rounds itself — ADVICE r10); release the
+    checkpoints each test leaves behind so the strict zero-storage
+    assertions in test_caching.py (which runs later in the
+    session-scoped Spark) see a clean slate. Snapshot-diff: unpersist
+    only RDDs this test created, never caches owned by other session
+    fixtures (ADVICE r10)."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
     yield
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+    after = sc._jsc.getPersistentRDDs()
+    for k in after.keys():
+        if k not in before:
+            after[k].unpersist()
 
 # ---------------------------------------------------------------------------
 # Pure-Python reference: classic scan-merge BPE.
@@ -143,3 +149,100 @@ def test_train_stops_when_pairs_exhaust(spark):
     # "ab_" fully merges in 2 rounds: (a,b) then (ab,_).
     assert [m[3] for m in merges] == ["ab", "ab_"]
     assert [list(r.syms) for r in vocab.collect()] == [["ab_"]]
+
+
+# ---------------------------------------------------------------------------
+# Batched compatible merges (round 11, VERDICT r10 item 3): the batched
+# trainer must be BIT-EQUAL to the sequential one — merge table and
+# final symbol arrays — while collecting once per batch.
+
+
+def test_batched_train_bit_equals_sequential_adversarial(
+    adversarial_corpus,
+):
+    """On the adversarial corpus (self-pair runs, shared-boundary
+    alternations — exactly the shapes where naive batching diverges)
+    the compatible-batch rule must reproduce the sequential trainer's
+    merges and final vocab exactly, across batch caps including 1
+    (degenerates to sequential) and larger-than-vocab."""
+    from fabric_claims_spark.extensions.bpe import bpe_train_batched
+
+    want_merges, want_vocab = bpe_train(adversarial_corpus, n_merges=8)
+    want = {r.word: list(r.syms) for r in want_vocab.collect()}
+    for cap in (1, 4, 16):
+        got_merges, got_vocab = bpe_train_batched(
+            adversarial_corpus, n_merges=8, max_batch=cap
+        )
+        assert got_merges == want_merges, cap
+        got = {r.word: list(r.syms) for r in got_vocab.collect()}
+        assert got == want, cap
+
+
+def test_batched_train_bit_equals_sequential_corpus(spark, sf_dir):
+    """Gate-fixture pin on the real corpus (the oracle gate
+    docs_bpe_train_merges_batched re-checks this cross-engine via the
+    verbatim-shared oracle); also asserts batching actually batches —
+    fewer pair-count rounds than merges on natural text."""
+    from fabric_claims_spark.extensions import bpe as bpe_mod
+    from fabric_claims_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    want_merges, want_vocab = bpe_train(d, n_merges=12)
+    calls = {"n": 0}
+    real_pair_counts = bpe_mod.pair_counts
+
+    def counting_pair_counts(words):
+        calls["n"] += 1
+        return real_pair_counts(words)
+
+    bpe_mod.pair_counts = counting_pair_counts
+    try:
+        got_merges, got_vocab = bpe_mod.bpe_train_batched(d, n_merges=12)
+    finally:
+        bpe_mod.pair_counts = real_pair_counts
+    assert got_merges == want_merges
+    assert calls["n"] < 12  # batching actually batched
+    got = {r.word: list(r.syms) for r in got_vocab.collect()}
+    want = {r.word: list(r.syms) for r in want_vocab.collect()}
+    assert got == want
+
+
+def test_batched_train_stops_when_pairs_exhaust(spark):
+    tiny = _docs(spark, ["ab ab ab"])
+    from fabric_claims_spark.extensions.bpe import bpe_train_batched
+
+    merges, vocab = bpe_train_batched(tiny, n_merges=10)
+    assert [m[3] for m in merges] == ["ab", "ab_"]
+    assert [list(r.syms) for r in vocab.collect()] == [["ab_"]]
+
+
+def test_marker_collision_raises(spark):
+    """ADVICE r10: a vocabulary word containing the end-of-word
+    marker (or whitespace) must fail loudly, not corrupt arrays."""
+    bad = spark.createDataFrame([("foo_bar", 1)], ["word", "freq"])
+    from fabric_claims_spark.extensions.bpe import (
+        bpe_segment,
+        bpe_train_words,
+        bpe_train_words_batched,
+    )
+
+    with pytest.raises(ValueError, match="marker"):
+        bpe_train_words(bad, 2)
+    with pytest.raises(ValueError, match="marker"):
+        bpe_train_words_batched(bad, 2)
+    with pytest.raises(ValueError, match="marker"):
+        bpe_segment(bad, [])
+
+
+def test_train_releases_superseded_checkpoints(spark, sf_dir):
+    """ADVICE r10: only the latest round's vocab state may stay
+    persisted after training — a 12-round train must not leave 13
+    checkpointed RDDs behind."""
+    from fabric_claims_spark.sources.parquet import load_table
+
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    d = load_table(spark, sf_dir, "documents")
+    _merges, _vocab = bpe_train(d, n_merges=12)
+    after = set(sc._jsc.getPersistentRDDs().keys())
+    assert len(after - before) <= 1

@@ -27,10 +27,10 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 from fabric_claims_spark.extensions.bpe import (  # noqa: E402
-    _apply_merge,
     _merge_fold,
     bpe_train,
     bpe_train_words,
+    bpe_train_words_batched,
     init_symbols,
     pair_counts,
 )
@@ -114,6 +114,44 @@ def bench_lineage(spark) -> None:
     print(f"lazy, {N_MERGES} rounds: {time.time() - t0:6.1f} s")
 
 
+def bench_batched(spark) -> None:
+    """Round 11 (VERDICT r10 item 3): how much does compatible-merge
+    batching compress the driver round count at vocab scale? Train
+    n_merges on the 100k synthetic vocabulary, sequential vs batched,
+    and report pair-count rounds + wall. The merge lists must agree
+    bit-exactly (asserted)."""
+    print("== batched compatible merges vs sequential (100k vocab) ==")
+    import fabric_claims_spark.extensions.bpe as bpe_mod
+
+    w = _synth_words(spark, 100_000).localCheckpoint()
+    for n_merges in (32, 128):
+        t0 = time.time()
+        seq, _ = bpe_train_words(w, n_merges)
+        t_seq = time.time() - t0
+        calls = {"n": 0}
+        real = bpe_mod.pair_counts
+
+        def counting(words):
+            calls["n"] += 1
+            return real(words)
+
+        bpe_mod.pair_counts = counting
+        try:
+            t0 = time.time()
+            bat, _ = bpe_train_words_batched(w, n_merges, max_batch=16)
+            t_bat = time.time() - t0
+        finally:
+            bpe_mod.pair_counts = real
+        assert bat == seq, "batched trainer diverged from sequential"
+        print(
+            f"n_merges {n_merges:>4}: sequential {t_seq:6.1f} s "
+            f"({n_merges} rounds, {t_seq / n_merges:5.2f} s/merge) | "
+            f"batched {t_bat:6.1f} s ({calls['n']} rounds, "
+            f"{n_merges / calls['n']:4.1f} merges/round, "
+            f"{t_bat / n_merges:5.2f} s/merge) — bit-equal"
+        )
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("scale-bpe")
@@ -124,6 +162,8 @@ def main() -> None:
         bench_vocab(spark)
     if which in ("lineage", "all"):
         bench_lineage(spark)
+    if which in ("batched", "all"):
+        bench_batched(spark)
 
 
 if __name__ == "__main__":
