@@ -2903,7 +2903,7 @@ _ACF_LAGS = (1, 7, 14)
       JOIN c b ON b.event_type = a.event_type AND b.x = a.x + k.lag
       GROUP BY 1, 2)
     SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.num, d.den,
-           CAST(n.num AS DOUBLE) / d.den AS acf
+           CAST(n.num AS DOUBLE) / NULLIF(d.den, 0) AS acf
     FROM num n JOIN den d ON d.event_type = n.event_type
     """,
 )
@@ -2943,12 +2943,18 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.event_type").alias("event_type"), "lag")
         .agg(F.sum(F.col("a.dt") * F.col("b.dt")).cast("long").alias("num"))
     )
+    # NULL-on-degenerate parity (ADVICE r10): a constant daily series
+    # has den = 0, where DuckDB's IEEE division yields Inf/NaN and
+    # Spark's Divide yields NULL — the when-guard here and NULLIF in
+    # the oracle make both engines agree on NULL.
     return num.join(den, "event_type").select(
         "event_type",
         F.col("lag").cast("long").alias("lag"),
         "num",
         "den",
-        (F.col("num").cast("double") / F.col("den")).alias("acf"),
+        F.when(
+            F.col("den") != 0, F.col("num").cast("double") / F.col("den")
+        ).alias("acf"),
     )
 
 
@@ -2992,7 +2998,7 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     th AS (
       SELECT n, sx, sy,
              CAST(n * sxy - sx * sy AS DOUBLE)
-               / (n * sxx - sx * sx) AS theta
+               / NULLIF(n * sxx - sx * sx, 0) AS theta
       FROM pool),
     adj AS (
       SELECT a.arm, a.n_arm,
@@ -3037,11 +3043,15 @@ def events_cuped_adjusted_lift(
         "n",
         "sx",
         "sy",
-        (
+        # NULL-on-degenerate parity (ADVICE r10): zero pre-period
+        # variance makes the var denominator 0 — NULL in Spark,
+        # Inf/NaN in DuckDB without the NULLIF twin in the oracle.
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
                 "double"
             )
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
         ).alias("theta"),
     )
     arms = u.groupBy("arm").agg(

@@ -2492,12 +2492,16 @@ _KS_CRIT_95 = 1.358  # Smirnov asymptotic c(α) at α = 0.05
                AS d_num
       FROM c)
     SELECT t.n1, t.n2, d.d_num,
-           CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2) AS ks_d,
+           CAST(d.d_num AS DOUBLE)
+             / NULLIF(CAST(t.n1 AS DOUBLE) * t.n2, 0) AS ks_d,
            1.358 * sqrt((CAST(t.n1 AS DOUBLE) + t.n2)
-                        / (CAST(t.n1 AS DOUBLE) * t.n2)) AS crit_95,
-           CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2)
+                        / NULLIF(CAST(t.n1 AS DOUBLE) * t.n2, 0))
+             AS crit_95,
+           CAST(d.d_num AS DOUBLE)
+             / NULLIF(CAST(t.n1 AS DOUBLE) * t.n2, 0)
              > 1.358 * sqrt((CAST(t.n1 AS DOUBLE) + t.n2)
-                            / (CAST(t.n1 AS DOUBLE) * t.n2)) AS reject_95
+                            / NULLIF(CAST(t.n1 AS DOUBLE) * t.n2, 0))
+             AS reject_95
     FROM tot t CROSS JOIN dmax d
     """,
 )
@@ -2535,10 +2539,15 @@ def orders_value_ks_period_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
     )
+    # NULL-on-degenerate parity (ADVICE r10): with an empty period
+    # side n1·n2 = 0 and DuckDB's IEEE division yields Inf/NaN while
+    # Spark's Divide yields NULL — both engines now agree on NULL via
+    # the explicit zero guard here and NULLIF in the oracle.
     n1d = F.col("n1").cast("double")
-    ks_d = F.col("d_num").cast("double") / (n1d * F.col("n2"))
-    crit = F.lit(_KS_CRIT_95) * F.sqrt(
-        (n1d + F.col("n2")) / (n1d * F.col("n2"))
+    den = n1d * F.col("n2")
+    ks_d = F.when(den != 0, F.col("d_num").cast("double") / den)
+    crit = F.when(
+        den != 0, F.lit(_KS_CRIT_95) * F.sqrt((n1d + F.col("n2")) / den)
     )
     return dmax.select(
         "n1",
