@@ -215,11 +215,33 @@ def main() -> None:
         for name in registry:
             if name not in timings:
                 run_one(name)
+        # Robust baseline mode (round 11): a single-pass per-query
+        # record is one transient host stall away from a poisoned
+        # baseline (three r11 windows, three different pollution
+        # patterns: a 5.9→26.5 s mid-suite hiccup, then a 3× loaded
+        # headline window). Contention noise is one-sided — it only
+        # ADDS time — so min-of-2-passes is the robust per-query
+        # estimator for a committed baseline-of-record. Opt-in
+        # (SPARK_GRAFT_BENCH_ROBUST=1): the driver's informational
+        # windows stay single-pass.
+        robust = os.environ.get("SPARK_GRAFT_BENCH_ROBUST") == "1"
+        if robust:
+            second: dict[str, float] = {}
+            for name in registry:
+                run_one(name, second)
+            for name, t2 in second.items():
+                if name in timings:
+                    timings[name] = min(timings[name], t2)
         emit(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
+                **(
+                    {"per_query_stat": "min_of_2_passes"}
+                    if robust
+                    else {}
+                ),
                 "queries": timings,
                 "full_suite_total": round(sum(timings.values()), 3),
                 **canary,
@@ -237,9 +259,19 @@ def main() -> None:
         for name in CANARY:
             run_one(name, canary_end)
         end_total = round(sum(canary_end.values()), 3)
+        # This run IS the round's baseline-of-record iff it lands on
+        # the canonical (non-_runK) filename — i.e. it is the round's
+        # first full run (the builder's committed quiet window).
+        _here = os.path.dirname(os.path.abspath(__file__))
+        _is_baseline = not os.path.exists(
+            os.path.join(
+                _here, f"BENCH_full_r{_current_round(_here):02d}.json"
+            )
+        )
         emit(
             {
                 "metric": "full_suite_drift",
+                "baseline_of_record": _is_baseline,
                 "canary_end_queries": canary_end,
                 "canary_end_total": end_total,
                 "canary_headline_total": canary["canary_total"],
@@ -291,16 +323,33 @@ def main() -> None:
         # record shows 'vs': its own filename. Exclude every full
         # record belonging to the current round.
         cur_round = _current_round(here)
-        fulls = sorted(
-            p
-            for p in _glob.glob(os.path.join(here, "BENCH_full_r*.json"))
-            if (m := _re.search(r"BENCH_full_r(\d+)", os.path.basename(p)))
-            and int(m.group(1)) < cur_round
-        )
-        if full and fulls:
+        # Baseline-of-record selection (VERDICT r10 item 6): each
+        # round's CANONICAL full record — BENCH_full_r{N:02d}.json,
+        # no _runK suffix, i.e. the round's first full run, which is
+        # the builder's committed quiet window — is the compare
+        # baseline; the driver's later _runK windows are
+        # informational (the r10 records showed ±20% methodology
+        # spread across windows of one round). Fall back to the
+        # newest _runK only when a round has no canonical record.
+        by_round: dict[int, list[str]] = {}
+        for p in _glob.glob(os.path.join(here, "BENCH_full_r*.json")):
+            m = _re.search(
+                r"BENCH_full_r(\d+)(?:_run\d+)?\.json$",
+                os.path.basename(p),
+            )
+            if m and int(m.group(1)) < cur_round:
+                by_round.setdefault(int(m.group(1)), []).append(p)
+        if full and by_round:
             import statistics as _stats
 
-            prior = fulls[-1]
+            prior_round_files = sorted(by_round[max(by_round)])
+            canonical = [
+                p
+                for p in prior_round_files
+                if "_run" not in os.path.basename(p)
+            ]
+            prior = canonical[0] if canonical else prior_round_files[-1]
+            prior_is_baseline = bool(canonical)
             prev = _bc_load(prior)
             shared = [
                 q
@@ -334,6 +383,35 @@ def main() -> None:
                 for q in prev_end
                 if q in now_end and prev_end[q] > 0
             ]
+            # Basis stability (round 11): the end-canary basis
+            # normalizes correctly only when each run's host held
+            # roughly steady ACROSS its own suite pass — the r11
+            # quiet-window run measured within_run_drift 0.544 (host
+            # sped up 2× mid-run), and dividing the whole suite's
+            # flat raw ratios (0.93) by that end window's 0.474
+            # manufactured 2-3× "normalized regressions" on dozens of
+            # queries that actually ran under the slower early-run
+            # host. When either run's two canary windows disagree by
+            # more than 1.5× in either direction, the normalized
+            # ratios (including the median-confirmed bits, which
+            # share the same host divisor) are basis-bounded noise,
+            # not code signals — the record says so machine-readably
+            # and the raw ratio is authoritative.
+            def _within_drift(recs: list[dict]) -> float | None:
+                for r in recs:
+                    if r.get("metric") == "full_suite_drift":
+                        return r.get("within_run_drift")
+                return None
+
+            drifts = [
+                d
+                for d in (
+                    _within_drift(prior_recs),
+                    _within_drift(records),
+                )
+                if d
+            ]
+            basis_stable = all(2 / 3 <= d <= 1.5 for d in drifts)
             if shared and end_ratios:
                 host = _stats.median(end_ratios)
                 worst = sorted(
@@ -360,6 +438,15 @@ def main() -> None:
                     if n <= 1.5:
                         break
                     entry = [q, round(n, 3)]
+                    # Median confirmation: on a stable basis the
+                    # re-run ratio is host-normalized; on an unstable
+                    # basis the host divisor is itself the artifact,
+                    # so confirm against the RAW ratio instead (the
+                    # solo re-runs happen NOW, in the same window as
+                    # the end canary — a transient mid-suite stall,
+                    # e.g. r11's 5.9→26.5 s hiccup on one query,
+                    # shows up as raw_median_ratio ≈ 1 and reads
+                    # unconfirmed). flag_ratio_basis names which.
                     if len(flags) < 8:
                         solo: list[float] = []
                         for _ in range(3):
@@ -367,7 +454,9 @@ def main() -> None:
                             run_one(q, scratch)
                             solo.append(scratch[q])
                         med = sorted(solo)[1]
-                        med_ratio = (med / prev[q]) / host
+                        med_ratio = (med / prev[q]) / (
+                            host if basis_stable else 1.0
+                        )
                         entry += [
                             round(med_ratio, 3),
                             bool(med_ratio > 1.5),
@@ -377,7 +466,25 @@ def main() -> None:
                     {
                         "metric": "full_suite_compare_normalized",
                         "vs": os.path.basename(prior),
+                        "vs_is_baseline_of_record": prior_is_baseline,
                         "drift_basis": "end-of-suite canary",
+                        "basis_stable": basis_stable,
+                        **(
+                            {}
+                            if basis_stable
+                            else {
+                                "basis_note": (
+                                    "a run's canary windows disagree "
+                                    ">1.5x — normalized ratios and "
+                                    "median-confirmed bits are "
+                                    "basis-bounded noise; read "
+                                    "raw_total_ratio"
+                                )
+                            }
+                        ),
+                        "raw_total_ratio": round(tot_now / tot_prev, 3)
+                        if tot_prev
+                        else None,
                         "host_drift": round(host, 3),
                         "shared_queries": len(shared),
                         "shared_total_prev": round(tot_prev, 3),
@@ -392,6 +499,9 @@ def main() -> None:
                         ],
                         # entries: [q, suite_ratio] or
                         # [q, suite_ratio, median_ratio, confirmed]
+                        "flag_ratio_basis": "normalized"
+                        if basis_stable
+                        else "raw",
                         "regressions_over_1p5x": flags,
                     }
                 )
@@ -404,6 +514,7 @@ def main() -> None:
                     {
                         "metric": "full_suite_compare_normalized",
                         "vs": os.path.basename(prior),
+                        "vs_is_baseline_of_record": prior_is_baseline,
                         "shared_total_prev": round(
                             sum(prev[q] for q in shared), 3
                         ),
