@@ -246,3 +246,40 @@ def test_train_releases_superseded_checkpoints(spark, sf_dir):
     _merges, _vocab = bpe_train(d, n_merges=12)
     after = set(sc._jsc.getPersistentRDDs().keys())
     assert len(after - before) <= 1
+
+
+def test_batched_selection_on_engineered_danger_shapes(spark):
+    """The compatibility rule's two danger shapes, engineered
+    directly:
+
+    * chain conflict — 'pqr': (p,q) and (q,r) tie at the top; a
+      batcher that skipped the conflict (instead of stopping) or
+      kept ties at the stopping count would apply (q,r) before the
+      recount that destroys it ((p,q) consumes the shared q), so the
+      scan must fall back to the single argmax.
+    * created-pair hazard — after (a,b)->ab, the created (ab,_) pair
+      can TIE lower-ranked batch picks; only picks with count
+      strictly above the stopping bound survive.
+
+    Both must stay bit-equal to the pure-Python sequential reference
+    at every batch cap."""
+    from fabric_claims_spark.extensions.bpe import bpe_train_batched
+
+    shapes = [
+        ["pqr pqr pqr", "pqr pqr", "pqr pqr pqr pqr"],  # chain ties
+        ["xab xab ab ab cd", "ab ab cd cd", "xab cd"],  # created-pair
+        ["ab ab ab ab cd cd cd ce ce", "ab cd ce"],  # mixed counts
+    ]
+    for texts in shapes:
+        corpus = _docs(spark, texts)
+        freqs = {
+            r.word: r.freq for r in word_frequencies(corpus).collect()
+        }
+        ref_merges, ref_vocab = _ref_train(freqs, n_merges=10)
+        for cap in (2, 16):
+            got_merges, got_vocab = bpe_train_batched(
+                corpus, n_merges=10, max_batch=cap
+            )
+            assert got_merges == ref_merges, (texts, cap)
+            got = {r.word: list(r.syms) for r in got_vocab.collect()}
+            assert got == ref_vocab, (texts, cap)
