@@ -758,6 +758,11 @@ GATE_PRIORITY: list[str] = [
     # upgrade of docs_bigram_logprob's add-one smoothing), micro-nats
     # integer discipline for the cross-engine log
     "docs_kneser_ney_logprob",
+    # round-11: LM perplexity filter — the curation gate the KN
+    # scorer feeds (rank by avg logprob, keep exact-integer top 80%
+    # via the distributed selection operator); completes the
+    # quality-gate family (length/langid → dedup → LM fluency)
+    "docs_lm_perplexity_filter",
     # round-10: contrastive pair mining — per-anchor top-k same-label
     # positives + different-label hard negatives (triplet-ready table
     # for embedding-model fine-tuning); broadcast anchor cohort

@@ -3021,10 +3021,11 @@ def docs_dsir_source_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream (swap to shuffle joins for web-scale vocabs — same keys);
 # N1+(··) is one collected scalar. Per-doc scoring is a single hash
 # aggregate.
-@query(
-    "docs_kneser_ney_logprob",
-    oracle="""
-    WITH d AS (
+# Shared KN CTE chain: corpus → bigrams → model tables → per-bigram
+# micro-nats scores. Reused verbatim by the per-doc readout below and
+# the perplexity-filter gate (round 11), so the two oracles can never
+# drift on the model arithmetic.
+_KN_SCORED_CTES = """d AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents WHERE length(trim(text)) > 0),
     bg AS (
@@ -3053,7 +3054,13 @@ def docs_dsir_source_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bc b ON b.w1 = g.w1 AND b.w2 = g.w2
       JOIN ctx x ON x.w1 = g.w1
       JOIN cont o ON o.w2 = g.w2
-      CROSS JOIN nt n)
+      CROSS JOIN nt n)"""
+
+
+@query(
+    "docs_kneser_ney_logprob",
+    oracle=f"""
+    WITH {_KN_SCORED_CTES}
     SELECT doc_id, COUNT(*) AS bigrams,
            CAST(SUM(micro_log) AS DOUBLE) / (1000000.0 * COUNT(*))
              AS avg_kn_logprob
@@ -3061,6 +3068,12 @@ def docs_dsir_source_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kn_doc_scores(spark, sf_dir)
+
+
+def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigrams, avg_kn_logprob) — the KN scorer, shared
+    verbatim by the readout gate above and the perplexity filter."""
     d = (
         load_table(spark, sf_dir, "documents")
         .where(F.length(F.trim(F.col("text"))) > 0)
@@ -3106,6 +3119,58 @@ def docs_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro_log").cast("double")
             / (F.lit(1_000_000.0) * F.count(F.lit(1)))
         ).alias("avg_kn_logprob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LM perplexity filter (round 11) — the curation step the KN scorer
+# exists for on real pipelines (KenLM-style fluency gating, CCNet /
+# Wenzek et al. 2020): rank every scorable document by its
+# average KN log-probability and keep the top 80% (gibberish and
+# boilerplate-shredded text score low). The keep count is exact
+# integer arithmetic — keep_n = ceil(8n/10) = (8n + 9) DIV 10, never
+# 0.8·n in floating point (0.8 is not exact binary; 0.8·450 rounds UP
+# through ceil) — and ranking runs through the distributed selection
+# operator (range repartition → per-bucket rank → broadcast offsets),
+# not a partitionless window over the doc table. The sort key is the
+# unrounded avg (an identical int64/int64 expression tree in both
+# engines → bit-identical doubles), tie-broken by doc_id. Docs with
+# fewer than two tokens have no bigrams, are unscorable, and are
+# excluded — a production pipeline routes those to the length gate
+# (docs_quality_score) instead.
+@query(
+    "docs_lm_perplexity_filter",
+    oracle=f"""
+    WITH {_KN_SCORED_CTES},
+    docavg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bigrams,
+             CAST(SUM(micro_log) AS DOUBLE) / (1000000.0 * COUNT(*))
+               AS avg_kn_logprob
+      FROM scored GROUP BY doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docavg),
+    ranked AS (
+      SELECT doc_id, bigrams, avg_kn_logprob,
+             ROW_NUMBER() OVER (
+               ORDER BY avg_kn_logprob ASC, doc_id ASC) AS rk
+      FROM docavg)
+    SELECT r.doc_id, r.bigrams, r.avg_kn_logprob,
+           CAST(r.rk > t.n - (8 * t.n + 9) // 10 AS BIGINT) AS kept
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def docs_lm_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fabric_claims_spark.operators.ranking import with_global_rank
+
+    docavg = _kn_doc_scores(spark, sf_dir)
+    ranked, n = with_global_rank(docavg, ["avg_kn_logprob", "doc_id"])
+    keep_n = (8 * n + 9) // 10
+    return ranked.select(
+        "doc_id",
+        F.col("bigrams").cast("long").alias("bigrams"),
+        "avg_kn_logprob",
+        (F.col("_rank") > F.lit(n - keep_n)).cast("long").alias("kept"),
     )
 
 
