@@ -786,6 +786,11 @@ GATE_PRIORITY: list[str] = [
     # set, so both the 2-term and the 4-term join chains are visible
     # in the hash (the 3-term in-plan + served gates are unchanged)
     "docs_phrase_search_ngram",
+    # round-11: its SERVED twin — generalized adjacency join over the
+    # STORED positional index (two increments, one redelivered);
+    # oracle shared VERBATIM, so the hash pins stored == in-plan for
+    # the 2-term and 4-term chains
+    "docs_phrase_search_ngram_served",
     # round-10: Theil–Sen robust trend — median-of-pairwise-slopes
     # twin of events_daily_trend's OLS (pairs over the DAILY rollup,
     # days² not events²); exact-IEEE pair slopes, SUM/COUNT middle-row

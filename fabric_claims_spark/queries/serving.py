@@ -592,3 +592,62 @@ def docs_phrase_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+from fabric_claims_spark.queries.text_docs import (  # noqa: E402
+    _PHRASE_NGRAM_ORACLE,
+    _top_ngram,
+)
+
+
+@query("docs_phrase_search_ngram_served", oracle=_PHRASE_NGRAM_ORACLE)
+def docs_phrase_search_ngram_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Served twin of the n-term phrase gate (round 11): the
+    generalized ``phrase_occurrences`` (one adjacency leg per term)
+    runs against the STORED positional postings — two pmod(doc_id, 2)
+    increments, increment 0 redelivered — for the corpus's top bigram
+    AND top 4-gram. Oracle shared VERBATIM with the in-plan
+    ``docs_phrase_search_ngram``, so the driver hash pins stored ==
+    in-plan for both chain lengths (the 3-term served gate keeps
+    pinning the original shape)."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_positional_batch,
+        phrase_occurrences,
+        read_positional_index,
+    )
+    from fabric_claims_spark.queries.text_docs import _WS
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="pos_ng_")
+    try:
+        store = TableStore(spark, work)
+        for b in range(2):
+            batch = docs.where(F.pmod("doc_id", F.lit(2)) == b)
+            apply_positional_batch(store, batch, b)
+        apply_positional_batch(  # redelivery must be a no-op
+            store, docs.where(F.pmod("doc_id", F.lit(2)) == 0), 0
+        )
+        pos = read_positional_index(store)
+        d = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+            "doc_id", F.split(F.trim(F.col("text")), _WS).alias("t")
+        )
+        out = None
+        for n in (2, 4):
+            ws = [f"w{i}" for i in range(1, n + 1)]
+            g = (
+                phrase_occurrences(pos, _top_ngram(d, n))
+                .groupBy("doc_id", F.concat_ws(" ", *ws).alias("phrase"))
+                .agg(F.count(F.lit(1)).alias("occurrences"))
+                .select(
+                    "doc_id",
+                    "phrase",
+                    F.lit(n).cast("long").alias("phrase_len"),
+                    "occurrences",
+                )
+            )
+            out = g if out is None else out.unionByName(g)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

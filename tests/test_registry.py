@@ -644,3 +644,20 @@ def test_round11_flagship_rotation():
     # the rebuild oracle is the from-scratch trained build (unrolled
     # Lloyd + cosine assignment), not the seed assignment
     assert "cent" in REGISTRY["embeddings_ivf_rebuild"].oracle
+
+
+def test_round11_verbatim_oracle_shares():
+    """Round-11's stored==in-plan and batched==sequential claims are
+    hash identities only while the oracle strings stay shared
+    VERBATIM — pin them at the source."""
+    reg = load_all_queries()
+    assert reg["docs_phrase_search_ngram_served"].oracle == (
+        reg["docs_phrase_search_ngram"].oracle
+    )
+    assert reg["docs_bpe_train_merges_batched"].oracle == (
+        reg["docs_bpe_train_merges"].oracle
+    )
+    # the perplexity filter's oracle embeds the KN scorer CTEs
+    # verbatim (shared constant) — the model arithmetic cannot drift
+    assert "0.75 * x.n1w1" in reg["docs_lm_perplexity_filter"].oracle
+    assert "0.75 * x.n1w1" in reg["docs_kneser_ney_logprob"].oracle
