@@ -73,3 +73,78 @@ def test_compaction_preserves_visible_state_and_drops_orphans(
 def test_compaction_on_missing_table_is_noop(spark, tmp_path):
     store = TableStore(spark, str(tmp_path / "empty"))
     assert compact_index_table(store, LEX_POSTINGS, LEX_COMMITS) == 0
+
+
+def test_compaction_is_generic_across_ivf_and_positional_stores(
+    spark, tmp_path
+):
+    """compact_index_table is store-agnostic (committed rows -> one
+    version, tokens retained): pin reader-state identity across a
+    mid-stream compaction for the two stores the lexical tests don't
+    cover — the IVF assignment and the positional postings — including
+    a post-compaction increment folding into each."""
+    from pyspark.sql import functions as F
+
+    from fabric_claims_spark.operators.serving_index import (
+        IVF_COMMITS,
+        IVF_VECS,
+        POS_COMMITS,
+        POS_POSTINGS,
+        apply_ivf_batch,
+        apply_positional_batch,
+        positional_postings,
+        read_ivf_index,
+        read_positional_index,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    # IVF: two increments, compact, third increment — the stored
+    # assignment must equal the one-shot build (fixed quantizer).
+    emb = load_table(spark, sf, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivf"))
+    for b in range(2):
+        apply_ivf_batch(
+            store, emb.where(F.pmod("vec_id", F.lit(3)) == b), b, seed
+        )
+    assert compact_index_table(store, IVF_VECS, IVF_COMMITS) > 0
+    apply_ivf_batch(
+        store, emb.where(F.pmod("vec_id", F.lit(3)) == 2), 2, seed
+    )
+    oneshot = TableStore(spark, str(tmp_path / "ivf1"))
+    apply_ivf_batch(oneshot, emb, 0, seed)
+    got = sorted(
+        tuple(r)
+        for r in read_ivf_index(store)
+        .select("vec_id", "assigned_centroid", "centroid_sim")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_ivf_index(oneshot)
+        .select("vec_id", "assigned_centroid", "centroid_sim")
+        .collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    # positional: same shape; stored postings == in-plan postings.
+    docs = load_table(spark, sf, "documents")
+    pstore = TableStore(spark, str(tmp_path / "pos"))
+    for b in range(2):
+        apply_positional_batch(
+            pstore, docs.where(F.pmod("doc_id", F.lit(3)) == b), b
+        )
+    assert compact_index_table(pstore, POS_POSTINGS, POS_COMMITS) > 0
+    apply_positional_batch(
+        pstore, docs.where(F.pmod("doc_id", F.lit(3)) == 2), 2
+    )
+    got_p = sorted(
+        tuple(r) for r in read_positional_index(pstore).collect()
+    )
+    want_p = sorted(tuple(r) for r in positional_postings(docs).collect())
+    assert got_p == want_p
