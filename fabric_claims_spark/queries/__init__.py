@@ -767,6 +767,11 @@ GATE_PRIORITY: list[str] = [
     # positives + different-label hard negatives (triplet-ready table
     # for embedding-model fine-tuning); broadcast anchor cohort
     "embeddings_hard_negatives",
+    # round-11: per-dimension embedding drift profile — cohort mean
+    # comparison with micro-integer sums (floats never summed as
+    # floats) and an exact integer cross-numerator; the encoder-drift
+    # monitor beside the bucket-skew trigger
+    "embeddings_period_dim_drift",
     # round-10: Matryoshka-style truncation recall — ANN recall at
     # dim budgets 8/16/32 vs the full-dim truth; exact integer hit
     # counts, one division per budget row

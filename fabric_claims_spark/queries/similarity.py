@@ -2212,3 +2212,93 @@ def embeddings_truncation_recall(
     for d in _TRUNC_BUDGETS[1:]:
         out = out.unionByName(budget_recall(d))
     return out
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding drift profile (round 11) — the monitoring op
+# an embedding pipeline runs when the encoder is retrained or upgraded:
+# split the corpus into two cohorts (deterministic vec_id parity — in
+# production, ingestion period or encoder version) and compare the
+# cohorts' per-dimension means. A dimension whose mean shifts is the
+# first sign the two cohorts' vectors are not interchangeable (stale
+# IVF quantizers, broken ANN recall — the failure SCALING r10 measured
+# from the bucket-balance side).
+#
+# Determinism discipline: float components are NEVER summed as floats
+# (partition-order-dependent). Each component quantizes to exact
+# micro-units via the proven double-round pattern
+# (ROUND(ROUND(x, 6)·1e6, 0) → int64), per-cohort sums fold as exact
+# integers, and each reported mean/shift is a single IEEE expression
+# over two int64s — identical trees in both engines. The exact
+# integer cross-numerator |a_sum·n_b − b_sum·n_a| rides along so a
+# zero-shift assertion needs no float compare at all.
+#
+# Scale notes (100 TB): one corpus scan → posexplode (rows × dims) →
+# ONE hash aggregate keyed (dim, cohort) → dim-bounded output (64
+# rows); no joins, no windows, no driver state beyond the result.
+@query(
+    "embeddings_period_dim_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id % 2 AS grp, s.i AS dim,
+             CAST(ROUND(ROUND(CAST(embedding[s.i] AS DOUBLE), 6)
+                        * 1000000, 0) AS BIGINT) AS micro
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) s(i)),
+    agg AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN grp = 0 THEN micro END) AS BIGINT)
+               AS a_sum,
+             CAST(SUM(CASE WHEN grp = 1 THEN micro END) AS BIGINT)
+               AS b_sum,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM comp GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+           CAST(a_sum AS DOUBLE) / (1000000.0 * n_a) AS a_mean,
+           CAST(b_sum AS DOUBLE) / (1000000.0 * n_b) AS b_mean,
+           ABS(a_sum * n_b - b_sum * n_a) AS shift_num
+    FROM agg ORDER BY dim
+    """,
+)
+def embeddings_period_dim_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    micro = F.round(
+        F.round(F.col("x").cast("double"), 6) * 1_000_000, 0
+    ).cast("long")
+    comp = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+    ).select("grp", (F.col("i") + 1).alias("dim"), micro.alias("micro"))
+    agg = comp.groupBy("dim").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("micro")))
+        .cast("long")
+        .alias("a_sum"),
+        F.sum(F.when(F.col("grp") == 1, F.col("micro")))
+        .cast("long")
+        .alias("b_sum"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        (
+            F.col("a_sum").cast("double") / (F.lit(1_000_000.0) * F.col("n_a"))
+        ).alias("a_mean"),
+        (
+            F.col("b_sum").cast("double") / (F.lit(1_000_000.0) * F.col("n_b"))
+        ).alias("b_mean"),
+        F.abs(
+            F.col("a_sum") * F.col("n_b") - F.col("b_sum") * F.col("n_a")
+        ).alias("shift_num"),
+    ).orderBy("dim")
