@@ -403,15 +403,18 @@ def main() -> None:
                         return r.get("within_run_drift")
                 return None
 
-            drifts = [
-                d
-                for d in (
-                    _within_drift(prior_recs),
-                    _within_drift(records),
-                )
-                if d
-            ]
-            basis_stable = all(2 / 3 <= d <= 1.5 for d in drifts)
+            from tools.bench_compare import basis_state as _basis_state
+            from tools.bench_compare import (
+                confirmation_host as _confirm_host,
+            )
+
+            # ADVICE r11: None/0.0 drift readings must not silently
+            # count as stable — an unmeasured basis is its own state
+            # and is NOT normalizable.
+            basis = _basis_state(
+                [_within_drift(prior_recs), _within_drift(records)]
+            )
+            basis_stable = basis == "stable"
             if shared and end_ratios:
                 host = _stats.median(end_ratios)
                 worst = sorted(
@@ -434,6 +437,8 @@ def main() -> None:
                 # regressions. Bounded to the 8 worst to cap re-run
                 # cost.
                 flags = []
+                confirm_host: float | None = None
+                confirm_host_basis = "none"
                 for n, q in worst:
                     if n <= 1.5:
                         break
@@ -447,7 +452,51 @@ def main() -> None:
                     # e.g. r11's 5.9→26.5 s hiccup on one query,
                     # shows up as raw_median_ratio ≈ 1 and reads
                     # unconfirmed). flag_ratio_basis names which.
+                    #
+                    # VERDICT r11 nit: the suite-pass host factor
+                    # cannot normalize re-runs taken minutes later —
+                    # the driver's r11 run2 window stamped three
+                    # 5.8-8.9× "confirmations" on queries that were
+                    # FASTER than r10 in the canonical record,
+                    # because the confirmer re-measured the same
+                    # loaded host against an unloaded baseline. So
+                    # before the first confirmation, re-measure the
+                    # CANARY basket in this same window (median of 3
+                    # solo passes per query) and divide by the
+                    # baseline run's end-canary: a same-window
+                    # re-measure of the baseline side. Falls back to
+                    # the suite host factor only when the prior
+                    # record has no end-canary to re-measure against.
                     if len(flags) < 8:
+                        if basis_stable and confirm_host is None:
+                            solo_c: dict[str, list[float]] = {}
+                            for _ in range(3):
+                                for cq in prev_end:
+                                    if cq not in timings:
+                                        continue
+                                    scr: dict[str, float] = {}
+                                    run_one(cq, scr)
+                                    solo_c.setdefault(cq, []).append(
+                                        scr[cq]
+                                    )
+                            confirm_host = _confirm_host(
+                                {
+                                    cq: sorted(v)[1]
+                                    for cq, v in solo_c.items()
+                                },
+                                prev_end,
+                            )
+                            if confirm_host is None:
+                                confirm_host = host
+                                confirm_host_basis = (
+                                    "suite-end canary (no shared "
+                                    "canary to re-measure)"
+                                )
+                            else:
+                                confirm_host_basis = (
+                                    "confirmation-window canary vs "
+                                    "baseline end-canary"
+                                )
                         solo: list[float] = []
                         for _ in range(3):
                             scratch: dict[str, float] = {}
@@ -455,7 +504,7 @@ def main() -> None:
                             solo.append(scratch[q])
                         med = sorted(solo)[1]
                         med_ratio = (med / prev[q]) / (
-                            host if basis_stable else 1.0
+                            confirm_host if basis_stable else 1.0
                         )
                         entry += [
                             round(med_ratio, 3),
@@ -469,6 +518,7 @@ def main() -> None:
                         "vs_is_baseline_of_record": prior_is_baseline,
                         "drift_basis": "end-of-suite canary",
                         "basis_stable": basis_stable,
+                        "basis_state": basis,
                         **(
                             {}
                             if basis_stable
@@ -480,7 +530,32 @@ def main() -> None:
                                     "basis-bounded noise; read "
                                     "raw_total_ratio"
                                 )
+                                if basis == "unstable"
+                                else (
+                                    "a compared run carries no "
+                                    "within-run drift reading — the "
+                                    "basis is unmeasured, so "
+                                    "normalized ratios are untrusted; "
+                                    "read raw_total_ratio"
+                                )
                             }
+                        ),
+                        **(
+                            {
+                                "confirm_window_host": round(
+                                    confirm_host, 3
+                                ),
+                                "confirm_host_basis": (
+                                    confirm_host_basis
+                                ),
+                                "confirm_vs_suite_host": round(
+                                    confirm_host / host, 3
+                                )
+                                if host
+                                else None,
+                            }
+                            if confirm_host is not None
+                            else {}
                         ),
                         "raw_total_ratio": round(tot_now / tot_prev, 3)
                         if tot_prev

@@ -54,6 +54,8 @@ Reference parity: the reference pipeline has no tokenizer trainer
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -110,17 +112,34 @@ def _assert_marker_safe(words: DataFrame, marker: str) -> None:
         )
 
 
+_CHECKPOINT_LOCK = threading.Lock()
+
+
 def _tracked_checkpoint(df: DataFrame) -> tuple[DataFrame, list]:
     """``localCheckpoint`` + handles to the persistent RDDs it
     registered, so the superseded round can be released once the next
     round materializes (ADVICE r10: a 12-round train × gates × scales
     otherwise accumulates dozens of persisted RDDs for the session's
-    life). Single-threaded driver: the snapshot diff is race-free."""
+    life).
+
+    The snapshot diff attributes EVERY RDD persisted between its two
+    ``getPersistentRDDs()`` reads to this checkpoint, so a concurrent
+    persist on the shared SparkContext would get its cache released
+    by ``_release_checkpoint`` (ADVICE r11). The module lock makes
+    the snapshot-checkpoint-snapshot window exclusive among BPE
+    callers on this driver; ``localCheckpoint`` is eager, so the lock
+    spans the whole materialization and two same-process trainers
+    can now interleave safely. (Non-BPE threads persisting during
+    the window remain the documented out-of-scope case — the engine
+    itself never does so: the only other persist sites are the
+    pipeline's tracked_cache scopes, which run driver-sequentially.)
+    """
     sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keys())
-    out = df.localCheckpoint()
-    after = sc._jsc.getPersistentRDDs()
-    return out, [after[k] for k in after.keys() if k not in before]
+    with _CHECKPOINT_LOCK:
+        before = set(sc._jsc.getPersistentRDDs().keys())
+        out = df.localCheckpoint()
+        after = sc._jsc.getPersistentRDDs()
+        return out, [after[k] for k in after.keys() if k not in before]
 
 
 def _release_checkpoint(handles: list) -> None:
@@ -317,6 +336,10 @@ def bpe_train_words_batched(
     ``max_batch``, and the superseded round's checkpoint is released
     once the next materializes.
     """
+    if max_batch < 1:
+        # ADVICE r11: max_accept=0 would accept nothing each round —
+        # no progress, infinite loop — so reject the knob up front.
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
     _assert_marker_safe(words, marker)
     words, handles = _tracked_checkpoint(init_symbols(words, marker))
     merges: list[tuple[int, str, str, str, int]] = []

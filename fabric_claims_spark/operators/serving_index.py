@@ -651,7 +651,7 @@ def ivf_bucket_skew(store: TableStore, k: int | None = None) -> float:
 def maybe_rebuild_ivf_index(
     store: TableStore,
     skew_threshold: float = 2.5,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 3,
     sample_cap: int | None = None,
     train_assign: str = "literal",
@@ -669,7 +669,33 @@ def maybe_rebuild_ivf_index(
     above it, delegates to ``rebuild_ivf_index`` with the same
     training knobs. Returns ``(measured_skew, retrained_centroids or
     None)`` so a scheduler can log the decision either way.
+
+    ``k`` is the quantizer size BEFORE the first rebuild only (the
+    build-time quantizer is caller state — ``read_ivf_centroids`` is
+    empty until a rebuild publishes one). Once the store carries a
+    committed quantizer, its row count is authoritative for both the
+    skew denominator and the rebuild's retrain size (ADVICE r11:
+    measuring max/mean against a caller k that disagrees with the
+    stored quantizer under- or over-triggers, and a fired rebuild
+    would silently re-key the index to the passed k). A caller that
+    passes a conflicting explicit k gets a ValueError, not a silent
+    re-key — intentional re-keying is ``rebuild_ivf_index(k=...)``.
     """
+    stored_k = read_ivf_centroids(store).count()
+    if stored_k:
+        if k is not None and k != stored_k:
+            raise ValueError(
+                f"maybe_rebuild_ivf_index: explicit k={k} conflicts "
+                f"with the stored quantizer ({stored_k} centroids); "
+                "pass k=None to follow the store, or re-key "
+                "explicitly via rebuild_ivf_index"
+            )
+        k = stored_k
+    elif k is None:
+        raise ValueError(
+            "maybe_rebuild_ivf_index: no stored quantizer yet — pass "
+            "the build-time k explicitly"
+        )
     skew = ivf_bucket_skew(store, k=k)
     if skew < skew_threshold:
         return skew, None

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from fabric_claims_spark.extensions.bpe import (
     WORD_MARKER,
@@ -232,6 +233,54 @@ def test_marker_collision_raises(spark):
         bpe_train_words_batched(bad, 2)
     with pytest.raises(ValueError, match="marker"):
         bpe_segment(bad, [])
+
+
+def test_batched_train_rejects_nonpositive_max_batch(spark):
+    """ADVICE r11: max_batch < 1 would accept zero merges per round
+    and loop forever — reject it at entry instead."""
+    tiny = spark.createDataFrame([("ab", 3)], ["word", "freq"])
+    from fabric_claims_spark.extensions.bpe import bpe_train_words_batched
+
+    with pytest.raises(ValueError, match="max_batch"):
+        bpe_train_words_batched(tiny, 2, max_batch=0)
+    with pytest.raises(ValueError, match="max_batch"):
+        bpe_train_words_batched(tiny, 2, max_batch=-3)
+
+
+def test_concurrent_tracked_checkpoints_do_not_cross_release(spark):
+    """ADVICE r11: two threads checkpointing through the tracked
+    window must each release only their OWN superseded state — the
+    lock serializes the snapshot-checkpoint-snapshot diff, so one
+    round's handles never capture the other thread's persist."""
+    import threading as _t
+
+    from fabric_claims_spark.extensions.bpe import (
+        _release_checkpoint,
+        _tracked_checkpoint,
+    )
+
+    results: dict[int, tuple] = {}
+
+    def worker(i: int) -> None:
+        df = spark.range(100 + i).withColumn("x", F.col("id") * (i + 2))
+        results[i] = _tracked_checkpoint(df)
+
+    threads = [_t.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # each window attributed at least its own checkpoint, and
+    # releasing thread A's handles must not unpersist thread B's
+    # still-live checkpoint data
+    for i, (out, handles) in sorted(results.items()):
+        assert handles, f"thread {i} captured no handles"
+    for i in (0, 1):
+        _release_checkpoint(results[i][1])
+    for i in (2, 3):
+        out = results[i][0]
+        assert out.count() == 100 + i  # checkpoint data still readable
+        _release_checkpoint(results[i][1])
 
 
 def test_train_releases_superseded_checkpoints(spark, sf_dir):

@@ -407,3 +407,35 @@ def test_skew_triggered_rebuild_policy(spark, tmp_path):
     # post-rebuild the stored quantizer feeds the skew read directly
     assert ivf_bucket_skew(store) <= skew1
     assert read_ivf_index(store).count() == emb.count()
+
+    # ADVICE r11: once the store carries a committed quantizer its
+    # size is authoritative — k=None follows it, a matching explicit
+    # k is accepted, a CONFLICTING explicit k raises instead of
+    # mis-measuring the denominator / silently re-keying the index.
+    followed_skew, _ = maybe_rebuild_ivf_index(
+        store, skew_threshold=1e9  # hold: just measure
+    )
+    assert followed_skew == ivf_bucket_skew(store)
+    same_skew, _ = maybe_rebuild_ivf_index(store, skew_threshold=1e9, k=8)
+    assert same_skew == followed_skew
+    with pytest.raises(ValueError, match="conflicts"):
+        maybe_rebuild_ivf_index(store, skew_threshold=1e9, k=16)
+
+
+def test_maybe_rebuild_requires_k_before_first_rebuild(spark, tmp_path):
+    """Before any rebuild the quantizer is caller state: k=None must
+    raise (nothing stored to follow), not guess a default size."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        maybe_rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivf_nok"))
+    apply_ivf_batch(store, emb.where(F.col("vec_id") < 100), 0, seed)
+    with pytest.raises(ValueError, match="no stored quantizer"):
+        maybe_rebuild_ivf_index(store, skew_threshold=1e9)

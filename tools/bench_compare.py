@@ -79,6 +79,49 @@ def load(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in best.items()}
 
 
+def basis_state(drifts: list) -> str:
+    """Classify the normalization basis from the two compared runs'
+    ``within_run_drift`` readings (each may be None when a record
+    predates the drift instrumentation, or 0.0 only on a degenerate
+    zero-length canary).
+
+    ADVICE r11: the old truthiness filter (``if d``) dropped a 0.0
+    reading exactly like a missing one, and two missing readings
+    defaulted to "stable" — an unmeasurable basis was trusted. Now:
+    any missing (or degenerate non-positive) reading makes the basis
+    ``unmeasured``; a present reading outside [2/3, 1.5] makes it
+    ``unstable``; only fully-measured in-band runs are ``stable``.
+    Callers must treat anything but "stable" as not-normalizable
+    (raw ratios authoritative).
+    """
+    if not drifts or any(d is None or d <= 0 for d in drifts):
+        return "unmeasured"
+    return (
+        "stable"
+        if all(2 / 3 <= d <= 1.5 for d in drifts)
+        else "unstable"
+    )
+
+
+def confirmation_host(
+    canary_now: dict[str, float], canary_prev: dict[str, float]
+) -> float | None:
+    """Host factor for median-confirmation re-runs (VERDICT r11 nit):
+    the suite-pass host factor cannot normalize solo re-runs taken
+    minutes later on a possibly different load, so the confirmer
+    re-measures the canary basket in ITS OWN window and divides by
+    the baseline run's end-canary — a same-window re-measure of the
+    baseline side. Returns the median ratio, or None when the runs
+    share no positively-timed canary (caller must then fall back and
+    say so)."""
+    ratios = [
+        canary_now[q] / canary_prev[q]
+        for q in canary_prev
+        if q in canary_now and canary_prev[q] > 0 and canary_now[q] > 0
+    ]
+    return statistics.median(ratios) if ratios else None
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__.strip().splitlines()[-2].strip())
