@@ -106,7 +106,19 @@ GATE_PRIORITY: list[str] = [
     # + atomic quantizer swap over an incrementally-built store, the
     # serving lifecycle's last never-driver-checked leg — gains a
     # driver row.
-    "embeddings_ivf_rebuild",
+    # round-12 swap (VERDICT r11: the skew-triggered rebuild POLICY
+    # was the one lifecycle leg with no driver row): the rebuild row
+    # passes to embeddings_ivf_skew_rebuild, a strict superset — its
+    # 'fired' phase delegates to rebuild_ivf_index verbatim and its
+    # rasg oracle CTE is the identical unrolled-Lloyd + cosine
+    # assignment (pinned by test_round12_flagship_rotation), so
+    # retrain + reassign + atomic swap stay driver-hash-checked,
+    # while the policy's hold/fire decisions, the max/(n/k) skew
+    # measurement (before AND after), and the stored-quantizer
+    # k-follow (ADVICE r11) gain driver coverage.
+    # embeddings_ivf_rebuild moves to the tail (still tri-scale
+    # oracle-checked locally).
+    "embeddings_ivf_skew_rebuild",
     # round-11 swap (VERDICT r10 item 1): A4/W1 rank-dedup stays
     # prefix-checked — claims_pipeline_e2e (row 1) runs the identical
     # machinery (row_number over the ClaimID key window ordered
@@ -332,6 +344,10 @@ GATE_PRIORITY: list[str] = [
     "embeddings_semantic_dedup_mp",
     # -- tail: twins of operators already hash-checked above, and
     # rows-only checks --
+    # round-12 demotion (machinery stays prefix-covered — see the
+    # inline note at its former slot; still tri-scale oracle-checked
+    # locally):
+    "embeddings_ivf_rebuild",
     # round-9 demotions (operators stay prefix-covered — see the
     # inline notes at their former prefix slots; all five stay
     # oracle-checked by the local replica):

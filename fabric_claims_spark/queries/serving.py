@@ -548,6 +548,154 @@ def embeddings_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# SKEW-TRIGGERED REBUILD POLICY (round 12, VERDICT r11: the one
+# serving-lifecycle leg without a driver row). The production trigger
+# (operators/serving_index.maybe_rebuild_ivf_index) reads ONE bounded
+# groupBy — max/mean committed bucket population — holds strictly
+# below the threshold and delegates to the atomic rebuild at/above
+# it. The gate pins all three observable behaviors in one row set:
+#   hold  — threshold above the measured skew: the store is untouched
+#           (rows hash-equal the seed assignment) and the returned
+#           skew equals the SQL-computed max/(n/k);
+#   fired — threshold at the measured skew: the policy delegates to
+#           the rebuild, and the post-swap reader hash-equals the
+#           fresh Lloyd build (the embeddings_ivf_rebuild claim);
+#   post  — k=None now FOLLOWS the stored quantizer (ADVICE r11) and
+#           the re-measured skew is the rebuilt index's max/(n/k);
+#           a huge threshold holds, so rows still equal the rebuild.
+
+
+def _ivf_skew_rebuild_oracle(k: int = 8, iters: int = 2) -> str:
+    from fabric_claims_spark.queries.similarity import _kmeans_ctes
+
+    # skew = float(mx) / (float(n) / float(k)) — the same two-division
+    # IEEE sequence ivf_bucket_skew computes (one fused mx*k/n would
+    # round differently)
+    skew_expr = (
+        "CAST(MAX(bn) AS DOUBLE)"
+        f" / (CAST(SUM(bn) AS DOUBLE) / CAST({k} AS DOUBLE))"
+    )
+    return f"""
+    WITH {_kmeans_ctes(k, iters)},
+    seed AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {k}),
+    sscore AS (
+      SELECT e.vec_id, c.centroid_id,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+      FROM embeddings e, seed c),
+    sasg AS (
+      SELECT vec_id, centroid_id AS assigned_centroid,
+             sim AS centroid_sim
+      FROM sscore
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+    sskew AS (
+      SELECT {skew_expr} AS skew FROM (
+        SELECT COUNT(*) AS bn FROM sasg GROUP BY assigned_centroid)),
+    rscore AS (
+      SELECT e.vec_id, c.cid AS centroid_id,
+             ROUND(list_dot_product(e.v, c.cv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+      FROM ev e CROSS JOIN cent{iters} c),
+    rasg AS (
+      SELECT vec_id, centroid_id AS assigned_centroid,
+             sim AS centroid_sim
+      FROM rscore
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) = 1),
+    rskew AS (
+      SELECT {skew_expr} AS skew FROM (
+        SELECT COUNT(*) AS bn FROM rasg GROUP BY assigned_centroid))
+    SELECT 'hold' AS phase, a.vec_id, a.assigned_centroid,
+           a.centroid_sim, s.skew, FALSE AS rebuilt
+    FROM sasg a CROSS JOIN sskew s
+    UNION ALL
+    SELECT 'fired', a.vec_id, a.assigned_centroid,
+           a.centroid_sim, s.skew, TRUE
+    FROM rasg a CROSS JOIN sskew s
+    UNION ALL
+    SELECT 'post', a.vec_id, a.assigned_centroid,
+           a.centroid_sim, s.skew, FALSE
+    FROM rasg a CROSS JOIN rskew s
+    ORDER BY phase, vec_id
+    """
+
+
+@query("embeddings_ivf_skew_rebuild", oracle=_ivf_skew_rebuild_oracle())
+def embeddings_ivf_skew_rebuild(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The policy's three observable decisions over one store: hold
+    (threshold strictly above the measured seed-quantizer skew — the
+    index reader must hash-equal the seed assignment, i.e. the store
+    was untouched), fire (threshold AT the measured skew — delegates
+    to the atomic rebuild; the reader must hash-equal the fresh Lloyd
+    build), and post (k=None follows the freshly stored quantizer —
+    ADVICE r11 — re-measures the REBUILT index's skew, and a huge
+    threshold holds). The skew scalar rides in every row, so the
+    driver hash pins the trigger MEASUREMENT (both before and after
+    the rebuild), not just the decisions."""
+    from fabric_claims_spark.operators.serving_index import (
+        ivf_bucket_skew,
+        maybe_rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    work = tempfile.mkdtemp(prefix="ivf_skw_")
+
+    def _phase(name: str, skew: float, rebuilt: bool, store) -> DataFrame:
+        return (
+            read_ivf_index(store)
+            .select(
+                F.lit(name).alias("phase"),
+                "vec_id",
+                "assigned_centroid",
+                "centroid_sim",
+                F.lit(float(skew)).alias("skew"),
+                F.lit(bool(rebuilt)).alias("rebuilt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        store = TableStore(spark, work)
+        apply_ivf_batch(store, emb, 0, seed)
+        skew0 = ivf_bucket_skew(store, k=8)
+        held_skew, held = maybe_rebuild_ivf_index(
+            store, skew_threshold=skew0 + 1.0, k=8, iters=2
+        )
+        assert held is None and held_skew == skew0
+        out = _phase("hold", held_skew, held is not None, store)
+        fired_skew, cents = maybe_rebuild_ivf_index(
+            store, skew_threshold=skew0, k=8, iters=2
+        )
+        assert cents is not None and fired_skew == skew0
+        out = out.unionByName(
+            _phase("fired", fired_skew, cents is not None, store)
+        )
+        # k=None: the stored quantizer (just published by the fire)
+        # is authoritative for the re-measurement
+        post_skew, post = maybe_rebuild_ivf_index(
+            store, skew_threshold=1e18
+        )
+        assert post is None
+        return out.unionByName(
+            _phase("post", post_skew, post is not None, store)
+        ).orderBy("phase", "vec_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 from fabric_claims_spark.queries.text_docs import (  # noqa: E402
     _PHRASE_POSITIONAL_ORACLE,
     _top_trigram,

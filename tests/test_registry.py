@@ -612,7 +612,10 @@ def test_round11_flagship_rotation():
     prefix = set(list(reg)[:50])
     for promoted in (
         "customers_klt_anonymize_enforced",
-        "embeddings_ivf_rebuild",
+        # the rebuild row passed on to the skew-POLICY superset in
+        # round 12 (its 'fired'/'post' phases rebuild verbatim; see
+        # test_round12_flagship_rotation)
+        "embeddings_ivf_skew_rebuild",
         "lexical_index_lifecycle",
         "docs_decontaminated_train_capped",
     ):
@@ -661,3 +664,47 @@ def test_round11_verbatim_oracle_shares():
     # verbatim (shared constant) — the model arithmetic cannot drift
     assert "0.75 * x.n1w1" in reg["docs_lm_perplexity_filter"].oracle
     assert "0.75 * x.n1w1" in reg["docs_kneser_ney_logprob"].oracle
+
+
+def test_round12_flagship_rotation():
+    """Round-12 curation (VERDICT r11): the skew-triggered rebuild
+    POLICY — the one serving-lifecycle leg without a driver row —
+    gains driver coverage, with the displaced duty provably still
+    prefix-covered:
+
+    * embeddings_ivf_rebuild -> tail: the promoted
+      embeddings_ivf_skew_rebuild is a strict superset — its 'fired'
+      phase delegates to rebuild_ivf_index with the identical knobs
+      (k=8, iters=2, seeds = k smallest committed vec_ids) and its
+      oracle's rasg CTE is the same unrolled-Lloyd + cosine
+      assignment the rebuild oracle computes, so retrain + reassign
+      + atomic swap stay driver-hash-checked. New machines:
+      hold/fire threshold decisions, the max/(n/k) bucket-skew
+      measurement hashed before AND after the rebuild, and the
+      stored-quantizer k-follow path (ADVICE r11)."""
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    assert "embeddings_ivf_skew_rebuild" in prefix
+    assert "embeddings_ivf_rebuild" in reg
+    assert reg["embeddings_ivf_rebuild"].oracle is not None
+    assert "embeddings_ivf_rebuild" not in prefix
+    # the subsumption claim, pinned at the source: the skew oracle
+    # carries (a) the rebuild oracle's trained-assignment expression
+    # over the final Lloyd round (same cosine, same cent{iters}
+    # table), (b) the seed assignment the HOLD phase must equal, and
+    # (c) the two-division skew expression ivf_bucket_skew computes —
+    # a fused max*k/n would round differently and break the hash.
+    skew_o = reg["embeddings_ivf_skew_rebuild"].oracle
+    rebuild_o = reg["embeddings_ivf_rebuild"].oracle
+    trained_assign = "ROUND(list_dot_product(e.v, c.cv)"
+    assert trained_assign in skew_o and trained_assign in rebuild_o
+    assert "CROSS JOIN cent2 c" in skew_o
+    assert "CROSS JOIN cent2 c" in rebuild_o
+    assert "FROM embeddings WHERE vec_id < 8" in skew_o  # seed/hold
+    assert (
+        "CAST(MAX(bn) AS DOUBLE) / (CAST(SUM(bn) AS DOUBLE)"
+        " / CAST(8 AS DOUBLE))" in skew_o
+    )
+    # all three policy decisions are in the hashed row set
+    for phase in ("'hold'", "'fired'", "'post'"):
+        assert phase in skew_o
