@@ -36,9 +36,31 @@ def partial_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     count_col: str = "n",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """One batch's contribution: the same shape as the stored state."""
-    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)]
+    """One batch's contribution: the same shape as the stored state.
+
+    ``weight_col`` makes the count measure a SIGNED weighted count
+    (``sum(weight)`` instead of ``count(*)``): the additive monoid
+    extends from N to Z, which is what retraction increments need —
+    an erasure batch folds in with weight -1 and the merged state is
+    the state a fresh build over the surviving rows would produce
+    (the serving-index delete path, round 12). min/max measures stay
+    insert-only: they are a semilattice, not a group, so a retraction
+    cannot be expressed additively — callers with min/max columns
+    must rebuild those instead.
+    """
+    if weight_col is not None and (min_cols or max_cols):
+        raise ValueError(
+            "signed retraction batches cannot maintain min/max "
+            "measures (semilattice, not a group) — rebuild those"
+        )
+    count_measure = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(weight_col)
+    )
+    aggs = [count_measure.cast("long").alias(count_col)]
     aggs += [F.sum(c).alias(c) for c in (sum_cols or [])]
     aggs += [F.min(c).alias(c) for c in (min_cols or [])]
     aggs += [F.max(c).alias(c) for c in (max_cols or [])]
@@ -103,6 +125,7 @@ def maintain_additive_rollup_idempotent(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     count_col: str = "n",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """At-least-once-safe fold for ``foreachBatch`` sinks.
 
@@ -111,14 +134,18 @@ def maintain_additive_rollup_idempotent(
     micro-batch (same ``batch_id``, same rows) is redelivered on
     restart. A plain additive fold would double-count it; this variant
     skips any ``batch_id`` at or below the last applied one, making
-    redelivery a no-op and the end state exactly-once."""
+    redelivery a no-op and the end state exactly-once.
+
+    ``weight_col``: see ``partial_rollup`` — a signed weighted count,
+    the retraction path (erasure increments fold in with weight -1)."""
     if store.exists(table):
         cur = store.read(table)
         applied = cur.select(F.max(APPLIED_BATCH_COL)).head()[0]
         if applied is not None and batch_id <= applied:
             return cur.drop(APPLIED_BATCH_COL)
         partial = partial_rollup(
-            batch, keys, sum_cols, min_cols, max_cols, count_col
+            batch, keys, sum_cols, min_cols, max_cols, count_col,
+            weight_col,
         )
         state = (
             cur.drop(APPLIED_BATCH_COL)
@@ -128,7 +155,8 @@ def maintain_additive_rollup_idempotent(
         )
     else:
         state = partial_rollup(
-            batch, keys, sum_cols, min_cols, max_cols, count_col
+            batch, keys, sum_cols, min_cols, max_cols, count_col,
+            weight_col,
         )
     store.overwrite(
         table,

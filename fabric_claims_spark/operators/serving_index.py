@@ -53,6 +53,18 @@ equi-joins on precomputed keys (content hash, band key, doc id). In
 production the stored tables are hive-bucketed on those keys
 (``operators/bucketing.py``) so only the batch side shuffles; the
 commit/meta tables stay one-row-per-batch and broadcast.
+
+Deletes (round 12 — the erasure half of the lifecycle): each index
+family takes ERASURE increments under the same token-commit protocol
+(``apply_*_deletes`` — O(deleted docs), idempotent on batch_id, a
+doc never decrements twice). Readers anti-join the committed
+tombstones, so erased rows leave every consumer — search results,
+the df state (folded out additively at weight -1), the skew
+measurement, the next retrain — atomically at the commit swap; the
+physical bytes go at maintenance time (``fold_*_deletes`` for the
+lexical/positional tables, the next ``rebuild_ivf_index`` for the
+vector table), which is the ordering an erasure SLA needs: logical
+now, physical by the next maintenance window.
 """
 
 from __future__ import annotations
@@ -72,6 +84,7 @@ LEX_POSTINGS = "lex_postings"
 LEX_DOCLEN = "lex_doclen"
 LEX_DF = "lex_df"
 LEX_COMMITS = "lex_commits"
+LEX_TOMBSTONES = "lex_tombstones"
 
 LSH_MINS = "lsh_mins"
 LSH_BANDS = "lsh_bands"
@@ -81,9 +94,11 @@ LSH_COMMITS = "lsh_commits"
 IVF_VECS = "ivf_vecs"
 IVF_CENTROIDS = "ivf_centroids"
 IVF_COMMITS = "ivf_commits"
+IVF_TOMBSTONES = "ivf_tombstones"
 
 POS_POSTINGS = "pos_postings"
 POS_COMMITS = "pos_commits"
+POS_TOMBSTONES = "pos_tombstones"
 
 _TOKEN = "_token"
 
@@ -217,18 +232,144 @@ def apply_lexical_batch(
     _commit(store, LEX_COMMITS, batch_id, token)
 
 
+def read_lexical_tombstones(store: TableStore) -> DataFrame:
+    """(doc_id) — committed erasure set. Empty frame before the first
+    delete (and again after ``fold_lexical_deletes`` has physically
+    applied it)."""
+    if not store.exists(LEX_TOMBSTONES):
+        return store.spark.createDataFrame([], "doc_id long")
+    return (
+        _committed_rows(store, LEX_TOMBSTONES, LEX_COMMITS)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def read_lexical_index(
     store: TableStore,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(postings, df, doclen) — committed rows only. The df rollup is
-    exactly-once by construction (idempotent fold), so it reads
-    directly."""
-    td = _committed_rows(store, LEX_POSTINGS, LEX_COMMITS)
-    dn = _committed_rows(store, LEX_DOCLEN, LEX_COMMITS)
-    dfc = store.read(LEX_DF).select(
-        "term", F.col("df").cast("long").alias("df")
+    """(postings, df, doclen) — committed, live rows only. The df
+    rollup is exactly-once by construction (idempotent fold — delete
+    batches fold their decrements in the same way), so it reads
+    directly; postings/doclen rows of tombstoned docs are masked by
+    an anti-join until ``fold_lexical_deletes`` drops them
+    physically. Terms whose every doc was erased carry df=0 in the
+    additive state — filtered here so consumers (and the hash gates)
+    see exactly the vocabulary a fresh build over the surviving
+    corpus would produce."""
+    tomb = read_lexical_tombstones(store)
+    td = _committed_rows(store, LEX_POSTINGS, LEX_COMMITS).join(
+        tomb, "doc_id", "left_anti"
+    )
+    dn = _committed_rows(store, LEX_DOCLEN, LEX_COMMITS).join(
+        tomb, "doc_id", "left_anti"
+    )
+    dfc = (
+        store.read(LEX_DF)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .where(F.col("df") > 0)
     )
     return td, dfc, dn
+
+
+def apply_lexical_deletes(
+    store: TableStore,
+    doc_ids: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one ERASURE increment into the stored lexical index —
+    the right-to-be-forgotten path (round 12; reference scope: the
+    masking/erasure governance family, SURVEY §2.12, extended to the
+    serving indexes). O(deleted docs) work, never a corpus re-scan:
+
+    1. The delete set is reduced to docs that are indexed AND not
+       already tombstoned (a second delete of the same doc — in this
+       batch or a previous one — must not decrement df twice).
+    2. The df rollup folds the deleted docs' postings back OUT with
+       the same idempotent additive fold the build path uses, at
+       weight -1 (``partial_rollup(weight_col=...)`` — counts form a
+       group, not just a monoid, so retraction is one more fold).
+    3. The doc ids append token-stamped to ``lex_tombstones`` and
+       become visible with the standard commit — readers anti-join,
+       so postings/doclen rows of erased docs disappear atomically
+       with the df decrement's visibility... (the decrement itself
+       lands first; the same torn-apply window the build path
+       documents, healed by redelivering the batch).
+
+    Deletes share the build path's ``batch_id`` sequence (the rollup
+    skips ids at or below the last applied, so ids must be issued
+    monotonically across BOTH kinds of increment — the caller's
+    scheduler owns the sequence, exactly as for builds). Documents
+    are append-only snapshots; a deleted doc_id is never re-added
+    (re-ingest is a new doc_id), so tombstones never need unmasking.
+    """
+    if _applied(store, LEX_COMMITS, batch_id):
+        return
+    ids = (
+        doc_ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(read_lexical_tombstones(store), "doc_id", "left_anti")
+        .localCheckpoint()
+    )
+    # terms of the docs being erased — equi-join bounded by the
+    # delete set (tiny side; AQE broadcasts it)
+    td_del = (
+        _committed_rows(store, LEX_POSTINGS, LEX_COMMITS)
+        .join(ids, "doc_id", "left_semi")
+        .withColumn("_w", F.lit(-1))
+        .localCheckpoint()
+    )
+    maintain_additive_rollup_idempotent(
+        store,
+        LEX_DF,
+        td_del,
+        batch_id,
+        keys=["term"],
+        count_col="df",
+        weight_col="_w",
+    )
+    token = uuid.uuid4().hex
+    store.append(LEX_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, LEX_COMMITS, batch_id, token)
+
+
+def fold_lexical_deletes(store: TableStore, n_files: int = 8) -> int:
+    """Physically drop tombstoned rows from the data tables — the
+    compaction-time half of the erasure contract (until this runs,
+    erased rows are reader-invisible but still on disk; after it, the
+    bytes are gone — what an erasure SLA actually requires). Returns
+    the number of rows dropped.
+
+    Swap order is reader-consistency-critical: postings and doclen
+    fold FIRST (each swap is a no-op to readers — the anti-join
+    already masked those rows), the tombstone table clears LAST. A
+    crash anywhere in between leaves a state where the anti-join
+    still masks whatever the fold hasn't dropped yet; clearing
+    tombstones before both folds would resurrect erased rows. The df
+    rollup holds the decrements already (apply time) and is not
+    touched. Maintenance action, never on the read path."""
+    tomb = read_lexical_tombstones(store).localCheckpoint()
+    if tomb.head() is None:
+        return 0
+    dropped = 0
+    for table in (LEX_POSTINGS, LEX_DOCLEN):
+        if not store.exists(table):
+            continue
+        rows = store.read(table)
+        tokens = store.read(LEX_COMMITS).select(
+            F.col("token").alias(_TOKEN)
+        )
+        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+        keep = committed.join(tomb, "doc_id", "left_anti")
+        dropped += committed.count() - keep.count()
+        store.overwrite(table, keep.repartition(n_files))
+    # tombstones cleared LAST (see above); the commit table keeps the
+    # delete batch_ids, so redelivery of an old delete stays a no-op
+    store.overwrite(
+        LEX_TOMBSTONES, store.read(LEX_TOMBSTONES).limit(0).coalesce(1)
+    )
+    return dropped
 
 
 # -- positional index --------------------------------------------------------
@@ -278,9 +419,64 @@ def apply_positional_batch(
     _commit(store, POS_COMMITS, batch_id, token)
 
 
+def read_positional_tombstones(store: TableStore) -> DataFrame:
+    """(doc_id) — committed erasure set for the positional index."""
+    if not store.exists(POS_TOMBSTONES):
+        return store.spark.createDataFrame([], "doc_id long")
+    return (
+        _committed_rows(store, POS_TOMBSTONES, POS_COMMITS)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def read_positional_index(store: TableStore) -> DataFrame:
-    """(doc_id, term, pos) — committed rows only."""
-    return _committed_rows(store, POS_POSTINGS, POS_COMMITS)
+    """(doc_id, term, pos) — committed, live rows only (tombstoned
+    docs anti-joined out until ``fold_positional_deletes``)."""
+    return _committed_rows(store, POS_POSTINGS, POS_COMMITS).join(
+        read_positional_tombstones(store), "doc_id", "left_anti"
+    )
+
+
+def apply_positional_deletes(
+    store: TableStore,
+    doc_ids: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Erasure increment for the positional index — token-stamped
+    tombstones + commit, same contract as ``apply_lexical_deletes``
+    minus the rollup leg (the positional family keeps no derived
+    aggregate state; phrase reads go straight to postings)."""
+    if _applied(store, POS_COMMITS, batch_id):
+        return
+    ids = (
+        doc_ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(read_positional_tombstones(store), "doc_id", "left_anti")
+    )
+    token = uuid.uuid4().hex
+    store.append(POS_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, POS_COMMITS, batch_id, token)
+
+
+def fold_positional_deletes(store: TableStore, n_files: int = 8) -> int:
+    """Physical erasure for the positional index: drop tombstoned
+    postings, then clear the tombstone table LAST (same
+    reader-consistent swap order as ``fold_lexical_deletes``)."""
+    tomb = read_positional_tombstones(store).localCheckpoint()
+    if tomb.head() is None:
+        return 0
+    rows = store.read(POS_POSTINGS)
+    tokens = store.read(POS_COMMITS).select(F.col("token").alias(_TOKEN))
+    committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    keep = committed.join(tomb, "doc_id", "left_anti")
+    dropped = committed.count() - keep.count()
+    store.overwrite(POS_POSTINGS, keep.repartition(n_files))
+    store.overwrite(
+        POS_TOMBSTONES, store.read(POS_TOMBSTONES).limit(0).coalesce(1)
+    )
+    return dropped
 
 
 def phrase_occurrences(positions: DataFrame, phrase: DataFrame) -> DataFrame:
@@ -586,16 +782,67 @@ def rebuild_ivf_index(
     store.overwrite(IVF_COMMITS, swapped.coalesce(1))
     vacuum_uncommitted(store, IVF_VECS, IVF_COMMITS)
     vacuum_uncommitted(store, IVF_CENTROIDS, IVF_COMMITS)
+    # the swap re-pointed every batch_id at the rebuild token, which
+    # un-commits the tombstone rows' own tokens: erased vectors were
+    # already excluded from the reassignment (read_ivf_index is
+    # live-only), so the stale tombstones are orphans — reclaim them.
+    # Their batch_ids stay committed, so redelivery remains a no-op.
+    vacuum_uncommitted(store, IVF_TOMBSTONES, IVF_COMMITS)
     return cents
 
 
+def read_ivf_tombstones(store: TableStore) -> DataFrame:
+    """(vec_id) — committed erasure set for the vector index. Empty
+    before the first delete, and empty again after a rebuild (the
+    swap rewrites the index from live rows only, so a rebuild IS the
+    physical fold)."""
+    if not store.exists(IVF_TOMBSTONES):
+        return store.spark.createDataFrame([], "vec_id long")
+    return (
+        _committed_rows(store, IVF_TOMBSTONES, IVF_COMMITS)
+        .select("vec_id")
+        .distinct()
+    )
+
+
 def read_ivf_index(store: TableStore) -> DataFrame:
-    """(vec_id, ev, assigned_centroid, centroid_sim) — committed rows
-    only. In production this table is written bucketed on
-    ``assigned_centroid`` (operators/bucketing.py) so a probe reads
-    only its buckets; the gate consumers filter on the column, which
-    partition-prunes the same way."""
-    return _committed_rows(store, IVF_VECS, IVF_COMMITS)
+    """(vec_id, ev, assigned_centroid, centroid_sim) — committed,
+    live rows only (tombstoned vectors anti-joined out until a
+    rebuild drops them physically). In production this table is
+    written bucketed on ``assigned_centroid`` (operators/bucketing.py)
+    so a probe reads only its buckets; the gate consumers filter on
+    the column, which partition-prunes the same way."""
+    return _committed_rows(store, IVF_VECS, IVF_COMMITS).join(
+        read_ivf_tombstones(store), "vec_id", "left_anti"
+    )
+
+
+def apply_ivf_deletes(
+    store: TableStore,
+    vec_ids: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+) -> None:
+    """Fold one ERASURE increment into the stored IVF index (round
+    12). Token-stamped tombstone append + commit — O(deleted ids),
+    the index itself is untouched. Every consumer reads through
+    ``read_ivf_index`` (probes, ``ivf_bucket_skew``, the rebuild's
+    retrain/reassign), so erased vectors leave search results, the
+    skew measurement, AND the next retrain's training set atomically
+    at the commit swap. Deletions concentrate in buckets too — the
+    skew trigger fires on delete-drift exactly as on insert-drift —
+    and the fired rebuild rewrites the index from live rows only,
+    which is the physical erasure."""
+    if _applied(store, IVF_COMMITS, batch_id):
+        return
+    ids = (
+        vec_ids.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .join(read_ivf_tombstones(store), "vec_id", "left_anti")
+    )
+    token = uuid.uuid4().hex
+    store.append(IVF_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, IVF_COMMITS, batch_id, token)
 
 
 def read_ivf_centroids(store: TableStore) -> DataFrame:

@@ -161,6 +161,97 @@ def lexical_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "lexical_index_deletes",
+    oracle=r"""
+    WITH td AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+      WHERE length(trim(text)) > 0 AND doc_id % 7 NOT IN (3, 5)),
+    live AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS live_docs
+      FROM td)
+    SELECT s.stage, t.term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS df_from_postings,
+           MAX(l.live_docs) AS live_docs
+    FROM td t
+    CROSS JOIN live l
+    CROSS JOIN (SELECT unnest(['masked', 'folded']) AS stage) s
+    GROUP BY s.stage, t.term
+    ORDER BY s.stage, t.term
+    """,
+)
+def lexical_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The erasure half of the serving lifecycle (round 12): the
+    corpus arrives as three increments, then TWO erasure increments
+    fold in under the same commit protocol — batch 3 erases
+    pmod(doc_id,7)==3, is REDELIVERED (must be a no-op), and batch 4
+    erases pmod(doc_id,7) IN (3,5), overlapping batch 3 (the repeat
+    of 3 must not decrement df twice). The 'masked' stage reads the
+    store while erased rows are merely tombstone-masked; then
+    ``fold_lexical_deletes`` drops the bytes and the 'folded' stage
+    re-reads. BOTH stages must hash-equal the fresh build over the
+    surviving corpus — df (decremented additively at weight -1), the
+    df recomputed from postings, and the live doclen count — so a
+    double decrement, a resurrection by the fold's swap ordering, or
+    a reader that missed the anti-join would each diverge the hash.
+    A term whose every doc was erased must VANISH (df=0 filtered),
+    exactly as a fresh build never sees it."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_deletes,
+        fold_lexical_deletes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lex_del_")
+
+    def _stage(name: str, store) -> DataFrame:
+        td, dfc, dn = read_lexical_index(store)
+        from_postings = td.groupBy("term").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_from_postings")
+        )
+        live = dn.agg(
+            F.count(F.lit(1)).cast("bigint").alias("live_docs")
+        )
+        return (
+            dfc.join(from_postings, "term")
+            .join(F.broadcast(live))
+            .select(
+                F.lit(name).alias("stage"),
+                "term",
+                "df",
+                "df_from_postings",
+                "live_docs",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        store = TableStore(spark, work)
+        for b in range(3):
+            apply_lexical_batch(
+                store, docs.where(F.pmod("doc_id", F.lit(3)) == b), b
+            )
+        kill3 = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select(
+            "doc_id"
+        )
+        apply_lexical_deletes(store, kill3, 3)
+        apply_lexical_deletes(store, kill3, 3)  # redelivery: no-op
+        kill45 = docs.where(
+            F.pmod("doc_id", F.lit(7)).isin(3, 5)
+        ).select("doc_id")
+        apply_lexical_deletes(store, kill45, 4)  # overlap: no re-dec
+        out = _stage("masked", store)
+        fold_lexical_deletes(store)
+        return out.unionByName(_stage("folded", store)).orderBy(
+            "stage", "term"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("docs_hybrid_rrf_served", oracle=_RRF_INDEXED_ORACLE)
 def docs_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The served twin of ``docs_hybrid_rrf_indexed``: identical

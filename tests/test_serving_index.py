@@ -439,3 +439,251 @@ def test_maybe_rebuild_requires_k_before_first_rebuild(spark, tmp_path):
     apply_ivf_batch(store, emb.where(F.col("vec_id") < 100), 0, seed)
     with pytest.raises(ValueError, match="no stored quantizer"):
         maybe_rebuild_ivf_index(store, skew_threshold=1e9)
+
+
+# -- erasure (round 12) ------------------------------------------------------
+
+
+def _lex_store_3inc(spark, docs, path):
+    store = TableStore(spark, str(path))
+    for b in range(3):
+        apply_lexical_batch(
+            store, docs.where(F.pmod("doc_id", F.lit(3)) == b), b
+        )
+    return store
+
+
+def test_lexical_deletes_match_fresh_build_masked_and_folded(
+    spark, docs, tmp_path
+):
+    """Erase a subset, and the live view (masked AND after the
+    physical fold) must equal a fresh build over the surviving
+    corpus: postings, doclen, and the additively-decremented df."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_deletes,
+        fold_lexical_deletes,
+    )
+
+    store = _lex_store_3inc(spark, docs, tmp_path / "lexdel")
+    kill = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select("doc_id")
+    apply_lexical_deletes(store, kill, 3)
+    survivors = docs.where(F.pmod("doc_id", F.lit(7)) != 3)
+    want_post = sorted(
+        tuple(r) for r in lexical_postings(survivors).collect()
+    )
+    want_df = sorted(
+        (r["term"], r["df"])
+        for r in lexical_postings(survivors)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    for label in ("masked", "folded"):
+        td, dfc, dn = read_lexical_index(store)
+        assert (
+            sorted(tuple(r) for r in td.select("doc_id", "term").collect())
+            == want_post
+        ), label
+        assert (
+            sorted((r["term"], r["df"]) for r in dfc.collect()) == want_df
+        ), label
+        assert dn.count() == survivors.where(
+            F.length(F.trim("text")) > 0
+        ).count(), label
+        if label == "masked":
+            dropped = fold_lexical_deletes(store)
+            assert dropped > 0
+
+
+def test_lexical_delete_double_and_redelivery_no_reDecrement(
+    spark, docs, tmp_path
+):
+    """A doc must decrement df exactly once: redelivered delete batch
+    (same id) AND an overlapping later batch both no-op on it."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_deletes,
+    )
+
+    store = _lex_store_3inc(spark, docs, tmp_path / "lexdd")
+    kill3 = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select("doc_id")
+    apply_lexical_deletes(store, kill3, 3)
+    _, df_once, _ = read_lexical_index(store)
+    once = sorted((r["term"], r["df"]) for r in df_once.collect())
+    apply_lexical_deletes(store, kill3, 3)  # redelivery
+    overlap = docs.where(F.pmod("doc_id", F.lit(7)).isin(3, 5)).select(
+        "doc_id"
+    )
+    apply_lexical_deletes(store, overlap, 4)
+    survivors = docs.where(~F.pmod("doc_id", F.lit(7)).isin(3, 5))
+    want = sorted(
+        (r["term"], r["df"])
+        for r in lexical_postings(survivors)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    _, df_after, _ = read_lexical_index(store)
+    got = sorted((r["term"], r["df"]) for r in df_after.collect())
+    assert got == want
+    assert got != once  # batch 4's NEW ids did land
+
+
+def test_fold_lexical_deletes_physically_erases(spark, docs, tmp_path):
+    """After the fold, the erased doc ids are gone from the RAW
+    stored tables (not merely masked) and the tombstone table is
+    empty — the bytes an erasure SLA cares about."""
+    from fabric_claims_spark.operators.serving_index import (
+        LEX_DOCLEN,
+        LEX_TOMBSTONES,
+        apply_lexical_deletes,
+        fold_lexical_deletes,
+        read_lexical_tombstones,
+    )
+
+    store = _lex_store_3inc(spark, docs, tmp_path / "lexphys")
+    kill = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select("doc_id")
+    killed = {r["doc_id"] for r in kill.collect()}
+    apply_lexical_deletes(store, kill, 3)
+    # masked: raw rows still on disk
+    raw_docs = {
+        r["doc_id"]
+        for r in store.read(LEX_POSTINGS).select("doc_id").distinct().collect()
+    }
+    assert killed & raw_docs
+    fold_lexical_deletes(store)
+    for t in (LEX_POSTINGS, LEX_DOCLEN):
+        raw = {
+            r["doc_id"]
+            for r in store.read(t).select("doc_id").distinct().collect()
+        }
+        assert not (killed & raw), t
+    assert store.read(LEX_TOMBSTONES).count() == 0
+    assert read_lexical_tombstones(store).count() == 0
+    # a redelivered delete after the fold stays a no-op
+    _, df_before, _ = read_lexical_index(store)
+    before = sorted((r["term"], r["df"]) for r in df_before.collect())
+    apply_lexical_deletes(store, kill, 3)
+    _, df_after, _ = read_lexical_index(store)
+    assert (
+        sorted((r["term"], r["df"]) for r in df_after.collect()) == before
+    )
+
+
+def test_torn_delete_heals_on_redelivery(spark, docs, tmp_path):
+    """Crash between the df decrement and the tombstone commit: df
+    already holds the retraction, tombstones are uncommitted orphans.
+    Redelivering the SAME batch_id must finish the job without
+    decrementing again (the rollup skips applied ids)."""
+    from fabric_claims_spark.operators.rollup import (
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.operators.serving_index import (
+        LEX_DF,
+        apply_lexical_deletes,
+        read_lexical_tombstones,
+    )
+
+    store = _lex_store_3inc(spark, docs, tmp_path / "lextorn")
+    kill = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select("doc_id")
+    # simulate the torn first attempt: ONLY the rollup leg runs
+    td_del = (
+        lexical_postings(docs)
+        .join(kill, "doc_id", "left_semi")
+        .withColumn("_w", F.lit(-1))
+    )
+    maintain_additive_rollup_idempotent(
+        store, LEX_DF, td_del, 3, keys=["term"], count_col="df",
+        weight_col="_w",
+    )
+    assert read_lexical_tombstones(store).count() == 0  # torn state
+    # redelivery completes: tombstones land, df NOT decremented again
+    apply_lexical_deletes(store, kill, 3)
+    survivors = docs.where(F.pmod("doc_id", F.lit(7)) != 3)
+    want = sorted(
+        (r["term"], r["df"])
+        for r in lexical_postings(survivors)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    _, dfc, _ = read_lexical_index(store)
+    assert sorted((r["term"], r["df"]) for r in dfc.collect()) == want
+
+
+def test_ivf_deletes_flow_through_skew_and_rebuild(spark, tmp_path):
+    """Erased vectors leave the probe view and the skew measurement
+    at the commit; the next rebuild trains on live rows only and
+    vacuums the stale tombstones (physical erasure)."""
+    from fabric_claims_spark.operators.serving_index import (
+        IVF_TOMBSTONES,
+        apply_ivf_batch,
+        apply_ivf_deletes,
+        ivf_bucket_skew,
+        read_ivf_index,
+        read_ivf_tombstones,
+        rebuild_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivfdel"))
+    apply_ivf_batch(store, emb, 0, seed)
+    n0 = read_ivf_index(store).count()
+    skew0 = ivf_bucket_skew(store, k=8)
+    kill = emb.where(F.pmod("vec_id", F.lit(5)) == 2).select("vec_id")
+    n_kill = kill.count()
+    apply_ivf_deletes(store, kill, 1)
+    apply_ivf_deletes(store, kill, 1)  # redelivery no-op
+    live = read_ivf_index(store)
+    assert live.count() == n0 - n_kill
+    assert (
+        live.join(kill, "vec_id", "left_semi").count() == 0
+    )  # erased ids gone from the probe view
+    assert ivf_bucket_skew(store, k=8) != skew0 or n_kill == 0
+    rebuild_ivf_index(store, k=8, iters=2)
+    assert read_ivf_index(store).count() == n0 - n_kill
+    assert read_ivf_tombstones(store).count() == 0
+    # physical: the raw tombstone table was vacuumed
+    assert store.read(IVF_TOMBSTONES).count() == 0
+
+
+def test_positional_deletes_and_fold(spark, docs, tmp_path):
+    """Erased docs leave phrase results at the commit; the fold drops
+    the raw rows and clears the tombstones."""
+    from fabric_claims_spark.operators.serving_index import (
+        POS_POSTINGS,
+        POS_TOMBSTONES,
+        apply_positional_batch,
+        apply_positional_deletes,
+        fold_positional_deletes,
+        positional_postings,
+        read_positional_index,
+    )
+
+    store = TableStore(spark, str(tmp_path / "posdel"))
+    apply_positional_batch(store, docs, 0)
+    kill = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select("doc_id")
+    killed = {r["doc_id"] for r in kill.collect()}
+    apply_positional_deletes(store, kill, 1)
+    live = read_positional_index(store)
+    want = sorted(
+        tuple(r)
+        for r in positional_postings(
+            docs.where(F.pmod("doc_id", F.lit(7)) != 3)
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in live.collect()) == want
+    dropped = fold_positional_deletes(store)
+    assert dropped > 0 or not killed
+    raw = {
+        r["doc_id"]
+        for r in store.read(POS_POSTINGS).select("doc_id").distinct().collect()
+    }
+    assert not (killed & raw)
+    assert store.read(POS_TOMBSTONES).count() == 0
+    assert sorted(
+        tuple(r) for r in read_positional_index(store).collect()
+    ) == want
