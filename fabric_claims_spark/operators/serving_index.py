@@ -90,6 +90,7 @@ LSH_MINS = "lsh_mins"
 LSH_BANDS = "lsh_bands"
 LSH_PAIRS = "lsh_pairs"
 LSH_COMMITS = "lsh_commits"
+LSH_TOMBSTONES = "lsh_tombstones"
 
 IVF_VECS = "ivf_vecs"
 IVF_CENTROIDS = "ivf_centroids"
@@ -571,7 +572,14 @@ def apply_lsh_batch(
 
     pairs_new = internal
     if store.exists(LSH_BANDS):
-        bands_c = _committed_rows(store, LSH_BANDS, LSH_COMMITS)
+        # live corpus side only: an erased doc's band/signature rows
+        # must not pair against future batches (round 12)
+        _tomb_doc = read_lsh_tombstones(store).select(
+            F.col("doc_id").alias("doc")
+        )
+        bands_c = _committed_rows(store, LSH_BANDS, LSH_COMMITS).join(
+            _tomb_doc, "doc", "left_anti"
+        )
         if bucket_cap is not None:
             w_bucket = Window.partitionBy("band_idx", "band_hash")
             bands_c = (
@@ -591,7 +599,9 @@ def apply_lsh_batch(
             .select("doc", "_cdoc")
             .distinct()
         )
-        mins_c = _committed_rows(store, LSH_MINS, LSH_COMMITS)
+        mins_c = _committed_rows(store, LSH_MINS, LSH_COMMITS).join(
+            _tomb_doc, "doc", "left_anti"
+        )
         ma = mins_b.select(
             F.col("doc").alias("_bdoc"),
             *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
@@ -629,9 +639,102 @@ def apply_lsh_batch(
     _commit(store, LSH_COMMITS, batch_id, token)
 
 
+def read_lsh_tombstones(store: TableStore) -> DataFrame:
+    """(doc_id) — committed erasure set for the near-dup store."""
+    if not store.exists(LSH_TOMBSTONES):
+        return store.spark.createDataFrame([], "doc_id long")
+    return (
+        _committed_rows(store, LSH_TOMBSTONES, LSH_COMMITS)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def read_lsh_pairs(store: TableStore) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) — committed rows only."""
-    return _committed_rows(store, LSH_PAIRS, LSH_COMMITS)
+    """(doc_a, doc_b, est_jaccard) — committed, live rows only: a
+    pair leaves the view when EITHER endpoint is erased (a cluster
+    consumer must never link through a forgotten doc)."""
+    tomb = read_lsh_tombstones(store)
+    return (
+        _committed_rows(store, LSH_PAIRS, LSH_COMMITS)
+        .join(
+            tomb.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            tomb.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+    )
+
+
+def apply_lsh_deletes(
+    store: TableStore,
+    doc_ids: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Erasure increment for the near-dup store — token-stamped
+    tombstones + commit (O(deleted ids)). Signatures, band keys, and
+    pairs touching an erased doc all leave the reader views at the
+    commit; ``fold_lsh_deletes`` drops the bytes. Note the candidate
+    contract stays sound: a FUTURE batch's band keys can no longer
+    pair against an erased doc (its band rows are masked), which is
+    exactly right — a forgotten doc must not influence future dedup
+    either."""
+    if _applied(store, LSH_COMMITS, batch_id):
+        return
+    ids = (
+        doc_ids.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(read_lsh_tombstones(store), "doc_id", "left_anti")
+    )
+    token = uuid.uuid4().hex
+    store.append(LSH_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
+    _commit(store, LSH_COMMITS, batch_id, token)
+
+
+def fold_lsh_deletes(store: TableStore, n_files: int = 8) -> int:
+    """Physical erasure for the near-dup store: drop tombstoned rows
+    from mins/bands (keyed ``doc``) and pairs (either endpoint), then
+    clear the tombstone table LAST (the reader-consistent swap order
+    of ``fold_lexical_deletes``)."""
+    tomb = read_lsh_tombstones(store).localCheckpoint()
+    if tomb.head() is None:
+        return 0
+    dropped = 0
+    plans = [
+        (LSH_MINS, lambda r: r.join(
+            tomb.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
+        )),
+        (LSH_BANDS, lambda r: r.join(
+            tomb.select(F.col("doc_id").alias("doc")), "doc", "left_anti"
+        )),
+        (LSH_PAIRS, lambda r: r.join(
+            tomb.select(F.col("doc_id").alias("doc_a")), "doc_a",
+            "left_anti",
+        ).join(
+            tomb.select(F.col("doc_id").alias("doc_b")), "doc_b",
+            "left_anti",
+        )),
+    ]
+    for table, mask in plans:
+        if not store.exists(table):
+            continue
+        rows = store.read(table)
+        tokens = store.read(LSH_COMMITS).select(
+            F.col("token").alias(_TOKEN)
+        )
+        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+        keep = mask(committed)
+        dropped += committed.count() - keep.count()
+        store.overwrite(table, keep.repartition(n_files))
+    store.overwrite(
+        LSH_TOMBSTONES, store.read(LSH_TOMBSTONES).limit(0).coalesce(1)
+    )
+    return dropped
 
 
 # -- IVF vector index ----------------------------------------------------------

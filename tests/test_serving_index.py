@@ -687,3 +687,68 @@ def test_positional_deletes_and_fold(spark, docs, tmp_path):
     assert sorted(
         tuple(r) for r in read_positional_index(store).collect()
     ) == want
+
+
+def test_lsh_deletes_mask_pairs_and_future_candidates(spark, docs, tmp_path):
+    """Erasure on the near-dup store: pairs with an erased endpoint
+    leave the reader view at the commit; a FUTURE batch must not
+    generate candidates against the erased doc's stored band rows;
+    the fold physically drops mins/bands/pairs and clears the
+    tombstones."""
+    from fabric_claims_spark.operators.serving_index import (
+        LSH_BANDS,
+        LSH_MINS,
+        LSH_TOMBSTONES,
+        apply_lsh_deletes,
+        fold_lsh_deletes,
+        read_lsh_tombstones,
+    )
+
+    store = TableStore(spark, str(tmp_path / "lshdel"))
+    corpus = docs.where(F.pmod("doc_id", F.lit(5)) != 0)
+    batch = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+    apply_lsh_batch(store, corpus, 0, threshold=0.5, hasher="md5")
+    all_pairs = read_lsh_pairs(store)
+    # pick the erasure set as every doc appearing in some pair, mod 3
+    endpoint = all_pairs.select(
+        F.col("doc_a").alias("doc_id")
+    ).unionByName(all_pairs.select(F.col("doc_b").alias("doc_id")))
+    kill = endpoint.where(F.pmod("doc_id", F.lit(3)) == 0).distinct()
+    n_kill = kill.count()
+    assert n_kill > 0  # fixture sanity: some paired docs get erased
+    apply_lsh_deletes(store, kill, 1)
+    apply_lsh_deletes(store, kill, 1)  # redelivery no-op
+    live = read_lsh_pairs(store)
+    assert (
+        live.join(kill.select(F.col("doc_id").alias("doc_a")), "doc_a",
+                  "left_semi").count() == 0
+    )
+    assert (
+        live.join(kill.select(F.col("doc_id").alias("doc_b")), "doc_b",
+                  "left_semi").count() == 0
+    )
+    # future increment: no cross pair may touch an erased doc
+    apply_lsh_batch(store, batch, 2, threshold=0.5, hasher="md5")
+    after = read_lsh_pairs(store)
+    for side in ("doc_a", "doc_b"):
+        assert (
+            after.join(
+                kill.select(F.col("doc_id").alias(side)), side, "left_semi"
+            ).count() == 0
+        ), side
+    # physical fold
+    dropped = fold_lsh_deletes(store)
+    assert dropped > 0
+    killed = {r["doc_id"] for r in kill.collect()}
+    for t, col in ((LSH_MINS, "doc"), (LSH_BANDS, "doc")):
+        raw = {
+            r[col]
+            for r in store.read(t).select(col).distinct().collect()
+        }
+        assert not (killed & raw), t
+    assert store.read(LSH_TOMBSTONES).count() == 0
+    assert read_lsh_tombstones(store).count() == 0
+    # reader view unchanged by the fold
+    assert sorted(tuple(r) for r in read_lsh_pairs(store).collect()) == (
+        sorted(tuple(r) for r in after.collect())
+    )
