@@ -640,6 +640,104 @@ def embeddings_ivf_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF SEARCH AFTER ERASURE (round 12): the vector-store consumer
+# claim for tombstone deletes — an erased vector must leave the probe
+# result at the delete's commit swap, with the index otherwise
+# untouched (no rebuild paid). The oracle is the in-plan IVF search
+# shared verbatim MINUS the erased rows (one added predicate —
+# derived programmatically from _IVF_SEARCH_ORACLE so the search
+# semantics cannot drift; pinned by test_registry).
+
+from fabric_claims_spark.queries.similarity import (  # noqa: E402
+    _IVF_SEARCH_ORACLE,
+)
+
+_IVF_SEARCH_ERASED_ORACLE = _IVF_SEARCH_ORACLE.replace(
+    "WHERE e.vec_id != 0",
+    "WHERE e.vec_id != 0 AND e.vec_id % 5 != 2",
+)
+assert _IVF_SEARCH_ERASED_ORACLE != _IVF_SEARCH_ORACLE
+
+
+@query(
+    "embeddings_ivf_search_after_erasure",
+    oracle=_IVF_SEARCH_ERASED_ORACLE,
+)
+def embeddings_ivf_search_after_erasure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``embeddings_ivf_search_served`` with an erasure increment:
+    after the single-apply build, pmod(vec_id,5)==2 is tombstoned
+    (apply_ivf_deletes, redelivered — must be a no-op) and the SAME
+    probe runs. The top-10 must equal the in-plan search over the
+    surviving vectors — so an erased vector still reachable through
+    the probe (a missed anti-join), a double-masked survivor, or a
+    visibility leak before the commit would each diverge the hash."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_deletes,
+    )
+    from fabric_claims_spark.queries.similarity import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _IVF_TOPK,
+        _as_double,
+        _cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    cent = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("ev").alias("cv")
+    )
+    work = tempfile.mkdtemp(prefix="ivf_era_")
+    try:
+        store = TableStore(spark, work)
+        apply_ivf_batch(store, emb, 0, cent)
+        kill = emb.where(F.pmod("vec_id", F.lit(5)) == 2).select("vec_id")
+        apply_ivf_deletes(store, kill, 1)
+        apply_ivf_deletes(store, kill, 1)  # redelivery: no-op
+        stored = read_ivf_index(store)
+
+        probe = (
+            cent.join(F.broadcast(q))
+            .select(
+                "centroid_id",
+                F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+            )
+            .orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+            .limit(_IVF_NPROBE)
+            .select("centroid_id")
+        )
+        return (
+            stored.where(F.col("vec_id") != 0)
+            .join(
+                F.broadcast(probe),
+                F.col("assigned_centroid") == F.col("centroid_id"),
+            )
+            .join(F.broadcast(q))
+            .join(
+                load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", "label"
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            .limit(_IVF_TOPK)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # SKEW-TRIGGERED REBUILD POLICY (round 12, VERDICT r11: the one
 # serving-lifecycle leg without a driver row). The production trigger
 # (operators/serving_index.maybe_rebuild_ivf_index) reads ONE bounded

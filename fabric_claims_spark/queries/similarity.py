@@ -311,6 +311,68 @@ _IVF_SEARCH_ORACLE = f"""
     """
 
 
+# --------------------------------------------------------------------------
+# Metadata-FILTERED vector search (round 12): serving systems rarely
+# run an unconstrained top-k — the query carries a predicate
+# (tenant, language, collection), and the engine must return the k
+# best among ONLY the rows passing it. This gate runs the filter for
+# EVERY label at once — the groupwise formulation: top-k per filter
+# value — which is also the scalable plan: one broadcast of the query
+# vector, one shuffle on the filter key, per-group top-k inside the
+# window (Spark 4 rewrites rank<=k windows to WindowGroupLimit: each
+# map task keeps only k rows per group before the shuffle, so the
+# exchange carries k·|labels| rows, not the corpus). Post-filtering a
+# global top-k would instead under-fill sparse labels — the classic
+# filtered-ANN failure this shape avoids by construction.
+_FKNN_TOPK = 3
+
+_FILTERED_KNN_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(e.ev, q.qv)
+                   / (sqrt(list_dot_product(e.ev, e.ev))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6)
+               AS cosine_sim
+      FROM e, q WHERE e.vec_id != 0)
+    SELECT label, CAST(rk AS BIGINT) AS rank, vec_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+      FROM scored)
+    WHERE rk <= {_FKNN_TOPK}
+    ORDER BY label, rank
+    """
+
+
+@query("embeddings_filtered_knn", oracle=_FILTERED_KNN_ORACLE)
+def embeddings_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("ev"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("ev"), F.col("qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _FKNN_TOPK)
+        .select("label", "rank", "vec_id", "cosine_sim")
+        .orderBy("label", "rank")
+    )
+
+
 @query("embeddings_ivf_search", oracle=_IVF_SEARCH_ORACLE)
 def embeddings_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -708,3 +708,28 @@ def test_round12_flagship_rotation():
     # all three policy decisions are in the hashed row set
     for phase in ("'hold'", "'fired'", "'post'"):
         assert phase in skew_o
+
+
+def test_round12_erasure_oracle_shares():
+    """Round-12 erasure claims rest on oracle identities — pin them:
+
+    * embeddings_ivf_search_after_erasure's oracle IS the in-plan IVF
+      search oracle plus exactly one erased-rows predicate (derived
+      programmatically), so the probe semantics cannot drift from the
+      driver-checked search.
+    * lexical_index_deletes' masked and folded stages share one
+      survivor-corpus aggregate (both stage literals inside a single
+      oracle), and the survivor predicate names BOTH erasure batches'
+      mods — the double-delete no-op is load-bearing in the hash."""
+    reg = load_all_queries()
+    erased = reg["embeddings_ivf_search_after_erasure"].oracle
+    base = reg["embeddings_ivf_search"].oracle
+    assert erased == base.replace(
+        "WHERE e.vec_id != 0",
+        "WHERE e.vec_id != 0 AND e.vec_id % 5 != 2",
+    )
+    assert erased != base
+    deletes = reg["lexical_index_deletes"].oracle
+    assert "doc_id % 7 NOT IN (3, 5)" in deletes
+    for stage in ("'masked'", "'folded'"):
+        assert stage in deletes
