@@ -848,6 +848,20 @@ GATE_PRIORITY: list[str] = [
     # weights 10⁶ div 2^⌊Δdays/7⌋ (no libm pow), per-user pair join,
     # the linear query's micro-unit credit discipline
     "events_attribution_time_decay",
+    # round-12: the erasure (tombstone) lifecycle — two delete
+    # batches (one redelivered, one overlapping: df must decrement
+    # exactly once per doc), read MASKED, physically FOLD, read
+    # again; both stages hash-equal the fresh build over survivors
+    "lexical_index_deletes",
+    # round-12: metadata-filtered vector search — top-k per filter
+    # value in one pass (groupwise WindowGroupLimit plan; the shape
+    # that never under-fills sparse filter values)
+    "embeddings_filtered_knn",
+    # round-12: the vector store's erasure consumer — the IVF probe
+    # after a tombstone delete equals the in-plan search over
+    # survivors; oracle derived from _IVF_SEARCH_ORACLE with exactly
+    # one added predicate (pinned by test_round12_erasure_oracle_shares)
+    "embeddings_ivf_search_after_erasure",
 ]
 
 
