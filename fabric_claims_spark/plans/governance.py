@@ -474,3 +474,64 @@ def forget_subject(
             target_object=table,
         )
     return results
+
+
+def forget_documents(
+    index_store,
+    doc_ids: DataFrame,
+    batch_id: int,
+    vec_ids: DataFrame | None = None,
+    audit_pipeline: str = "gdpr_erasure",
+) -> dict[str, int]:
+    """Right-to-be-forgotten for DERIVED serving state (round 12):
+    an erasure that only touches the source tables leaves the
+    subject's content queryable through every materialized index —
+    postings, phrase positions, near-dup pairs, stored vectors. This
+    fans one erasure increment out to all four families
+    (``operators/serving_index.apply_*_deletes``, one shared
+    batch_id — each family has its own commit table, so redelivery
+    of the whole request is a per-family no-op) and appends one
+    audit row per family carrying only the COUNT (never the ids —
+    the ``forget_subject`` rule). Logical erasure is immediate at
+    each commit swap; the bytes go at the families' maintenance
+    cadence (``fold_*_deletes`` / the next IVF rebuild). Returns
+    {family: ids_requested}."""
+    from fabric_claims_spark.operators.serving_index import (
+        LEX_POSTINGS,
+        POS_POSTINGS,
+        apply_ivf_deletes,
+        apply_lexical_deletes,
+        apply_lsh_deletes,
+        apply_positional_deletes,
+    )
+    from fabric_claims_spark.sources.audit import append_audit_row
+
+    n_docs = doc_ids.count()
+    legs: list[tuple[str, object]] = []
+    if index_store.exists(LEX_POSTINGS):
+        apply_lexical_deletes(index_store, doc_ids, batch_id)
+        legs.append(("lexical", n_docs))
+    if index_store.exists(POS_POSTINGS):
+        apply_positional_deletes(index_store, doc_ids, batch_id)
+        legs.append(("positional", n_docs))
+    from fabric_claims_spark.operators.serving_index import LSH_MINS
+
+    if index_store.exists(LSH_MINS):
+        apply_lsh_deletes(index_store, doc_ids, batch_id)
+        legs.append(("lsh", n_docs))
+    if vec_ids is not None:
+        apply_ivf_deletes(index_store, vec_ids, batch_id)
+        legs.append(("ivf", vec_ids.count()))
+    results: dict[str, int] = {}
+    for family, n in legs:
+        results[family] = int(n)
+        append_audit_row(
+            index_store.spark,
+            index_store,
+            pipeline=audit_pipeline,
+            layer="governance",
+            status="Succeeded",
+            rows_written=int(n),
+            target_object=f"serving_index:{family}",
+        )
+    return results

@@ -290,3 +290,83 @@ def test_enforce_k_anonymity_audits_suppression(spark, tmp_path, sf_dir):
     assert len(kl_audit) == 1
     assert kl_audit[0]["TargetObject"] == "kl_anonymize(k=5,l=4)"
     assert kl_audit[0]["RowsWritten"] == got_kl["kept"]
+
+
+def test_forget_documents_cascades_across_serving_families(
+    spark, tmp_path
+):
+    """Round 12: one erasure request fans out to every materialized
+    index family present in the store — the subject's content must
+    leave postings, phrase positions, near-dup pairs, AND the vector
+    index at the commit, with one counts-only audit row per family."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        apply_lexical_batch,
+        apply_lsh_batch,
+        apply_positional_batch,
+        read_ivf_index,
+        read_lexical_index,
+        read_lsh_pairs,
+        read_positional_index,
+    )
+    from fabric_claims_spark.plans.governance import forget_documents
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    store = TableStore(spark, str(tmp_path / "idx"))
+    apply_lexical_batch(store, docs, 0)
+    apply_positional_batch(store, docs, 0)
+    apply_lsh_batch(store, docs, 0, threshold=0.5, hasher="md5")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    apply_ivf_batch(store, emb, 0, seed)
+
+    kill = docs.where(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id")
+    vkill = emb.where(F.pmod("vec_id", F.lit(5)) == 0).select("vec_id")
+    out = forget_documents(store, kill, batch_id=1, vec_ids=vkill)
+    assert set(out) == {"lexical", "positional", "lsh", "ivf"}
+
+    td, _, dn = read_lexical_index(store)
+    for frame, col in (
+        (td, "doc_id"),
+        (dn, "doc_id"),
+        (read_positional_index(store), "doc_id"),
+        (read_ivf_index(store), "vec_id"),
+    ):
+        ids = kill if col == "doc_id" else vkill
+        assert (
+            frame.join(ids.withColumnRenamed(ids.columns[0], col), col,
+                       "left_semi").count() == 0
+        )
+    pairs = read_lsh_pairs(store)
+    for side in ("doc_a", "doc_b"):
+        assert (
+            pairs.join(
+                kill.withColumnRenamed("doc_id", side), side, "left_semi"
+            ).count() == 0
+        ), side
+
+    # audit: one counts-only row per family
+    from fabric_claims_spark.sources.audit import AUDIT_TABLE
+
+    audit = store.read(AUDIT_TABLE).where(
+        F.col("PipelineName") == "gdpr_erasure"
+    )
+    assert audit.count() == 4
+    targets = {r["TargetObject"] for r in audit.collect()}
+    assert targets == {
+        "serving_index:lexical",
+        "serving_index:positional",
+        "serving_index:lsh",
+        "serving_index:ivf",
+    }
+
+    # redelivery of the whole request: every family no-ops
+    before = read_lexical_index(store)[1].count()
+    forget_documents(store, kill, batch_id=1, vec_ids=vkill)
+    assert read_lexical_index(store)[1].count() == before
