@@ -167,6 +167,46 @@ def compact_index_table(
     return store.read(table).count()
 
 
+def index_file_count(store: TableStore, table: str) -> int:
+    """Data files in the table's CURRENT version — the read-side cost
+    driver compaction exists to bound (each increment appends at
+    least one file; scans pay per-file listing/open). Metadata-only:
+    ``inputFiles`` comes from the file index, no data read."""
+    if not store.exists(table):
+        return 0
+    return len(store.read(table).inputFiles())
+
+
+def maybe_compact_index_table(
+    store: TableStore,
+    table: str,
+    commits_table: str,
+    file_threshold: int = 64,
+    n_files: int = 8,
+) -> tuple[int, bool]:
+    """File-count-triggered compaction policy (round 12 — the
+    compaction twin of ``maybe_rebuild_ivf_index``'s skew trigger,
+    so BOTH maintenance cadences are code, not runbook prose).
+    SCALING.md round 10's compaction table shows reader wall growing
+    linearly in increment count while the data stays fixed; the
+    production trigger is therefore a threshold on the current
+    version's file count. Below the threshold: strict no-op (no
+    version churn — an empty rewrite would still swap pointers and
+    invalidate caches). At or above: one ``compact_index_table``
+    (committed rows → ``n_files``, tokens retained, reader
+    visibility bit-identical). Returns (measured_file_count,
+    compacted) so a scheduler can log the decision either way."""
+    if file_threshold < 1:
+        raise ValueError(
+            f"file_threshold must be >= 1, got {file_threshold}"
+        )
+    fc = index_file_count(store, table)
+    if fc < file_threshold:
+        return fc, False
+    compact_index_table(store, table, commits_table, n_files)
+    return fc, True
+
+
 def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int:
     """Reclaim orphan rows left by a crash between append and commit.
     Returns the number of rows removed. O(table) — a maintenance

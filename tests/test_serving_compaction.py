@@ -148,3 +148,55 @@ def test_compaction_is_generic_across_ivf_and_positional_stores(
     )
     want_p = sorted(tuple(r) for r in positional_postings(docs).collect())
     assert got_p == want_p
+
+
+def test_file_count_triggered_compaction_policy(spark, tmp_path):
+    """maybe_compact_index_table (round 12): holds strictly below the
+    file threshold (no version churn — the pointer must not move),
+    fires at/above it, and the reader view is bit-identical across
+    the fire."""
+    from fabric_claims_spark.operators.serving_index import (
+        LEX_COMMITS,
+        LEX_POSTINGS,
+        apply_lexical_batch,
+        index_file_count,
+        maybe_compact_index_table,
+        read_lexical_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.sources.parquet import load_table
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = TableStore(spark, str(tmp_path / "cmp"))
+    for b in range(4):
+        apply_lexical_batch(
+            store, docs.where(F.pmod("doc_id", F.lit(4)) == b), b
+        )
+    fc0 = index_file_count(store, LEX_POSTINGS)
+    assert fc0 >= 4  # one append file minimum per increment
+    ptr_before = store._current_version(LEX_POSTINGS)
+    held_fc, fired = maybe_compact_index_table(
+        store, LEX_POSTINGS, LEX_COMMITS, file_threshold=fc0 + 1
+    )
+    assert (held_fc, fired) == (fc0, False)
+    assert store._current_version(LEX_POSTINGS) == ptr_before  # no churn
+    before = sorted(
+        tuple(r) for r in read_lexical_index(store)[0].collect()
+    )
+    fire_fc, fired = maybe_compact_index_table(
+        store, LEX_POSTINGS, LEX_COMMITS, file_threshold=fc0, n_files=2
+    )
+    assert (fire_fc, fired) == (fc0, True)
+    assert store._current_version(LEX_POSTINGS) != ptr_before
+    assert index_file_count(store, LEX_POSTINGS) <= max(2, fc0 - 1)
+    after = sorted(
+        tuple(r) for r in read_lexical_index(store)[0].collect()
+    )
+    assert after == before  # reader visibility bit-identical
+    with _pytest.raises(ValueError, match="file_threshold"):
+        maybe_compact_index_table(
+            store, LEX_POSTINGS, LEX_COMMITS, file_threshold=0
+        )
