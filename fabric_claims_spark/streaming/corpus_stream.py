@@ -444,3 +444,63 @@ def positional_index_stream(
         .awaitTermination()
     )
     return read_positional_index(store)
+
+
+def corpus_mutation_stream(
+    spark: SparkSession,
+    mutations_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+):
+    """Continuously maintained lexical index over a MUTATION log —
+    the CDC-shaped production feed (round 12): each arriving file
+    carries both kinds of increment (``op='add'`` rows with document
+    content, ``op='del'`` rows naming erased doc_ids), and one
+    checkpointed stream folds both into the stored index in arrival
+    order.
+
+    Batch-id discipline: builds and erasures share ONE monotonic
+    sequence (the contract ``apply_lexical_deletes`` documents — the
+    df rollup's idempotence gate skips ids at or below the last
+    applied, so the two kinds cannot come from two independently
+    checkpointed streams). A micro-batch maps to TWO protocol ids —
+    ``2*batch_id`` for its adds, ``2*batch_id + 1`` for its deletes
+    (adds before deletes, so a batch may erase a doc it just added;
+    the sub-id split keeps redelivery idempotent per LEG: a torn
+    micro-batch that applied adds but crashed before deletes re-runs
+    with the add leg a no-op and the delete leg completing — the
+    exact torn-apply healing the batch path pytests pin).
+
+    Returns the served (postings, df, doclen) triple — live rows
+    only."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_batch,
+        apply_lexical_deletes,
+        read_lexical_index,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(mutations_dir).schema
+    if "op" not in schema.names:
+        raise ValueError("mutation log must carry an 'op' column")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(mutations_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        adds = batch_df.where(F.col("op") == "add").drop("op")
+        dels = batch_df.where(F.col("op") == "del").select("doc_id")
+        apply_lexical_batch(store, adds, 2 * batch_id)
+        apply_lexical_deletes(store, dels, 2 * batch_id + 1)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_lexical_index(store)

@@ -484,3 +484,85 @@ def test_positional_index_stream_matches_oneshot(spark, tmp_path):
     apply_positional_batch(one, docs, 0)
     want = {tuple(r) for r in read_positional_index(one).collect()}
     assert {tuple(r) for r in streamed.collect()} == want
+
+
+def test_corpus_mutation_stream_adds_and_deletes_in_order(
+    spark, tmp_path
+):
+    """Round 12: one CDC-shaped mutation log drives builds AND
+    erasures through a single checkpointed stream. Draining three
+    files — adds; adds + a delete of earlier docs; a delete-only
+    batch including a doc added in the SAME file's predecessor — must
+    leave exactly the batch-path state: a fresh build over the
+    surviving documents. A torn final commit (crash between sink and
+    checkpoint) redelivers the delete micro-batch; the sub-id split
+    (2b adds / 2b+1 deletes) makes both legs no-op."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_batch,
+        apply_lexical_deletes,
+        read_lexical_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import (
+        corpus_mutation_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    # mutation files: (1) add evens; (2) add odds + delete evens%3==0;
+    # (3) delete odds%3==0 (docs added by the PREVIOUS batch)
+    kill1 = evens.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    kill2 = odds.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    f1 = evens.withColumn("op", F.lit("add"))
+    f2 = odds.withColumn("op", F.lit("add")).unionByName(
+        kill1.select(
+            "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("del").alias("op"),
+        )
+    )
+    f3 = kill2.select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("del").alias("op"),
+    )
+    mut_dir = tmp_path / "mut"
+    mut_dir.mkdir()
+    for name, part in (("a", f1), ("b", f2), ("c", f3)):
+        side = tmp_path / f"mside_{name}"
+        part.coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            mut_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_mut")
+    td, dfc, dn = corpus_mutation_stream(
+        spark, str(mut_dir), ckpt, str(tmp_path / "store_m")
+    )
+
+    # batch-path truth: build everything, erase both kill sets
+    one = TableStore(spark, str(tmp_path / "store_t"))
+    apply_lexical_batch(one, docs, 0)
+    apply_lexical_deletes(one, kill1.unionByName(kill2), 1)
+    td1, dfc1, dn1 = read_lexical_index(one)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(td) == rows(td1)
+    assert rows(dfc) == rows(dfc1)
+    assert rows(dn) == rows(dn1)
+
+    # torn final (delete-only) micro-batch: redelivery changes nothing
+    _tear_last_commit(ckpt)
+    td2, dfc2, dn2 = corpus_mutation_stream(
+        spark, str(mut_dir), ckpt, str(tmp_path / "store_m")
+    )
+    assert rows(td2) == rows(td1)
+    assert rows(dfc2) == rows(dfc1)
+    assert rows(dn2) == rows(dn1)
