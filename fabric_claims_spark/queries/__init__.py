@@ -862,6 +862,13 @@ GATE_PRIORITY: list[str] = [
     # survivors; oracle derived from _IVF_SEARCH_ORACLE with exactly
     # one added predicate (pinned by test_round12_erasure_oracle_shares)
     "embeddings_ivf_search_after_erasure",
+    # round-12: mergeable (n, Σx, Σx²) state with RETRACTION — three
+    # add batches + one redelivered retraction batch through the
+    # signed-weight rollup must equal the one-shot aggregate over
+    # survivors (the group-not-just-monoid claim the erasure df path
+    # rests on, oracled directly; exact decimal sums until the final
+    # round-then-cast, mean/variance as mirrored IEEE trees)
+    "incremental_variance_equivalence",
 ]
 
 

@@ -736,6 +736,115 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# Incremental SECOND-MOMENT maintenance with retraction (round 12):
+# mergeable (n, Σx, Σx²) state supports mean/variance without
+# re-scanning history, and because counts-with-sign and sums form a
+# GROUP (not just a monoid), an erasure batch folds back OUT with
+# weight -1 / negated columns — the rollup extension the
+# serving-index delete path rests on, here oracled directly. Three
+# add batches fold in, one retraction batch folds a deterministic
+# subset out (and is REDELIVERED — the idempotence gate must no-op
+# it), and the state must equal the one-shot aggregate over the
+# surviving rows. Sums stay exact decimals until the final
+# round-then-cast; mean/variance are fixed IEEE expression trees
+# mirrored verbatim in the oracle.
+@query(
+    "incremental_variance_equivalence",
+    oracle="""
+    WITH surv AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(12,4)) AS p
+      FROM lineitem WHERE l_orderkey % 7 != 3)
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(p), 4) AS DOUBLE) AS qty_sum,
+           CAST(ROUND(SUM(p * p), 4) AS DOUBLE) AS qty_sumsq,
+           CAST(ROUND(SUM(p), 4) AS DOUBLE) / COUNT(*) AS mean_qty,
+           (CAST(ROUND(SUM(p * p), 4) AS DOUBLE)
+            - CAST(ROUND(SUM(p), 4) AS DOUBLE)
+              * CAST(ROUND(SUM(p), 4) AS DOUBLE) / COUNT(*))
+             / COUNT(*) AS var_qty
+    FROM surv GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_variance_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fabric_claims_spark.operators.rollup import (
+        maintain_additive_rollup_idempotent,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+
+    # l_quantity (small exact 2-dp values): squares and their sums
+    # stay far below 2^53, so every round-then-cast is ULP-safe in
+    # both engines — the magnitude discipline the module docstring's
+    # determinism rules require for derived-moment outputs.
+    o = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,4)").alias("p"),
+    )
+    work = tempfile.mkdtemp(prefix="m2_maint_")
+    try:
+        store = TableStore(spark, work)
+        state = None
+        for i in range(3):
+            batch = o.where(F.col("l_orderkey") % 3 == i).select(
+                "l_returnflag",
+                F.col("p").alias("qty_sum"),
+                (F.col("p") * F.col("p")).alias("qty_sumsq"),
+                F.lit(1).alias("_w"),
+            )
+            state = maintain_additive_rollup_idempotent(
+                store,
+                "m2_rollup",
+                batch,
+                i,
+                keys=["l_returnflag"],
+                sum_cols=["qty_sum", "qty_sumsq"],
+                count_col="n",
+                weight_col="_w",
+            )
+        retract = o.where(F.col("l_orderkey") % 7 == 3).select(
+            "l_returnflag",
+            (-F.col("p")).alias("qty_sum"),
+            (-(F.col("p") * F.col("p"))).alias("qty_sumsq"),
+            F.lit(-1).alias("_w"),
+        )
+        state = maintain_additive_rollup_idempotent(
+            store, "m2_rollup", retract, 3,
+            keys=["l_returnflag"],
+            sum_cols=["qty_sum", "qty_sumsq"],
+            count_col="n", weight_col="_w",
+        )
+        # redelivered retraction: the idempotence gate must no-op it
+        state = maintain_additive_rollup_idempotent(
+            store, "m2_rollup", retract, 3,
+            keys=["l_returnflag"],
+            sum_cols=["qty_sum", "qty_sumsq"],
+            count_col="n", weight_col="_w",
+        )
+        s = F.round(F.col("qty_sum"), 4).cast("double")
+        s2 = F.round(F.col("qty_sumsq"), 4).cast("double")
+        n = F.col("n")
+        out = state.select(
+            "l_returnflag",
+            n.alias("n"),
+            s.alias("qty_sum"),
+            s2.alias("qty_sumsq"),
+            (s / n).alias("mean_qty"),
+            ((s2 - s * s / n) / n).alias("var_qty"),
+        ).orderBy("l_returnflag")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # Gaps-and-islands — consecutive-month activity streaks per customer,
 # the classic "islands" pattern (month_index − row_number is constant
 # within a run of consecutive months). All integer arithmetic; the
