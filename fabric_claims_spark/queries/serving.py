@@ -184,21 +184,24 @@ def lexical_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lexical_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The erasure half of the serving lifecycle (round 12): the
-    corpus arrives as three increments, then TWO erasure increments
-    fold in under the same commit protocol — batch 3 erases
-    pmod(doc_id,7)==3, is REDELIVERED (must be a no-op), and batch 4
-    erases pmod(doc_id,7) IN (3,5), overlapping batch 3 (the repeat
-    of 3 must not decrement df twice). The 'masked' stage reads the
-    store while erased rows are merely tombstone-masked; then
-    ``fold_lexical_deletes`` drops the bytes and the 'folded' stage
-    re-reads. BOTH stages must hash-equal the fresh build over the
-    surviving corpus — df (decremented additively at weight -1), the
-    df recomputed from postings, and the live doclen count — so a
-    double decrement, a resurrection by the fold's swap ordering, or
-    a reader that missed the anti-join would each diverge the hash.
-    A term whose every doc was erased must VANISH (df=0 filtered),
-    exactly as a fresh build never sees it."""
+    """The erasure half of the serving lifecycle (round 12): after a
+    single-apply build (multi-increment build + redelivery no-ops
+    are ``lexical_index_maintenance``'s claim — this gate pays for
+    one apply, the same economy ``embeddings_ivf_search_served``
+    documents), TWO erasure increments fold in under the same commit
+    protocol — batch 1 erases pmod(doc_id,7)==3, is REDELIVERED
+    (must be a no-op), and batch 2 erases pmod(doc_id,7) IN (3,5),
+    overlapping batch 1 (the repeat of 3 must not decrement df
+    twice). The 'masked' stage reads the store while erased rows are
+    merely tombstone-masked; then ``fold_lexical_deletes`` drops the
+    bytes and the 'folded' stage re-reads. BOTH stages must
+    hash-equal the fresh build over the surviving corpus — df
+    (decremented additively at weight -1), the df recomputed from
+    postings, and the live doclen count — so a double decrement, a
+    resurrection by the fold's swap ordering, or a reader that
+    missed the anti-join would each diverge the hash. A term whose
+    every doc was erased must VANISH (df=0 filtered), exactly as a
+    fresh build never sees it."""
     from fabric_claims_spark.operators.serving_index import (
         apply_lexical_deletes,
         fold_lexical_deletes,
@@ -230,19 +233,16 @@ def lexical_index_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         store = TableStore(spark, work)
-        for b in range(3):
-            apply_lexical_batch(
-                store, docs.where(F.pmod("doc_id", F.lit(3)) == b), b
-            )
+        apply_lexical_batch(store, docs, 0)
         kill3 = docs.where(F.pmod("doc_id", F.lit(7)) == 3).select(
             "doc_id"
         )
-        apply_lexical_deletes(store, kill3, 3)
-        apply_lexical_deletes(store, kill3, 3)  # redelivery: no-op
+        apply_lexical_deletes(store, kill3, 1)
+        apply_lexical_deletes(store, kill3, 1)  # redelivery: no-op
         kill45 = docs.where(
             F.pmod("doc_id", F.lit(7)).isin(3, 5)
         ).select("doc_id")
-        apply_lexical_deletes(store, kill45, 4)  # overlap: no re-dec
+        apply_lexical_deletes(store, kill45, 2)  # overlap: no re-dec
         out = _stage("masked", store)
         fold_lexical_deletes(store)
         return out.unionByName(_stage("folded", store)).orderBy(
