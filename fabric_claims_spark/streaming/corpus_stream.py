@@ -451,34 +451,45 @@ def corpus_mutation_stream(
     mutations_dir: str,
     checkpoint_dir: str,
     store_root: str,
+    families: tuple[str, ...] = ("lexical",),
 ):
-    """Continuously maintained lexical index over a MUTATION log —
+    """Continuously maintained document indexes over a MUTATION log —
     the CDC-shaped production feed (round 12): each arriving file
     carries both kinds of increment (``op='add'`` rows with document
     content, ``op='del'`` rows naming erased doc_ids), and one
-    checkpointed stream folds both into the stored index in arrival
-    order.
+    checkpointed stream folds both into every requested index family
+    (``lexical`` / ``positional`` / ``lsh``) in arrival order.
 
     Batch-id discipline: builds and erasures share ONE monotonic
-    sequence (the contract ``apply_lexical_deletes`` documents — the
-    df rollup's idempotence gate skips ids at or below the last
-    applied, so the two kinds cannot come from two independently
-    checkpointed streams). A micro-batch maps to TWO protocol ids —
-    ``2*batch_id`` for its adds, ``2*batch_id + 1`` for its deletes
-    (adds before deletes, so a batch may erase a doc it just added;
-    the sub-id split keeps redelivery idempotent per LEG: a torn
-    micro-batch that applied adds but crashed before deletes re-runs
-    with the add leg a no-op and the delete leg completing — the
-    exact torn-apply healing the batch path pytests pin).
+    sequence PER FAMILY (the contract ``apply_lexical_deletes``
+    documents — the df rollup's idempotence gate skips ids at or
+    below the last applied, so the two kinds cannot come from two
+    independently checkpointed streams; each family has its own
+    commit table, so one sequence serves all). A micro-batch maps to
+    TWO protocol ids — ``2*batch_id`` for its adds, ``2*batch_id +
+    1`` for its deletes (adds before deletes, so a batch may erase a
+    doc it just added; the sub-id split keeps redelivery idempotent
+    per LEG and per family: a torn micro-batch that applied some
+    legs re-runs with the applied legs no-oping and the rest
+    completing — the exact torn-apply healing the batch path pytests
+    pin).
 
-    Returns the served (postings, df, doclen) triple — live rows
-    only."""
+    Returns the served lexical (postings, df, doclen) triple when
+    ``lexical`` is maintained, else None — live rows only; the other
+    families are read through their own ``read_*`` functions."""
     from fabric_claims_spark.operators.serving_index import (
         apply_lexical_batch,
         apply_lexical_deletes,
+        apply_lsh_batch,
+        apply_lsh_deletes,
+        apply_positional_batch,
+        apply_positional_deletes,
         read_lexical_index,
     )
 
+    unknown = set(families) - {"lexical", "positional", "lsh"}
+    if unknown:
+        raise ValueError(f"unknown index families: {sorted(unknown)}")
     store = TableStore(spark, store_root)
     schema = spark.read.parquet(mutations_dir).schema
     if "op" not in schema.names:
@@ -492,8 +503,16 @@ def corpus_mutation_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         adds = batch_df.where(F.col("op") == "add").drop("op")
         dels = batch_df.where(F.col("op") == "del").select("doc_id")
-        apply_lexical_batch(store, adds, 2 * batch_id)
-        apply_lexical_deletes(store, dels, 2 * batch_id + 1)
+        a_id, d_id = 2 * batch_id, 2 * batch_id + 1
+        if "lexical" in families:
+            apply_lexical_batch(store, adds, a_id)
+            apply_lexical_deletes(store, dels, d_id)
+        if "positional" in families:
+            apply_positional_batch(store, adds, a_id)
+            apply_positional_deletes(store, dels, d_id)
+        if "lsh" in families:
+            apply_lsh_batch(store, adds, a_id, hasher="md5")
+            apply_lsh_deletes(store, dels, d_id)
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -503,4 +522,4 @@ def corpus_mutation_stream(
         .start()
         .awaitTermination()
     )
-    return read_lexical_index(store)
+    return read_lexical_index(store) if "lexical" in families else None

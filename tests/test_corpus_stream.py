@@ -542,7 +542,11 @@ def test_corpus_mutation_stream_adds_and_deletes_in_order(
 
     ckpt = str(tmp_path / "ckpt_mut")
     td, dfc, dn = corpus_mutation_stream(
-        spark, str(mut_dir), ckpt, str(tmp_path / "store_m")
+        spark,
+        str(mut_dir),
+        ckpt,
+        str(tmp_path / "store_m"),
+        families=("lexical", "positional", "lsh"),
     )
 
     # batch-path truth: build everything, erase both kill sets
@@ -558,10 +562,36 @@ def test_corpus_mutation_stream_adds_and_deletes_in_order(
     assert rows(dfc) == rows(dfc1)
     assert rows(dn) == rows(dn1)
 
+    # the co-maintained families saw the same erasures
+    from fabric_claims_spark.operators.serving_index import (
+        positional_postings,
+        read_lsh_pairs,
+        read_positional_index,
+    )
+
+    kills = kill1.unionByName(kill2)
+    store_m = TableStore(spark, str(tmp_path / "store_m"))
+    assert rows(read_positional_index(store_m)) == rows(
+        positional_postings(
+            docs.join(kills, "doc_id", "left_anti")
+        )
+    )
+    pairs = read_lsh_pairs(store_m)
+    for side in ("doc_a", "doc_b"):
+        assert (
+            pairs.join(
+                kills.withColumnRenamed("doc_id", side), side, "left_semi"
+            ).count() == 0
+        ), side
+
     # torn final (delete-only) micro-batch: redelivery changes nothing
     _tear_last_commit(ckpt)
     td2, dfc2, dn2 = corpus_mutation_stream(
-        spark, str(mut_dir), ckpt, str(tmp_path / "store_m")
+        spark,
+        str(mut_dir),
+        ckpt,
+        str(tmp_path / "store_m"),
+        families=("lexical", "positional", "lsh"),
     )
     assert rows(td2) == rows(td1)
     assert rows(dfc2) == rows(dfc1)
