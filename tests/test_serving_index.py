@@ -752,3 +752,42 @@ def test_lsh_deletes_mask_pairs_and_future_candidates(spark, docs, tmp_path):
     assert sorted(tuple(r) for r in read_lsh_pairs(store).collect()) == (
         sorted(tuple(r) for r in after.collect())
     )
+
+
+def test_lexical_delete_vanishes_fully_erased_terms(spark, tmp_path):
+    """A term carried ONLY by erased docs must vanish from the df
+    view (df=0 filtered), exactly as a fresh build never sees it —
+    and reappear nowhere after the physical fold. The corpus fixture
+    makes the path real: 'unicorn' exists only in the doomed docs
+    (the sf corpora's shared vocabulary never fully erases a term,
+    so this edge needs a synthetic corpus)."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_deletes,
+        fold_lexical_deletes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words here"),
+            (2, "unicorn common"),
+            (3, "unicorn alone"),
+            (4, "words again"),
+        ],
+        "doc_id long, text string",
+    )
+    store = TableStore(spark, str(tmp_path / "vanish"))
+    apply_lexical_batch(store, docs, 0)
+    _, df0, _ = read_lexical_index(store)
+    assert ("unicorn", 2) in {(r["term"], r["df"]) for r in df0.collect()}
+    kill = docs.where(F.col("doc_id").isin(2, 3)).select("doc_id")
+    apply_lexical_deletes(store, kill, 1)
+    for stage in ("masked", "folded"):
+        td, dfc, _ = read_lexical_index(store)
+        terms = {(r["term"], r["df"]) for r in dfc.collect()}
+        assert terms == {
+            ("common", 1), ("words", 2), ("here", 1),
+            ("again", 1), ("alone", 0),
+        } - {("alone", 0)}, stage
+        assert "unicorn" not in {r["term"] for r in td.collect()}, stage
+        if stage == "masked":
+            fold_lexical_deletes(store)
