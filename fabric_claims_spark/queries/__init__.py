@@ -869,6 +869,11 @@ GATE_PRIORITY: list[str] = [
     # rests on, oracled directly; exact decimal sums until the final
     # round-then-cast, mean/variance as mirrored IEEE trees)
     "incremental_variance_equivalence",
+    # round-12: sweep-line interval concurrency — peak simultaneous
+    # gap-sessions (sessionization CTEs shared verbatim); the global
+    # running boundary sum is two-phase (within-day sweep + bounded
+    # day-offset rebase), never one partitionless window
+    "events_peak_concurrency",
 ]
 
 
