@@ -38,21 +38,49 @@ JUDGE_NAMED = [
     # unpivot_status_counts left the prefix — their operators stay
     # prefix-checked via the neardup twins (which recompute the
     # signatures inline) and pivot_status_by_priority; see
-    # test_round6_flagship_rotation.
-    "docs_minhash_neardup",
+    # test_round6_flagship_rotation. (docs_minhash_neardup itself was
+    # demoted in round 13 — its duty lives in docs_dup_clusters_served
+    # below.)
     # round-10 rotation: docs_dup_clusters' judge-named duty passed to
     # its SERVED twin — the oracle is shared VERBATIM
     # (_dup_clusters_oracle(0.5)), so the driver hash-checks the
     # identical cluster semantics through a query that additionally
     # exercises the LSH serving store; the in-plan twin stays
     # oracle-checked locally (guard in test_round10_flagship_rotation).
+    # round-13 rotation: docs_minhash_neardup's judge-named duty also
+    # passes to this row — its oracle embeds the identical
+    # _neardup_ctes() candidate pipeline (shingles → signatures →
+    # bands → capped bucket join → est), so banded MinHash-LSH stays
+    # driver-hash-checked here (guard in
+    # test_round13_flagship_rotation).
     "docs_dup_clusters_served",
     "docs_bm25_topk",
-    "kpi_monthly_fulfillment_trend",
+    # round-13 rotation: kpi_monthly_fulfillment_trend's judge-named
+    # duty passes to priority_fulfillment_rates — the identical
+    # SUM(CASE fulfilled) / NULLIF(COUNT) try_divide rate pair — with
+    # the month grouping prefix-covered by ytd_running_revenue +
+    # calendar_attributes (guard in test_round13_flagship_rotation).
+    "priority_fulfillment_rates",
     "retention_stamps",
-    "events_session_window",
-    "order_value_quartiles",
-    "order_value_stats",
+    # round-13 rotation: events_session_window's judge-named duty
+    # passes to events_peak_concurrency — the gap-session contract
+    # (inclusive 1800 s boundary, (ts, event_id) order, lag + cumsum
+    # ids) shared verbatim with events_sessionization's CTEs; the
+    # native F.session_window grouping keeps its tri-scale local
+    # oracle + the streaming pytest twin (guard in
+    # test_round13_flagship_rotation).
+    "events_peak_concurrency",
+    # round-13 rotation: order_value_quartiles' judge-named duty
+    # passes to events_user_rfm_segments — three exact-quintile
+    # passes through the identical with_global_rank + ntile_by_rank
+    # machinery (guard in test_round13_flagship_rotation).
+    "events_user_rfm_segments",
+    # round-13 rotation: order_value_stats' judge-named duty passes
+    # to incremental_variance_equivalence — the same exact-decimal
+    # Σx/Σx² moment state and mirrored mean/variance IEEE trees, plus
+    # the signed-weight retraction claim (guard in
+    # test_round13_flagship_rotation).
+    "incremental_variance_equivalence",
     "pivot_status_by_priority",
     "orders_price_band_range_join",
 ]
@@ -145,9 +173,11 @@ def test_round5_rotation():
     # shingle machinery: docs_jaccard_pairs' covering duty passed to
     # docs_minhash_neardup + docs_hybrid_rrf_served in round 11 (the
     # explode(sequence(...)) generator and the exact inter/union
-    # Jaccard division respectively; see
-    # test_round11_flagship_rotation).
-    assert "docs_minhash_neardup" in prefix
+    # Jaccard division respectively), and docs_minhash_neardup's on
+    # to docs_dup_clusters_served in round 13 (oracle embeds the
+    # identical _neardup_ctes() pipeline, shingles included; see
+    # test_round13_flagship_rotation).
+    assert "docs_dup_clusters_served" in prefix
     # vector-norm/cosine algebra (knn_bruteforce was itself demoted by
     # the second round-5 swap; pq_adc + semantic_dedup keep it covered)
     assert "embeddings_pq_adc_knn" in prefix
@@ -207,8 +237,10 @@ def test_round6_flagship_rotation():
     # parameters, cohort-bounded, plus exact cosine ground truth).
     # (docs_jaccard_pairs' shingle-generator covering duty passed to
     # docs_minhash_neardup alone in round 11 — the neardup twin
-    # recomputes the identical explode(sequence(...)) shingles.)
-    for covering in ("docs_minhash_neardup", "docs_simhash_recall",
+    # recomputes the identical explode(sequence(...)) shingles — and
+    # on to docs_dup_clusters_served in round 13, whose oracle embeds
+    # the identical _neardup_ctes() pipeline, shingles included.)
+    for covering in ("docs_dup_clusters_served", "docs_simhash_recall",
                      "pivot_status_by_priority"):
         assert covering in prefix, covering
     for demoted in (
@@ -265,7 +297,11 @@ def test_round7_flagship_rotation():
     for covering in (
         "dq_reasons_orders",
         "not_in_null_semantics",
-        "events_session_window",
+        # events_session_window's covering duty passed to
+        # events_peak_concurrency in round 13 (gaps CTE shared
+        # verbatim with events_sessionization; see
+        # test_round13_flagship_rotation)
+        "events_peak_concurrency",
         "embeddings_semantic_dedup_mp",  # round-9: superset of the sp twin
     ):
         assert covering in prefix, covering
@@ -338,7 +374,10 @@ def test_round5_continuation_swap():
     # recall gate, which recompute it inline (round-9 rotation took
     # the single-probe twins to the tail).
     assert "embeddings_semantic_dedup_mp" in prefix
-    assert "embeddings_semdedup_recall_mp" in prefix
+    # the recall gate was demoted in round 13; the assignment argmax
+    # additionally stays prefix-checked inside the promoted
+    # embeddings_ivf_search_after_erasure's in-plan search
+    assert "embeddings_ivf_search_after_erasure" in prefix
     assert "embeddings_ivf_assign" in names[50:]
     assert reg["embeddings_ivf_assign"].oracle is not None
 
@@ -380,9 +419,12 @@ def test_round8_flagship_rotation():
         "docs_hybrid_rrf_served",
         "events_funnel_windowed",
         # the single-probe recall row passed to its _mp superset in
-        # round 9 (same cohort, same exact ground truth, wider
-        # candidate space).
-        "embeddings_semdedup_recall_mp",
+        # round 9, and the _mp gate was itself demoted in round 13 —
+        # its machinery stays prefix-covered piecewise (Lloyd +
+        # multi-probe via embeddings_semantic_dedup_mp, cosine top-k
+        # via embeddings_filtered_knn, recall arithmetic via
+        # docs_simhash_recall; see test_round13_flagship_rotation).
+        "embeddings_semantic_dedup_mp",
         "events_user_survival_km",
         "events_user_rfm_segments",
     ):
@@ -450,7 +492,9 @@ def test_round9_flagship_rotation():
         # superset via delegation; see test_round10/11 rotations)
         "customers_klt_anonymize_enforced",
         "docs_simhash_recall",
-        "embeddings_semdedup_recall_mp",
+        # embeddings_semdedup_recall_mp was demoted in round 13; its
+        # machinery stays prefix-covered piecewise (see
+        # test_round13_flagship_rotation)
         "embeddings_semantic_dedup_mp",
     ):
         assert promoted in prefix, promoted
@@ -733,3 +777,136 @@ def test_round12_erasure_oracle_shares():
     assert "doc_id % 7 NOT IN (3, 5)" in deletes
     for stage in ("'masked'", "'folded'"):
         assert stage in deletes
+
+
+def _norm(s: str) -> str:
+    """Whitespace-insensitive oracle comparison (indentation differs
+    between modules; the SQL text must not)."""
+    return "".join(s.split())
+
+
+def test_round13_flagship_rotation():
+    """Round-13 curation (VERDICT r12 item 1 — the rotation debt):
+    six never-driver-checked rows gain driver rows, each displaced
+    duty provably still prefix-covered:
+
+    * kpi_monthly_fulfillment_trend -> tail: the SUM(CASE fulfilled)
+      / NULLIF(COUNT) try_divide rate pair runs VERBATIM in
+      priority_fulfillment_rates; month grouping stays prefix via
+      ytd_running_revenue + calendar_attributes. New machine:
+      lexical_index_deletes — the erasure lifecycle's masked AND
+      folded stages hash-equal the fresh build over survivors.
+    * events_session_window -> tail: the gap-session contract
+      (strict > 1800 s boundary test, lag + cumulative-sum ids) is
+      the gaps CTE events_peak_concurrency shares verbatim with
+      events_sessionization; the native F.session_window grouping
+      keeps its tri-scale local oracle + the streaming pytest twin.
+      New machine: the sweep-line interval operator with the
+      two-phase global running sum.
+    * order_value_quartiles -> tail: events_user_rfm_segments runs
+      the identical with_global_rank + ntile_by_rank selection
+      machinery (three quintile passes). New machine:
+      embeddings_filtered_knn — groupwise top-k vector search.
+    * order_value_stats -> tail: the exact-decimal (n, Σx, Σx²)
+      moment state and the mean/variance IEEE trees are the one-shot
+      contract of incremental_variance_equivalence, which
+      additionally proves retraction (group algebra). The sqrt
+      stddev readout keeps its local tri-scale hash.
+    * docs_minhash_neardup -> tail: docs_dup_clusters_served's
+      oracle embeds the identical _neardup_ctes() candidate
+      pipeline (shingles -> signatures -> bands -> capped bucket
+      join -> est), so banded MinHash-LSH stays driver-hash-checked.
+      New machine: docs_phrase_search_ngram_served — the positional
+      serving family's first driver row (2-term + 4-term stored
+      adjacency chains).
+    * embeddings_semdedup_recall_mp -> tail: Lloyd training +
+      multi-probe assignment stay prefix via
+      embeddings_semantic_dedup_mp; exact cosine top-k via
+      embeddings_filtered_knn and the in-plan search inside
+      embeddings_ivf_search_after_erasure; recall-ratio arithmetic
+      via docs_simhash_recall. New machine: the IVF erasure
+      consumer (probe-after-delete == search over survivors)."""
+    import inspect
+
+    reg = load_all_queries()
+    prefix = set(list(reg)[:50])
+    for promoted in (
+        "lexical_index_deletes",
+        "events_peak_concurrency",
+        "embeddings_filtered_knn",
+        "incremental_variance_equivalence",
+        "docs_phrase_search_ngram_served",
+        "embeddings_ivf_search_after_erasure",
+    ):
+        assert promoted in prefix, promoted
+    for demoted in (
+        "kpi_monthly_fulfillment_trend",
+        "events_session_window",
+        "order_value_quartiles",
+        "order_value_stats",
+        "docs_minhash_neardup",
+        "embeddings_semdedup_recall_mp",
+    ):
+        assert demoted in reg and reg[demoted].oracle is not None
+        assert demoted not in prefix, demoted
+
+    # -- the coverage-transfer claims, pinned at the source --
+    # KPI rate pair: the fulfilled-rate expression is shared verbatim
+    # (whitespace-normalized; indentation differs between modules).
+    rate = _norm(
+        "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+        " / CAST(NULLIF(COUNT(*), 0) AS DOUBLE)"
+    )
+    assert rate in _norm(reg["kpi_monthly_fulfillment_trend"].oracle)
+    assert rate in _norm(reg["priority_fulfillment_rates"].oracle)
+
+    # Gap-session contract: peak_concurrency's gaps CTE is the
+    # sessionization CTE verbatim, and all three queries encode the
+    # strict (> 1800) boundary test.
+    gaps = _norm(
+        """
+        SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+               CASE WHEN date_diff('second',
+                      LAG(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      CAST(date_trunc('second', ts) AS TIMESTAMP)) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        """
+    )
+    assert gaps in _norm(reg["events_peak_concurrency"].oracle)
+    assert gaps in _norm(reg["events_sessionization"].oracle)
+    assert ">1800" in _norm(reg["events_session_window"].oracle)
+
+    # Selection machinery: quartiles and RFM both go through the
+    # distributed selection operator (no partitionless window).
+    for name in ("order_value_quartiles", "events_user_rfm_segments"):
+        src = inspect.getsource(reg[name].fn)
+        assert "with_global_rank" in src and "ntile_by_rank" in src, name
+
+    # Moment state: both oracles carry an exact-decimal sum-of-squares
+    # with round-then-cast, and mirror the var = s2/n - (s/n)^2 tree.
+    stats_o = _norm(reg["order_value_stats"].oracle)
+    var_o = _norm(reg["incremental_variance_equivalence"].oracle)
+    assert "ROUND(SUM(CAST(o_totalpriceASDECIMAL(19,4))*CAST(o_totalpriceASDECIMAL(19,4))),0)" in stats_o
+    assert "ROUND(SUM(p*p),4)" in var_o
+    assert "sxx/n-(sx/n)*(sx/n)" in stats_o
+    assert "var_qty" in var_o and "mean_qty" in var_o
+
+    # MinHash banding: the served cluster oracle embeds the exact
+    # candidate pipeline the pair oracle selects from.
+    from fabric_claims_spark.queries.lsh import _neardup_ctes
+
+    ctes = _norm(_neardup_ctes())
+    assert ctes in _norm(reg["docs_minhash_neardup"].oracle)
+    assert ctes in _norm(reg["docs_dup_clusters_served"].oracle)
+
+    # SemDeDup recall coverage chain: the pieces named above must
+    # themselves be prefix rows for the transfer to hold.
+    for carrier in (
+        "embeddings_semantic_dedup_mp",
+        "docs_simhash_recall",
+        "embeddings_filtered_knn",
+        "embeddings_ivf_search_after_erasure",
+    ):
+        assert carrier in prefix, carrier
