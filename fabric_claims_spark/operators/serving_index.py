@@ -75,10 +75,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from fabric_claims_spark.extensions.bpe import (
+    _release_checkpoint,
+    _tracked_checkpoint,
+)
 from fabric_claims_spark.operators.rollup import (
+    APPLIED_BATCH_COL,
     maintain_additive_rollup_idempotent,
 )
 from fabric_claims_spark.sources.merge import TableStore
+
+IVF_DOCMAP = "ivf_docmap"
 
 LEX_POSTINGS = "lex_postings"
 LEX_DOCLEN = "lex_doclen"
@@ -247,30 +254,41 @@ def apply_lexical_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> bool:
     """Fold one corpus increment into the stored lexical index.
     O(batch) work; idempotent on ``batch_id``; documents are treated
     as append-only (the immutable-corpus-snapshot shape — a rewrite
-    pipeline versions whole partitions instead)."""
+    pipeline versions whole partitions instead). Returns True when
+    the increment was applied by THIS call, False when the batch_id
+    was already committed (redelivery no-op) — so callers can audit
+    the real outcome instead of assuming success (ADVICE r12)."""
     if _applied(store, LEX_COMMITS, batch_id):
-        return
-    td = lexical_postings(batch_docs, id_col, text_col).localCheckpoint()
-    # 1) df rollup first — itself idempotent on batch_id, so a torn
-    #    apply that reached only this step re-runs safely
-    maintain_additive_rollup_idempotent(
-        store, LEX_DF, td, batch_id, keys=["term"], count_col="df"
-    )
-    # 2) token-stamped appends (invisible until committed)
-    token = uuid.uuid4().hex
-    store.append(LEX_POSTINGS, td.withColumn(_TOKEN, F.lit(token)))
-    store.append(
-        LEX_DOCLEN,
-        td.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(_TOKEN, F.lit(token)),
-    )
-    # 3) visibility commit
-    _commit(store, LEX_COMMITS, batch_id, token)
+        return False
+    # tracked checkpoint (ADVICE r12: the long-running CDC sink calls
+    # this every micro-batch — an untracked localCheckpoint leaks one
+    # persisted RDD per call for the session's life)
+    td, _cp = _tracked_checkpoint(lexical_postings(batch_docs, id_col, text_col))
+    try:
+        # 1) df rollup first — itself idempotent on batch_id, so a torn
+        #    apply that reached only this step re-runs safely
+        maintain_additive_rollup_idempotent(
+            store, LEX_DF, td, batch_id, keys=["term"], count_col="df"
+        )
+        # 2) token-stamped appends (invisible until committed)
+        token = uuid.uuid4().hex
+        store.append(LEX_POSTINGS, td.withColumn(_TOKEN, F.lit(token)))
+        store.append(
+            LEX_DOCLEN,
+            td.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(_TOKEN, F.lit(token)),
+        )
+        # 3) visibility commit
+        _commit(store, LEX_COMMITS, batch_id, token)
+    finally:
+        # every consumer of td has materialized (all writes returned)
+        _release_checkpoint(_cp)
+    return True
 
 
 def read_lexical_tombstones(store: TableStore) -> DataFrame:
@@ -318,11 +336,21 @@ def apply_lexical_deletes(
     doc_ids: DataFrame,
     batch_id: int,
     id_col: str = "doc_id",
-) -> None:
+) -> bool:
     """Fold one ERASURE increment into the stored lexical index —
     the right-to-be-forgotten path (round 12; reference scope: the
     masking/erasure governance family, SURVEY §2.12, extended to the
-    serving indexes). O(deleted docs) work, never a corpus re-scan:
+    serving indexes). Returns True when the erasure was applied by
+    THIS call, False when the batch_id was already committed
+    (redelivery — or a caller-chosen id colliding with an earlier
+    build/delete batch; either way the caller can now audit the real
+    outcome, ADVICE r12). A batch_id strictly BELOW the df rollup's
+    applied watermark that is NOT in the commit table raises: the
+    tombstones would land but the df decrement would be silently
+    swallowed by the rollup's idempotence gate, leaving the index
+    internally inconsistent (the masked/folded state would no longer
+    equal a fresh build over survivors). O(deleted docs) work, never
+    a corpus re-scan:
 
     1. The delete set is reduced to docs that are indexed AND not
        already tombstoned (a second delete of the same doc — in this
@@ -344,35 +372,58 @@ def apply_lexical_deletes(
     scheduler owns the sequence, exactly as for builds). Documents
     are append-only snapshots; a deleted doc_id is never re-added
     (re-ingest is a new doc_id), so tombstones never need unmasking.
+
+    Id coordination: builds, deletes, and ``corpus_mutation_stream``
+    micro-batches (which map micro-batch b to protocol ids 2b for
+    adds and 2b+1 for deletes) all draw from ONE monotonic sequence
+    per family — a ``forget_documents`` caller running beside the
+    stream must take its ids from the same scheduler (e.g. beyond
+    the stream's current 2b+1 high-water mark), or the collision is
+    surfaced as a skipped apply / a stale-id ValueError here rather
+    than silently mis-recorded (ADVICE r12).
     """
     if _applied(store, LEX_COMMITS, batch_id):
-        return
-    ids = (
+        return False
+    if store.exists(LEX_DF):
+        applied = store.read(LEX_DF).select(F.max(APPLIED_BATCH_COL)).head()[0]
+        if applied is not None and int(batch_id) < int(applied):
+            raise ValueError(
+                f"apply_lexical_deletes: batch_id {batch_id} is below "
+                f"the df rollup's applied watermark {applied} and not "
+                "committed — the decrement would be silently skipped. "
+                "Issue delete ids from the family's monotonic sequence."
+            )
+    ids, _cp_ids = _tracked_checkpoint(
         doc_ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
         .join(read_lexical_tombstones(store), "doc_id", "left_anti")
-        .localCheckpoint()
     )
-    # terms of the docs being erased — equi-join bounded by the
-    # delete set (tiny side; AQE broadcasts it)
-    td_del = (
-        _committed_rows(store, LEX_POSTINGS, LEX_COMMITS)
-        .join(ids, "doc_id", "left_semi")
-        .withColumn("_w", F.lit(-1))
-        .localCheckpoint()
-    )
-    maintain_additive_rollup_idempotent(
-        store,
-        LEX_DF,
-        td_del,
-        batch_id,
-        keys=["term"],
-        count_col="df",
-        weight_col="_w",
-    )
-    token = uuid.uuid4().hex
-    store.append(LEX_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
-    _commit(store, LEX_COMMITS, batch_id, token)
+    try:
+        # terms of the docs being erased — equi-join bounded by the
+        # delete set (tiny side; AQE broadcasts it)
+        td_del, _cp_td = _tracked_checkpoint(
+            _committed_rows(store, LEX_POSTINGS, LEX_COMMITS)
+            .join(ids, "doc_id", "left_semi")
+            .withColumn("_w", F.lit(-1))
+        )
+        try:
+            maintain_additive_rollup_idempotent(
+                store,
+                LEX_DF,
+                td_del,
+                batch_id,
+                keys=["term"],
+                count_col="df",
+                weight_col="_w",
+            )
+            token = uuid.uuid4().hex
+            store.append(LEX_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
+            _commit(store, LEX_COMMITS, batch_id, token)
+        finally:
+            _release_checkpoint(_cp_td)
+    finally:
+        _release_checkpoint(_cp_ids)
+    return True
 
 
 def fold_lexical_deletes(store: TableStore, n_files: int = 8) -> int:
@@ -387,30 +438,42 @@ def fold_lexical_deletes(store: TableStore, n_files: int = 8) -> int:
     already masked those rows), the tombstone table clears LAST. A
     crash anywhere in between leaves a state where the anti-join
     still masks whatever the fold hasn't dropped yet; clearing
-    tombstones before both folds would resurrect erased rows. The df
-    rollup holds the decrements already (apply time) and is not
-    touched. Maintenance action, never on the read path."""
-    tomb = read_lexical_tombstones(store).localCheckpoint()
-    if tomb.head() is None:
-        return 0
-    dropped = 0
-    for table in (LEX_POSTINGS, LEX_DOCLEN):
-        if not store.exists(table):
-            continue
-        rows = store.read(table)
-        tokens = store.read(LEX_COMMITS).select(
-            F.col("token").alias(_TOKEN)
+    tombstones before both folds would resurrect erased rows. Only
+    the SNAPSHOTTED doc_ids clear (ADVICE r12): a delete increment
+    committed between this fold's tombstone snapshot and its final
+    swap survives in the tombstone table — still masked, folded by
+    the next cadence — instead of being truncated away unapplied
+    (permanent resurrection of erased rows). The df rollup holds the
+    decrements already (apply time) and is not touched. Maintenance
+    action, never on the read path."""
+    tomb, _cp = _tracked_checkpoint(read_lexical_tombstones(store))
+    try:
+        if tomb.head() is None:
+            return 0
+        dropped = 0
+        for table in (LEX_POSTINGS, LEX_DOCLEN):
+            if not store.exists(table):
+                continue
+            rows = store.read(table)
+            tokens = store.read(LEX_COMMITS).select(
+                F.col("token").alias(_TOKEN)
+            )
+            committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+            keep = committed.join(tomb, "doc_id", "left_anti")
+            dropped += committed.count() - keep.count()
+            store.overwrite(table, keep.repartition(n_files))
+        # tombstones cleared LAST (see above), and only the snapshot's
+        # ids; the commit table keeps the delete batch_ids, so
+        # redelivery of an old delete stays a no-op
+        store.overwrite(
+            LEX_TOMBSTONES,
+            store.read(LEX_TOMBSTONES)
+            .join(tomb, "doc_id", "left_anti")
+            .coalesce(1),
         )
-        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
-        keep = committed.join(tomb, "doc_id", "left_anti")
-        dropped += committed.count() - keep.count()
-        store.overwrite(table, keep.repartition(n_files))
-    # tombstones cleared LAST (see above); the commit table keeps the
-    # delete batch_ids, so redelivery of an old delete stays a no-op
-    store.overwrite(
-        LEX_TOMBSTONES, store.read(LEX_TOMBSTONES).limit(0).coalesce(1)
-    )
-    return dropped
+        return dropped
+    finally:
+        _release_checkpoint(_cp)
 
 
 # -- positional index --------------------------------------------------------
@@ -447,17 +510,19 @@ def apply_positional_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> bool:
     """Fold one corpus increment into the stored positional index —
     O(batch) append under the standard token-commit protocol
     (idempotent on batch_id; orphans from a torn apply stay invisible
-    and vacuumable)."""
+    and vacuumable). Returns applied-by-this-call (False =
+    already-committed no-op; ADVICE r12 audit contract)."""
     if _applied(store, POS_COMMITS, batch_id):
-        return
+        return False
     rows = positional_postings(batch_docs, id_col, text_col)
     token = uuid.uuid4().hex
     store.append(POS_POSTINGS, rows.withColumn(_TOKEN, F.lit(token)))
     _commit(store, POS_COMMITS, batch_id, token)
+    return True
 
 
 def read_positional_tombstones(store: TableStore) -> DataFrame:
@@ -484,13 +549,14 @@ def apply_positional_deletes(
     doc_ids: DataFrame,
     batch_id: int,
     id_col: str = "doc_id",
-) -> None:
+) -> bool:
     """Erasure increment for the positional index — token-stamped
     tombstones + commit, same contract as ``apply_lexical_deletes``
     minus the rollup leg (the positional family keeps no derived
-    aggregate state; phrase reads go straight to postings)."""
+    aggregate state; phrase reads go straight to postings). Returns
+    applied-by-this-call (ADVICE r12 audit contract)."""
     if _applied(store, POS_COMMITS, batch_id):
-        return
+        return False
     ids = (
         doc_ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
@@ -499,25 +565,33 @@ def apply_positional_deletes(
     token = uuid.uuid4().hex
     store.append(POS_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
     _commit(store, POS_COMMITS, batch_id, token)
+    return True
 
 
 def fold_positional_deletes(store: TableStore, n_files: int = 8) -> int:
     """Physical erasure for the positional index: drop tombstoned
-    postings, then clear the tombstone table LAST (same
-    reader-consistent swap order as ``fold_lexical_deletes``)."""
-    tomb = read_positional_tombstones(store).localCheckpoint()
-    if tomb.head() is None:
-        return 0
-    rows = store.read(POS_POSTINGS)
-    tokens = store.read(POS_COMMITS).select(F.col("token").alias(_TOKEN))
-    committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
-    keep = committed.join(tomb, "doc_id", "left_anti")
-    dropped = committed.count() - keep.count()
-    store.overwrite(POS_POSTINGS, keep.repartition(n_files))
-    store.overwrite(
-        POS_TOMBSTONES, store.read(POS_TOMBSTONES).limit(0).coalesce(1)
-    )
-    return dropped
+    postings, then clear the SNAPSHOTTED tombstones LAST (same
+    reader-consistent swap order and concurrent-delete-preserving
+    clear as ``fold_lexical_deletes``)."""
+    tomb, _cp = _tracked_checkpoint(read_positional_tombstones(store))
+    try:
+        if tomb.head() is None:
+            return 0
+        rows = store.read(POS_POSTINGS)
+        tokens = store.read(POS_COMMITS).select(F.col("token").alias(_TOKEN))
+        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+        keep = committed.join(tomb, "doc_id", "left_anti")
+        dropped = committed.count() - keep.count()
+        store.overwrite(POS_POSTINGS, keep.repartition(n_files))
+        store.overwrite(
+            POS_TOMBSTONES,
+            store.read(POS_TOMBSTONES)
+            .join(tomb, "doc_id", "left_anti")
+            .coalesce(1),
+        )
+        return dropped
+    finally:
+        _release_checkpoint(_cp)
 
 
 def phrase_occurrences(positions: DataFrame, phrase: DataFrame) -> DataFrame:
@@ -563,7 +637,7 @@ def apply_lsh_batch(
     k: int = 5,
     hasher: str = "xxhash64",
     bucket_cap: int | None = 64,
-) -> None:
+) -> bool:
     """Fold one corpus increment into the stored near-dup index:
     signatures + band keys for the batch (O(batch)), new pairs =
     batch-vs-corpus (batch band keys joined against the STORED band
@@ -575,7 +649,9 @@ def apply_lsh_batch(
     Capping note: the cap is evaluated against the band table AS OF
     this batch — the same order-dependence every incremental LSH has.
     Consumers that need the one-shot capping semantics rebuild from
-    ``lsh_mins`` (which is cap-free and lossless)."""
+    ``lsh_mins`` (which is cap-free and lossless).
+
+    Returns applied-by-this-call (ADVICE r12 audit contract)."""
     from fabric_claims_spark.extensions.dedup import (
         _band_key_cols,
         _minhash_mins,
@@ -584,19 +660,39 @@ def apply_lsh_batch(
     )
 
     if _applied(store, LSH_COMMITS, batch_id):
-        return
+        return False
     rows = num_hashes // bands
-    mins_b = _minhash_mins(
-        _shingle_frame(batch_docs, id_col, text_col, k, "char"),
-        num_hashes,
-        hasher,
-    ).localCheckpoint()
+    mins_b, _cp_mins = _tracked_checkpoint(
+        _minhash_mins(
+            _shingle_frame(batch_docs, id_col, text_col, k, "char"),
+            num_hashes,
+            hasher,
+        )
+    )
     band_keys = _band_key_cols(rows, bands, hasher)
-    bands_b = mins_b.select(
-        "doc",
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
-    ).localCheckpoint()
+    bands_b, _cp_bands = _tracked_checkpoint(
+        mins_b.select(
+            "doc",
+            F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+        )
+    )
 
+    try:
+        return _apply_lsh_batch_body(
+            store, batch_docs, batch_id, id_col, text_col, threshold,
+            num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
+            minhash_near_dups,
+        )
+    finally:
+        _release_checkpoint(_cp_bands)
+        _release_checkpoint(_cp_mins)
+
+
+def _apply_lsh_batch_body(
+    store, batch_docs, batch_id, id_col, text_col, threshold,
+    num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
+    minhash_near_dups,
+) -> bool:
     # batch-internal pairs (first batch: this IS the full build)
     internal = minhash_near_dups(
         batch_docs,
@@ -677,6 +773,7 @@ def apply_lsh_batch(
         LSH_PAIRS, pairs_new.distinct().withColumn(_TOKEN, F.lit(token))
     )
     _commit(store, LSH_COMMITS, batch_id, token)
+    return True
 
 
 def read_lsh_tombstones(store: TableStore) -> DataFrame:
@@ -715,7 +812,7 @@ def apply_lsh_deletes(
     doc_ids: DataFrame,
     batch_id: int,
     id_col: str = "doc_id",
-) -> None:
+) -> bool:
     """Erasure increment for the near-dup store — token-stamped
     tombstones + commit (O(deleted ids)). Signatures, band keys, and
     pairs touching an erased doc all leave the reader views at the
@@ -723,9 +820,10 @@ def apply_lsh_deletes(
     contract stays sound: a FUTURE batch's band keys can no longer
     pair against an erased doc (its band rows are masked), which is
     exactly right — a forgotten doc must not influence future dedup
-    either."""
+    either. Returns applied-by-this-call (ADVICE r12 audit
+    contract)."""
     if _applied(store, LSH_COMMITS, batch_id):
-        return
+        return False
     ids = (
         doc_ids.select(F.col(id_col).alias("doc_id"))
         .distinct()
@@ -734,15 +832,18 @@ def apply_lsh_deletes(
     token = uuid.uuid4().hex
     store.append(LSH_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
     _commit(store, LSH_COMMITS, batch_id, token)
+    return True
 
 
 def fold_lsh_deletes(store: TableStore, n_files: int = 8) -> int:
     """Physical erasure for the near-dup store: drop tombstoned rows
     from mins/bands (keyed ``doc``) and pairs (either endpoint), then
-    clear the tombstone table LAST (the reader-consistent swap order
-    of ``fold_lexical_deletes``)."""
-    tomb = read_lsh_tombstones(store).localCheckpoint()
+    clear the SNAPSHOTTED tombstones LAST (the reader-consistent swap
+    order and concurrent-delete-preserving clear of
+    ``fold_lexical_deletes``)."""
+    tomb, _cp = _tracked_checkpoint(read_lsh_tombstones(store))
     if tomb.head() is None:
+        _release_checkpoint(_cp)
         return 0
     dropped = 0
     plans = [
@@ -760,21 +861,27 @@ def fold_lsh_deletes(store: TableStore, n_files: int = 8) -> int:
             "left_anti",
         )),
     ]
-    for table, mask in plans:
-        if not store.exists(table):
-            continue
-        rows = store.read(table)
-        tokens = store.read(LSH_COMMITS).select(
-            F.col("token").alias(_TOKEN)
+    try:
+        for table, mask in plans:
+            if not store.exists(table):
+                continue
+            rows = store.read(table)
+            tokens = store.read(LSH_COMMITS).select(
+                F.col("token").alias(_TOKEN)
+            )
+            committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+            keep = mask(committed)
+            dropped += committed.count() - keep.count()
+            store.overwrite(table, keep.repartition(n_files))
+        store.overwrite(
+            LSH_TOMBSTONES,
+            store.read(LSH_TOMBSTONES)
+            .join(tomb, "doc_id", "left_anti")
+            .coalesce(1),
         )
-        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
-        keep = mask(committed)
-        dropped += committed.count() - keep.count()
-        store.overwrite(table, keep.repartition(n_files))
-    store.overwrite(
-        LSH_TOMBSTONES, store.read(LSH_TOMBSTONES).limit(0).coalesce(1)
-    )
-    return dropped
+        return dropped
+    finally:
+        _release_checkpoint(_cp)
 
 
 # -- IVF vector index ----------------------------------------------------------
@@ -787,10 +894,20 @@ def apply_ivf_batch(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    doc_col: str | None = None,
+) -> bool:
     """Fold one vector increment into the stored IVF index: assign
     each new vector to its nearest FIXED coarse centroid and append
     token-stamped (vec_id, ev, assigned_centroid, centroid_sim) rows.
+
+    ``doc_col`` (round 13, VERDICT r12 item 4): when the batch
+    carries the source document id, a (vec_id, doc_id) row lands in
+    the ``ivf_docmap`` table under the SAME token — committed
+    atomically with the vectors — so a later ``forget_documents``
+    call can resolve doc_ids to vec_ids itself instead of requiring
+    the caller to remember the mapping (the complete-by-default
+    erasure contract). Returns applied-by-this-call (ADVICE r12
+    audit contract).
 
     The quantizer is trained once at index build and held fixed
     across increments (the FAISS discipline — re-training moves every
@@ -803,13 +920,22 @@ def apply_ivf_batch(
     re-scanned. Same commit protocol as the lexical/LSH indexes:
     token-stamped appends, atomic commit, redelivery no-op."""
     if _applied(store, IVF_COMMITS, batch_id):
-        return
+        return False
     ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     e = batch_vectors.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
     assigned = _ivf_assign(e, centroids)
     token = uuid.uuid4().hex
     store.append(IVF_VECS, assigned.withColumn(_TOKEN, F.lit(token)))
+    if doc_col is not None:
+        store.append(
+            IVF_DOCMAP,
+            batch_vectors.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(doc_col).alias("doc_id"),
+            ).withColumn(_TOKEN, F.lit(token)),
+        )
     _commit(store, IVF_COMMITS, batch_id, token)
+    return True
 
 
 def _ivf_assign(e: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -893,6 +1019,16 @@ def rebuild_ivf_index(
     from fabric_claims_spark.extensions.similarity import kmeans_centroids
 
     committed = read_ivf_index(store).select("vec_id", "ev")
+    # live doc→vec rows must survive the commit swap (their append
+    # tokens are un-committed by it): snapshot them now, re-append
+    # under the rebuild token below. Tombstoned vectors' rows drop
+    # here — the rebuild is their physical erasure, mapping included.
+    live_docmap, _cp_docmap = None, []
+    if store.exists(IVF_DOCMAP):
+        live_docmap, _cp_docmap = _tracked_checkpoint(
+            _committed_rows(store, IVF_DOCMAP, IVF_COMMITS)
+            .join(read_ivf_tombstones(store), "vec_id", "left_anti")
+        )
     cents = kmeans_centroids(
         committed,
         k=k,
@@ -915,6 +1051,8 @@ def rebuild_ivf_index(
     # safe under the TableStore pointer-swap contract
     store.append(IVF_VECS, assigned.withColumn(_TOKEN, F.lit(token)))
     store.append(IVF_CENTROIDS, cent_df.withColumn(_TOKEN, F.lit(token)))
+    if live_docmap is not None:
+        store.append(IVF_DOCMAP, live_docmap.withColumn(_TOKEN, F.lit(token)))
     prior = [
         int(r["batch_id"])
         for r in store.read(IVF_COMMITS).select("batch_id").collect()
@@ -931,6 +1069,13 @@ def rebuild_ivf_index(
     # live-only), so the stale tombstones are orphans — reclaim them.
     # Their batch_ids stay committed, so redelivery remains a no-op.
     vacuum_uncommitted(store, IVF_TOMBSTONES, IVF_COMMITS)
+    if live_docmap is not None:
+        # pre-rebuild docmap rows are orphans now (their tokens were
+        # un-committed by the swap); the live snapshot re-landed above
+        # under the rebuild token — this is the mapping's physical
+        # erasure for tombstoned vectors
+        vacuum_uncommitted(store, IVF_DOCMAP, IVF_COMMITS)
+        _release_checkpoint(_cp_docmap)
     return cents
 
 
@@ -965,7 +1110,7 @@ def apply_ivf_deletes(
     vec_ids: DataFrame,
     batch_id: int,
     id_col: str = "vec_id",
-) -> None:
+) -> bool:
     """Fold one ERASURE increment into the stored IVF index (round
     12). Token-stamped tombstone append + commit — O(deleted ids),
     the index itself is untouched. Every consumer reads through
@@ -975,9 +1120,10 @@ def apply_ivf_deletes(
     at the commit swap. Deletions concentrate in buckets too — the
     skew trigger fires on delete-drift exactly as on insert-drift —
     and the fired rebuild rewrites the index from live rows only,
-    which is the physical erasure."""
+    which is the physical erasure. Returns applied-by-this-call
+    (ADVICE r12 audit contract)."""
     if _applied(store, IVF_COMMITS, batch_id):
-        return
+        return False
     ids = (
         vec_ids.select(F.col(id_col).alias("vec_id"))
         .distinct()
@@ -986,6 +1132,22 @@ def apply_ivf_deletes(
     token = uuid.uuid4().hex
     store.append(IVF_TOMBSTONES, ids.withColumn(_TOKEN, F.lit(token)))
     _commit(store, IVF_COMMITS, batch_id, token)
+    return True
+
+
+def read_ivf_docmap(store: TableStore) -> DataFrame:
+    """(vec_id, doc_id) — the committed, live doc→vec mapping
+    (populated when ``apply_ivf_batch`` is called with ``doc_col``;
+    round 13). Tombstoned vectors' rows are masked here and dropped
+    physically at the next rebuild, exactly like the vectors
+    themselves. ``forget_documents`` resolves doc-keyed erasure
+    requests to vec_ids through this view, so one request covers the
+    vector family without the caller holding the mapping."""
+    if not store.exists(IVF_DOCMAP):
+        return store.spark.createDataFrame([], "vec_id long, doc_id long")
+    return _committed_rows(store, IVF_DOCMAP, IVF_COMMITS).join(
+        read_ivf_tombstones(store), "vec_id", "left_anti"
+    )
 
 
 def read_ivf_centroids(store: TableStore) -> DataFrame:

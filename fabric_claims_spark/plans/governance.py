@@ -494,44 +494,85 @@ def forget_documents(
     audit row per family carrying only the COUNT (never the ids —
     the ``forget_subject`` rule). Logical erasure is immediate at
     each commit swap; the bytes go at the families' maintenance
-    cadence (``fold_*_deletes`` / the next IVF rebuild). Returns
-    {family: ids_requested}."""
+    cadence (``fold_*_deletes`` / the next IVF rebuild).
+
+    Outcome honesty (ADVICE r12): each family's audit row records
+    what actually happened — ``status='Succeeded'`` only when the
+    apply landed THIS call; a batch_id already committed in that
+    family (redelivery, or a caller id colliding with an earlier
+    build batch) audits as ``status='Skipped'`` with
+    ``rows_written=0``, so an erasure ledger can never claim a
+    tombstone that was not landed. A batch_id strictly below the
+    lexical df rollup's watermark raises (see
+    ``apply_lexical_deletes``). The batch_id must come from the same
+    monotonic per-family sequence builds use — when a
+    ``corpus_mutation_stream`` maintains these families, its
+    micro-batches occupy ids 2b (adds) and 2b+1 (deletes), so
+    forget ids must be issued beyond the stream's high-water mark.
+
+    Vector completeness (round 13, VERDICT r12 item 4): when
+    ``vec_ids`` is omitted, the subject's vectors are resolved from
+    the ``ivf_docmap`` table (populated by ``apply_ivf_batch(...,
+    doc_col=...)``) — one doc-keyed request covers all four
+    families. If an IVF index exists but carries NO doc→vec mapping
+    and no ``vec_ids`` were given, this raises instead of silently
+    leaving the subject's embeddings queryable.
+
+    Returns {family: ids_requested} for applied legs (skipped legs
+    report 0)."""
     from fabric_claims_spark.operators.serving_index import (
+        IVF_VECS,
         LEX_POSTINGS,
+        LSH_MINS,
         POS_POSTINGS,
         apply_ivf_deletes,
         apply_lexical_deletes,
         apply_lsh_deletes,
         apply_positional_deletes,
+        read_ivf_docmap,
     )
     from fabric_claims_spark.sources.audit import append_audit_row
 
     n_docs = doc_ids.count()
-    legs: list[tuple[str, object]] = []
+    legs: list[tuple[str, bool, int]] = []
     if index_store.exists(LEX_POSTINGS):
-        apply_lexical_deletes(index_store, doc_ids, batch_id)
-        legs.append(("lexical", n_docs))
+        applied = apply_lexical_deletes(index_store, doc_ids, batch_id)
+        legs.append(("lexical", applied, n_docs))
     if index_store.exists(POS_POSTINGS):
-        apply_positional_deletes(index_store, doc_ids, batch_id)
-        legs.append(("positional", n_docs))
-    from fabric_claims_spark.operators.serving_index import LSH_MINS
-
+        applied = apply_positional_deletes(index_store, doc_ids, batch_id)
+        legs.append(("positional", applied, n_docs))
     if index_store.exists(LSH_MINS):
-        apply_lsh_deletes(index_store, doc_ids, batch_id)
-        legs.append(("lsh", n_docs))
+        applied = apply_lsh_deletes(index_store, doc_ids, batch_id)
+        legs.append(("lsh", applied, n_docs))
+    if vec_ids is None and index_store.exists(IVF_VECS):
+        docmap = read_ivf_docmap(index_store)
+        if docmap.isEmpty():
+            raise ValueError(
+                "forget_documents: an IVF index exists but carries no "
+                "doc→vec mapping and no vec_ids were given — the "
+                "subject's embeddings would stay queryable. Either "
+                "build the index with apply_ivf_batch(doc_col=...) or "
+                "pass vec_ids explicitly."
+            )
+        vec_ids = docmap.join(
+            doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ).select("vec_id")
     if vec_ids is not None:
-        apply_ivf_deletes(index_store, vec_ids, batch_id)
-        legs.append(("ivf", vec_ids.count()))
+        n_vecs = vec_ids.count()
+        applied = apply_ivf_deletes(index_store, vec_ids, batch_id)
+        legs.append(("ivf", applied, n_vecs))
     results: dict[str, int] = {}
-    for family, n in legs:
-        results[family] = int(n)
+    for family, applied, n in legs:
+        results[family] = int(n) if applied else 0
         append_audit_row(
             index_store.spark,
             index_store,
             pipeline=audit_pipeline,
             layer="governance",
-            status="Succeeded",
-            rows_written=int(n),
+            status="Succeeded" if applied else "Skipped",
+            rows_written=int(n) if applied else 0,
             target_object=f"serving_index:{family}",
         )
     return results

@@ -503,16 +503,36 @@ def corpus_mutation_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         adds = batch_df.where(F.col("op") == "add").drop("op")
         dels = batch_df.where(F.col("op") == "del").select("doc_id")
+        # one pass over the micro-batch decides which legs exist
+        # (ADVICE r12): an adds-only batch must not rewrite the df
+        # rollup state, append an empty tombstone file, and grow
+        # every family's commit table through an empty delete leg —
+        # and symmetrically for a dels-only batch. Skipping an empty
+        # leg is idempotence-neutral: its redelivery is equally
+        # empty, and the 2b/2b+1 id sequence stays monotonic with
+        # the skipped id simply never applied.
+        flags = batch_df.agg(
+            F.max((F.col("op") == "add").cast("int")).alias("a"),
+            F.max((F.col("op") == "del").cast("int")).alias("d"),
+        ).first()
+        has_adds = bool(flags["a"])
+        has_dels = bool(flags["d"])
         a_id, d_id = 2 * batch_id, 2 * batch_id + 1
         if "lexical" in families:
-            apply_lexical_batch(store, adds, a_id)
-            apply_lexical_deletes(store, dels, d_id)
+            if has_adds:
+                apply_lexical_batch(store, adds, a_id)
+            if has_dels:
+                apply_lexical_deletes(store, dels, d_id)
         if "positional" in families:
-            apply_positional_batch(store, adds, a_id)
-            apply_positional_deletes(store, dels, d_id)
+            if has_adds:
+                apply_positional_batch(store, adds, a_id)
+            if has_dels:
+                apply_positional_deletes(store, dels, d_id)
         if "lsh" in families:
-            apply_lsh_batch(store, adds, a_id, hasher="md5")
-            apply_lsh_deletes(store, dels, d_id)
+            if has_adds:
+                apply_lsh_batch(store, adds, a_id, hasher="md5")
+            if has_dels:
+                apply_lsh_deletes(store, dels, d_id)
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -523,3 +543,72 @@ def corpus_mutation_stream(
         .awaitTermination()
     )
     return read_lexical_index(store) if "lexical" in families else None
+
+
+def embedding_mutation_stream(
+    spark: SparkSession,
+    mutations_dir: str,
+    checkpoint_dir: str,
+    store_root: str,
+    centroids: DataFrame,
+    doc_col: str | None = None,
+):
+    """The vector-family leg of the CDC mutation feed (round 13,
+    VERDICT r12 item 3): ``corpus_mutation_stream`` maintains the
+    three TEXT families; this maintains the IVF index from an
+    embedding-mutation log — ``op='add'`` rows carrying (vec_id,
+    embedding[, doc_id]), ``op='del'`` rows naming erased vec_ids —
+    under the SAME protocol: one checkpointed stream, micro-batch b
+    mapping to ids 2b (adds, ``apply_ivf_batch``) and 2b+1 (deletes,
+    ``apply_ivf_deletes``), adds before deletes so a batch may erase
+    a vector it just added, empty legs skipped (their redelivery is
+    equally empty — no version churn, no commit-table growth), torn
+    micro-batches healed by the per-leg idempotence gates.
+
+    ``centroids`` is the fixed build-time quantizer ((centroid_id,
+    cv), k rows, broadcast) — the FAISS discipline ``apply_ivf_batch``
+    documents; a skew-fired rebuild between stream runs republishes
+    one via ``read_ivf_centroids``, which a restarting caller should
+    prefer when present. ``doc_col`` threads through to
+    ``apply_ivf_batch`` so the doc→vec mapping (``ivf_docmap``) stays
+    maintained for complete-by-default ``forget_documents``.
+
+    Returns the committed live index frame (``read_ivf_index``)."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        apply_ivf_deletes,
+        read_ivf_index,
+    )
+
+    store = TableStore(spark, store_root)
+    schema = spark.read.parquet(mutations_dir).schema
+    if "op" not in schema.names:
+        raise ValueError("mutation log must carry an 'op' column")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(mutations_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flags = batch_df.agg(
+            F.max((F.col("op") == "add").cast("int")).alias("a"),
+            F.max((F.col("op") == "del").cast("int")).alias("d"),
+        ).first()
+        a_id, d_id = 2 * batch_id, 2 * batch_id + 1
+        if flags["a"]:
+            adds = batch_df.where(F.col("op") == "add").drop("op")
+            apply_ivf_batch(store, adds, a_id, centroids, doc_col=doc_col)
+        if flags["d"]:
+            dels = batch_df.where(F.col("op") == "del").select("vec_id")
+            apply_ivf_deletes(store, dels, d_id)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return read_ivf_index(store)

@@ -1,0 +1,197 @@
+"""IndexMaintenance (pipeline/runner.py, round 13 — VERDICT r12
+item 2): the serving stores' three cadenced policies — tombstone
+folds, file-count compaction, skew-triggered IVF rebuild — run as one
+audited post-apply hook. Each decision appends one audit row (the
+reading, fired-or-held, rows moved) and the fired actions must leave
+the reader views exactly where the standalone operators do."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fabric_claims_spark.operators.serving_index import (
+    apply_ivf_batch,
+    apply_lexical_batch,
+    apply_lexical_deletes,
+    ivf_bucket_skew,
+    read_ivf_centroids,
+    read_ivf_index,
+    read_lexical_index,
+    read_lexical_tombstones,
+)
+from fabric_claims_spark.pipeline.runner import IndexMaintenance
+from fabric_claims_spark.sources.audit import AUDIT_TABLE
+from fabric_claims_spark.sources.merge import TableStore
+from fabric_claims_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _audit_rows(store, action_prefix):
+    """(TargetObject, Status, RowsWritten) in decision order."""
+    rows = (
+        store.read(AUDIT_TABLE)
+        .where(F.col("PipelineName") == "index_maintenance")
+        .orderBy("FinishedAtUTC")
+        .collect()
+    )
+    return [
+        (r["TargetObject"], r["Status"], r["RowsWritten"])
+        for r in rows
+        if r["TargetObject"].startswith(action_prefix)
+    ]
+
+
+def test_tombstoned_lexical_store_folds_at_cadence(spark, tmp_path):
+    """A store with committed tombstones folds on the maintenance
+    pass (one Fired audit row with the dropped count); the next pass
+    holds (tombstones=0) — and the folded reader state equals the
+    fresh build over survivors."""
+    docs = load_table(spark, SF, "documents")
+    store = TableStore(spark, str(tmp_path / "lex"))
+    apply_lexical_batch(store, docs, 0)
+    dels = docs.where(F.col("doc_id") % 5 == 2).select("doc_id")
+    apply_lexical_deletes(store, dels, 1)
+    assert read_lexical_tombstones(store).count() > 0
+
+    maint = IndexMaintenance(store, compact_file_threshold=10_000)
+    out = maint.run_post_apply()
+    assert out["fold:lexical"]["fired"] is True
+    assert out["fold:lexical"]["rows_dropped"] > 0
+    assert read_lexical_tombstones(store).count() == 0
+
+    # folded state == fresh build over survivors
+    survivors = docs.where(F.col("doc_id") % 5 != 2)
+    fresh = TableStore(spark, str(tmp_path / "fresh"))
+    apply_lexical_batch(fresh, survivors, 0)
+    td, dfc, dn = read_lexical_index(store)
+    ftd, fdfc, fdn = read_lexical_index(fresh)
+    assert {tuple(r) for r in td.collect()} == {
+        tuple(r) for r in ftd.collect()
+    }
+    assert {tuple(r) for r in dfc.collect()} == {
+        tuple(r) for r in fdfc.collect()
+    }
+    assert {tuple(r) for r in dn.collect()} == {
+        tuple(r) for r in fdn.collect()
+    }
+
+    # audit: exactly one Fired fold row; compactions Held (no churn)
+    folds = _audit_rows(store, "fold:lexical")
+    assert len(folds) == 1 and folds[0][1] == "Fired"
+    assert folds[0][2] == out["fold:lexical"]["rows_dropped"]
+    for obj, status, rows in _audit_rows(store, "compact:"):
+        assert status == "Held" and rows == 0, obj
+
+    out2 = maint.run_post_apply()
+    assert out2["fold:lexical"]["fired"] is False
+    folds2 = _audit_rows(store, "fold:lexical")
+    assert [s for _, s, _ in folds2] == ["Fired", "Held"]
+
+
+def test_drifted_ivf_store_rebuilds_exactly_once_with_audit(
+    spark, tmp_path
+):
+    """The skew policy through the scheduler: a healthy store logs a
+    Held decision (store untouched); after a drifted increment one
+    maintenance pass fires exactly one rebuild (quantizer published,
+    one Fired audit row carrying the skew reading)."""
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivf"))
+    apply_ivf_batch(store, emb.where(F.col("vec_id") < 300), 0, seed)
+    skew0 = ivf_bucket_skew(store, k=8)
+
+    maint = IndexMaintenance(
+        store,
+        compact_file_threshold=10_000,
+        ivf_skew_threshold=skew0 * 1.001,
+        ivf_k=8,
+        ivf_iters=2,
+    )
+    out = maint.run_post_apply()
+    assert out["rebuild:ivf"] == {"fired": False, "skew": skew0}
+    assert read_ivf_centroids(store).count() == 0  # untouched
+
+    drifted = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.lit(1.0).cast("float")
+        ).alias("embedding"),
+    )
+    apply_ivf_batch(store, drifted, 1, seed)
+    skew1 = ivf_bucket_skew(store, k=8)
+    assert skew1 > skew0
+
+    out2 = maint.run_post_apply()
+    assert out2["rebuild:ivf"]["fired"] is True
+    assert out2["rebuild:ivf"]["skew"] == skew1
+    assert read_ivf_centroids(store).count() == 8  # exactly one rebuild
+    assert read_ivf_index(store).count() == emb.count()
+
+    rows = _audit_rows(store, "rebuild:ivf")
+    assert [s for _, s, _ in rows] == ["Held", "Fired"]
+    # the Fired row carries the measured skew and the threshold
+    fired_obj = rows[1][0]
+    assert f"skew={skew1:.3f}" in fired_obj and "threshold=" in fired_obj
+
+
+def test_ivf_without_quantizer_state_holds_visibly(spark, tmp_path):
+    """No stored quantizer and no configured ivf_k: the rebuild
+    policy cannot measure skew — it must log a Held decision naming
+    the reason, not raise and wedge the scheduler."""
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "ivf"))
+    apply_ivf_batch(store, emb.where(F.col("vec_id") < 100), 0, seed)
+
+    out = IndexMaintenance(
+        store, compact_file_threshold=10_000
+    ).run_post_apply()
+    assert out["rebuild:ivf"] == {"fired": False, "skew": None}
+    rows = _audit_rows(store, "rebuild:ivf")
+    assert len(rows) == 1 and rows[0][1] == "Held"
+    assert "no k" in rows[0][0]
+
+
+def test_compaction_fires_through_scheduler_and_preserves_readers(
+    spark, tmp_path
+):
+    """Increment-heavy store over the file threshold: the scheduler
+    compacts (Fired audit row with the file reading) and the reader
+    view is bit-identical across the fire."""
+    docs = load_table(spark, SF, "documents")
+    store = TableStore(spark, str(tmp_path / "lex"))
+    for b in range(4):
+        apply_lexical_batch(
+            store, docs.where(F.pmod("doc_id", F.lit(4)) == b), b
+        )
+    td, dfc, dn = read_lexical_index(store)
+    before = (
+        sorted(tuple(r) for r in td.collect()),
+        sorted(tuple(r) for r in dfc.collect()),
+        sorted(tuple(r) for r in dn.collect()),
+    )
+
+    out = IndexMaintenance(
+        store, compact_file_threshold=2, compact_n_files=1
+    ).run_post_apply()
+    fired = [k for k, v in out.items() if k.startswith("compact:") and v["fired"]]
+    assert fired  # at least the postings table crossed the threshold
+    for key in fired:
+        assert out[key]["files"] >= 2
+
+    td2, dfc2, dn2 = read_lexical_index(store)
+    after = (
+        sorted(tuple(r) for r in td2.collect()),
+        sorted(tuple(r) for r in dfc2.collect()),
+        sorted(tuple(r) for r in dn2.collect()),
+    )
+    assert after == before
+    assert any(s == "Fired" for _, s, _ in _audit_rows(store, "compact:"))
