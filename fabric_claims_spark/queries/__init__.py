@@ -931,6 +931,12 @@ GATE_PRIORITY: list[str] = [
     "order_value_quartiles",
     "order_value_stats",
     "embeddings_semdedup_recall_mp",
+    # round-13: the vector family joins the CDC mutation feed — one
+    # checkpointed stream of add/del files must leave exactly the
+    # one-shot assignment over survivors (oracle =
+    # _IVF_ASSIGN_ORACLE + one survivor predicate, derived
+    # programmatically; pinned by test_round13_mutation_oracle_share)
+    "embeddings_ivf_mutation_stream",
 ]
 
 

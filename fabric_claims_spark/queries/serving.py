@@ -36,6 +36,7 @@ removed before the frame is consumed.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -988,3 +989,102 @@ def docs_phrase_search_ngram_served(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# IVF CDC MUTATION STREAM (round 13, VERDICT r12 item 3): the vector
+# family joins the checkpointed mutation feed. One stream drains a
+# three-file log — add evens; add odds + delete evens%3==0; a
+# delete-only file erasing odds%3==0 (vectors the PREVIOUS micro-batch
+# added) — under the 2b/2b+1 id discipline, and the committed live
+# assignment must hash-equal the one-shot assignment over the
+# survivors (oracle = _IVF_ASSIGN_ORACLE with exactly one added
+# survivor predicate, derived programmatically so the assignment
+# semantics cannot drift; pinned by test_registry). The survivor set
+# is order-independent by construction: read_ivf_index anti-joins ALL
+# committed tombstones, and the fixed quantizer makes assignment
+# batch-independent — so the hash pins the full protocol (adds,
+# deletes, empty-leg skips, checkpointed delivery) rather than a
+# lucky interleave.
+
+from fabric_claims_spark.queries.similarity import (  # noqa: E402
+    _IVF_ASSIGN_ORACLE,
+)
+
+_IVF_ASSIGN_SURVIVOR_ORACLE = _IVF_ASSIGN_ORACLE.replace(
+    "FROM embeddings e, centroids c)",
+    "FROM embeddings e, centroids c\n      WHERE e.vec_id % 3 != 0)",
+)
+assert _IVF_ASSIGN_SURVIVOR_ORACLE != _IVF_ASSIGN_ORACLE
+
+
+@query(
+    "embeddings_ivf_mutation_stream",
+    oracle=_IVF_ASSIGN_SURVIVOR_ORACLE,
+)
+def embeddings_ivf_mutation_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``embedding_mutation_stream`` end-to-end: write the CDC log,
+    drain it through the checkpointed stream (availableNow), read the
+    committed live index. The doc→vec mapping leg
+    (``apply_ivf_batch(doc_col=...)``) rides along so the erasure
+    default path stays exercised."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from fabric_claims_spark.streaming.corpus_stream import (
+        embedding_mutation_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 37).alias("doc_id"),
+    )
+    seed = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+    kill1 = evens.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    kill2 = odds.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    null_add = (
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("long").alias("doc_id"),
+    )
+    f1 = evens.withColumn("op", F.lit("add"))
+    f2 = odds.withColumn("op", F.lit("add")).unionByName(
+        kill1.select("vec_id", *null_add, F.lit("del").alias("op"))
+    )
+    f3 = kill2.select("vec_id", *null_add, F.lit("del").alias("op"))
+
+    work = tempfile.mkdtemp(prefix="ivf_mut_")
+    try:
+        mut_dir = os.path.join(work, "mut")
+        os.makedirs(mut_dir)
+        for name, part in (("a", f1), ("b", f2), ("c", f3)):
+            side = os.path.join(work, f"side_{name}")
+            part.coalesce(1).write.parquet(side)
+            _shutil.copy(
+                _glob.glob(os.path.join(side, "part-*.parquet"))[0],
+                os.path.join(mut_dir, f"{name}.parquet"),
+            )
+        got = embedding_mutation_stream(
+            spark,
+            mut_dir,
+            os.path.join(work, "ckpt"),
+            os.path.join(work, "store"),
+            seed,
+            doc_col="doc_id",
+        )
+        return (
+            got.select("vec_id", "assigned_centroid", "centroid_sim")
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

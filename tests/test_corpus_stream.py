@@ -596,3 +596,102 @@ def test_corpus_mutation_stream_adds_and_deletes_in_order(
     assert rows(td2) == rows(td1)
     assert rows(dfc2) == rows(dfc1)
     assert rows(dn2) == rows(dn1)
+
+
+def test_embedding_mutation_stream_matches_batch_with_erasure(
+    spark, tmp_path
+):
+    """Round 13 (VERDICT r12 item 3): the vector family joins the CDC
+    mutation feed. Draining three files — add evens; add odds +
+    delete evens%3==0; a delete-only file erasing odds%3==0 (vectors
+    added by the PREVIOUS micro-batch) — must leave exactly the
+    batch-path state (one apply + one delete over the same sets),
+    with the doc→vec mapping live only for survivors. A torn final
+    delete-only commit redelivers under the 2b/2b+1 discipline and
+    changes nothing."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_ivf_batch,
+        apply_ivf_deletes,
+        read_ivf_docmap,
+        read_ivf_index,
+    )
+    from fabric_claims_spark.sources.merge import TableStore
+    from fabric_claims_spark.streaming.corpus_stream import (
+        embedding_mutation_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id",
+        "embedding",
+        # deterministic doc association for the docmap leg
+        (F.col("vec_id") % 37).alias("doc_id"),
+    )
+    seed = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+    kill1 = evens.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    kill2 = odds.where(F.col("vec_id") % 3 == 0).select("vec_id")
+
+    null_add = (
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("long").alias("doc_id"),
+    )
+    f1 = evens.withColumn("op", F.lit("add"))
+    f2 = odds.withColumn("op", F.lit("add")).unionByName(
+        kill1.select("vec_id", *null_add, F.lit("del").alias("op"))
+    )
+    f3 = kill2.select("vec_id", *null_add, F.lit("del").alias("op"))
+    mut_dir = tmp_path / "emut"
+    mut_dir.mkdir()
+    for name, part in (("a", f1), ("b", f2), ("c", f3)):
+        side = tmp_path / f"eside_{name}"
+        part.coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            mut_dir / f"{name}.parquet",
+        )
+
+    ckpt = str(tmp_path / "ckpt_emut")
+    got = embedding_mutation_stream(
+        spark, str(mut_dir), ckpt, str(tmp_path / "estore"), seed,
+        doc_col="doc_id",
+    )
+
+    # batch-path truth
+    one = TableStore(spark, str(tmp_path / "estore_t"))
+    apply_ivf_batch(one, emb, 0, seed, doc_col="doc_id")
+    kills = kill1.unionByName(kill2)
+    apply_ivf_deletes(one, kills, 1)
+    want = read_ivf_index(one)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(got.select("vec_id", "assigned_centroid", "centroid_sim")) == rows(
+        want.select("vec_id", "assigned_centroid", "centroid_sim")
+    )
+    # the docmap masked the erased vectors too
+    streamed_store = TableStore(spark, str(tmp_path / "estore"))
+    dm = read_ivf_docmap(streamed_store)
+    assert rows(dm) == rows(read_ivf_docmap(one))
+    assert (
+        dm.join(kills, "vec_id", "left_semi").count() == 0
+    )
+
+    # torn final (delete-only) micro-batch: redelivery is a no-op
+    _tear_last_commit(ckpt)
+    got2 = embedding_mutation_stream(
+        spark, str(mut_dir), ckpt, str(tmp_path / "estore"), seed,
+        doc_col="doc_id",
+    )
+    assert rows(
+        got2.select("vec_id", "assigned_centroid", "centroid_sim")
+    ) == rows(want.select("vec_id", "assigned_centroid", "centroid_sim"))

@@ -910,3 +910,17 @@ def test_round13_flagship_rotation():
         "embeddings_ivf_search_after_erasure",
     ):
         assert carrier in prefix, carrier
+
+
+def test_round13_mutation_oracle_share():
+    """The IVF mutation-stream gate's streamed == batch claim is a
+    hash identity only while its oracle IS the assignment oracle plus
+    exactly one survivor predicate — pin the derivation."""
+    reg = load_all_queries()
+    streamed = reg["embeddings_ivf_mutation_stream"].oracle
+    base = reg["embeddings_ivf_assign"].oracle
+    assert streamed == base.replace(
+        "FROM embeddings e, centroids c)",
+        "FROM embeddings e, centroids c\n      WHERE e.vec_id % 3 != 0)",
+    )
+    assert streamed != base
