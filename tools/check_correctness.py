@@ -8,12 +8,17 @@ can possibly be: values are compared via exact canonical string forms
 CORRECTNESS_r{N}.json.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
-"""
+
+Set ``CHECK_JSON_OUT=/path/file.json`` to additionally write the
+per-query results as a CORRECTNESS_r{N}.json-shaped record (round 13:
+the committed sf0.1 replay artifact, VERDICT r11 item 6)."""
 
 from __future__ import annotations
 
 import datetime
 import hashlib
+import json
+import os
 import sys
 import time
 import traceback
@@ -66,6 +71,7 @@ def main() -> int:
         )
 
     failures = []
+    record: dict[str, dict] = {}
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -73,26 +79,40 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             spdf = sdf.toPandas()
-        except Exception:
+        except Exception as exc:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {exc}"}
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"rows_only": True, "spark_rows": len(spdf),
+                            "err": None}
             continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
-        except Exception:
+        except Exception as exc:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
             failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {exc}"}
             continue
         sh, sn, scols = canonical(spdf)
         oh, on, ocols = canonical(odf)
         stypes = dict(sdf.dtypes)
         status = "PASS" if (sh == oh and sn == on and scols == ocols) else "FAIL"
         print(f"{status}  {name}: spark {sn} rows h={sh} | oracle {on} rows h={oh} [{time.time()-t0:.1f}s]")
+        record[name] = {
+            "rows_match": sn == on,
+            "schema_match": scols == ocols,
+            "hash_match": sh == oh,
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "err": None,
+        }
         if status == "FAIL":
             failures.append(name)
             if scols != ocols:
@@ -103,6 +123,11 @@ def main() -> int:
             print("      spark head:\n", merged.sort_values(by=list(merged.columns)).head(3))
             print("      oracle head:\n", omerged.sort_values(by=list(omerged.columns)).head(3))
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out = os.environ.get("CHECK_JSON_OUT")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"wrote {out} ({len(record)} queries)")
     return 1 if failures else 0
 
 
