@@ -125,6 +125,28 @@ def _applied(store: TableStore, commits_table: str, batch_id: int) -> bool:
     return row is not None
 
 
+def next_batch_id(store: TableStore) -> int:
+    """The smallest batch_id safely above EVERY family's committed
+    sequence in this store (round 13): builds, deletes, and the
+    mutation streams' derived 2b/2b+1 ids all share one monotonic
+    sequence per family, and a caller-guessed id collides silently
+    (now audited as Skipped) or trips the stale-id guard. This reads
+    each family's commit table (one tiny scan each — one row per
+    committed batch) and returns max+1 across all of them, so a
+    ``forget_documents`` caller — or any out-of-band maintenance
+    writer — gets a collision-free id without holding protocol state.
+    Races between two concurrent allocators remain out of contract
+    (the stores are single-writer by design, like every TableStore)."""
+    hi = -1
+    for commits in (LEX_COMMITS, POS_COMMITS, LSH_COMMITS, IVF_COMMITS):
+        if not store.exists(commits):
+            continue
+        row = store.read(commits).agg(F.max("batch_id")).head()
+        if row is not None and row[0] is not None:
+            hi = max(hi, int(row[0]))
+    return hi + 1
+
+
 def _commit(
     store: TableStore, commits_table: str, batch_id: int, token: str
 ) -> None:

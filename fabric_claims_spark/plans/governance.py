@@ -479,7 +479,7 @@ def forget_subject(
 def forget_documents(
     index_store,
     doc_ids: DataFrame,
-    batch_id: int,
+    batch_id: int | None = None,
     vec_ids: DataFrame | None = None,
     audit_pipeline: str = "gdpr_erasure",
 ) -> dict[str, int]:
@@ -509,6 +509,10 @@ def forget_documents(
     ``corpus_mutation_stream`` maintains these families, its
     micro-batches occupy ids 2b (adds) and 2b+1 (deletes), so
     forget ids must be issued beyond the stream's high-water mark.
+    ``batch_id=None`` (round 13 default) allocates exactly that:
+    ``serving_index.next_batch_id`` — max committed id across every
+    family's commit table, plus one — so the default call pattern
+    cannot collide with any build, stream leg, or earlier erasure.
 
     Vector completeness (round 13, VERDICT r12 item 4): when
     ``vec_ids`` is omitted, the subject's vectors are resolved from
@@ -529,10 +533,13 @@ def forget_documents(
         apply_lexical_deletes,
         apply_lsh_deletes,
         apply_positional_deletes,
+        next_batch_id,
         read_ivf_docmap,
     )
     from fabric_claims_spark.sources.audit import append_audit_row
 
+    if batch_id is None:
+        batch_id = next_batch_id(index_store)
     n_docs = doc_ids.count()
     legs: list[tuple[str, bool, int]] = []
     if index_store.exists(LEX_POSTINGS):

@@ -195,3 +195,117 @@ def test_compaction_fires_through_scheduler_and_preserves_readers(
     )
     assert after == before
     assert any(s == "Fired" for _, s, _ in _audit_rows(store, "compact:"))
+
+
+def test_next_batch_id_clears_every_family_high_water(spark, tmp_path):
+    """next_batch_id: 0 on a virgin store; above the lexical build
+    and delete ids after they commit; above the IVF ids too (the max
+    spans every family's commit table) — so forget_documents'
+    default id can never collide."""
+    from fabric_claims_spark.operators.serving_index import (
+        next_batch_id,
+    )
+    from fabric_claims_spark.plans.governance import forget_documents
+    from fabric_claims_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 37).alias("doc_id")
+    )
+    seed = load_table(spark, SF, "embeddings").where(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    store = TableStore(spark, str(tmp_path / "idx"))
+    assert next_batch_id(store) == 0
+
+    apply_lexical_batch(store, docs, 0)
+    assert next_batch_id(store) == 1
+    apply_ivf_batch(store, emb, 7, seed, doc_col="doc_id")
+    assert next_batch_id(store) == 8  # IVF's high-water wins
+
+    # default-id forget: allocates 8, applies everywhere, and a
+    # second default-id forget gets 9 (no collision, no Skipped row)
+    kill = docs.where(F.col("doc_id") % 5 == 2).select("doc_id")
+    out = forget_documents(store, kill)
+    assert out["lexical"] > 0 and out["ivf"] >= 0
+    assert next_batch_id(store) == 9
+    kill2 = docs.where(F.col("doc_id") % 5 == 3).select("doc_id")
+    out2 = forget_documents(store, kill2)
+    assert out2["lexical"] > 0
+    td, _, _ = read_lexical_index(store)
+    assert td.join(kill, "doc_id", "left_semi").count() == 0
+    assert td.join(kill2, "doc_id", "left_semi").count() == 0
+
+
+def test_mutation_stream_runs_maintenance_at_cadence(spark, tmp_path):
+    """The CDC sink drives the audited maintenance pass every
+    maintenance_every micro-batches: tombstones laid down by the
+    stream's delete legs are FOLDED by the time the drain finishes,
+    the maintenance audit rows exist, and the final reader state
+    still equals the batch-path truth (folding is
+    reader-transparent)."""
+    import glob
+    import shutil
+
+    from fabric_claims_spark.operators.serving_index import (
+        apply_lexical_deletes,
+        read_lexical_tombstones,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+    from fabric_claims_spark.streaming.corpus_stream import (
+        corpus_mutation_stream,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    kill = evens.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    f1 = evens.withColumn("op", F.lit("add"))
+    f2 = odds.withColumn("op", F.lit("add")).unionByName(
+        kill.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("del").alias("op"),
+        )
+    )
+    mut_dir = tmp_path / "mut"
+    mut_dir.mkdir()
+    for name, part in (("a", f1), ("b", f2)):
+        side = tmp_path / f"side_{name}"
+        part.coalesce(1).write.parquet(str(side))
+        shutil.copy(
+            glob.glob(str(side / "part-*.parquet"))[0],
+            mut_dir / f"{name}.parquet",
+        )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    maint = IndexMaintenance(store, compact_file_threshold=10_000)
+    td, dfc, dn = corpus_mutation_stream(
+        spark,
+        str(mut_dir),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        families=("lexical",),
+        maintenance=maint,
+        maintenance_every=1,
+    )
+    # every tombstone the stream laid down has been folded
+    assert read_lexical_tombstones(store).count() == 0
+    fold_rows = _audit_rows(store, "fold:lexical")
+    assert any(s == "Fired" for _, s, _ in fold_rows)
+
+    # reader state == batch truth (fold is reader-transparent)
+    one = TableStore(spark, str(tmp_path / "truth"))
+    apply_lexical_batch(one, docs, 0)
+    apply_lexical_deletes(one, kill, 1)
+    td1, dfc1, dn1 = read_lexical_index(one)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(td) == rows(td1)
+    assert rows(dfc) == rows(dfc1)
+    assert rows(dn) == rows(dn1)
