@@ -169,6 +169,7 @@ class IndexMaintenance:
         ivf_k: int | None = None,
         ivf_iters: int = 3,
         audit_pipeline: str = "index_maintenance",
+        vacuum: bool = False,
     ):
         self.store = store
         self.fold_min_tombstones = fold_min_tombstones
@@ -178,6 +179,11 @@ class IndexMaintenance:
         self.ivf_k = ivf_k
         self.ivf_iters = ivf_iters
         self.audit_pipeline = audit_pipeline
+        # orphan reclamation (vacuum_uncommitted) is O(table) count
+        # work per table — orphans only exist after a crash between
+        # append and commit, so it is opt-in rather than every-pass
+        # (run it on restart-after-crash or a slow cadence)
+        self.vacuum = vacuum
 
     def _audit(self, action: str, fired: bool, reading: str, rows: int) -> None:
         append_audit_row(
@@ -242,6 +248,30 @@ class IndexMaintenance:
             self._audit(f"compact:{table}", compacted, f"files={fc}",
                         fc if compacted else 0)
             out[f"compact:{table}"] = {"fired": compacted, "files": fc}
+
+        if self.vacuum:
+            # reclaim rows whose append token never committed (torn
+            # apply). Tombstone tables ride the same commit protocol,
+            # so they vacuum identically.
+            vacuums = compactions + [
+                (si.LEX_TOMBSTONES, si.LEX_COMMITS),
+                (si.POS_TOMBSTONES, si.POS_COMMITS),
+                (si.LSH_TOMBSTONES, si.LSH_COMMITS),
+                (si.IVF_TOMBSTONES, si.IVF_COMMITS),
+                (si.IVF_DOCMAP, si.IVF_COMMITS),
+                (si.IVF_CENTROIDS, si.IVF_COMMITS),
+            ]
+            for table, commits in vacuums:
+                if not self.store.exists(table):
+                    continue
+                reclaimed = si.vacuum_uncommitted(self.store, table, commits)
+                self._audit(
+                    f"vacuum:{table}", reclaimed > 0,
+                    f"orphans={reclaimed}", reclaimed,
+                )
+                out[f"vacuum:{table}"] = {
+                    "fired": reclaimed > 0, "rows_reclaimed": reclaimed,
+                }
 
         if self.store.exists(si.IVF_VECS):
             has_quantizer = si.read_ivf_centroids(self.store).count() > 0

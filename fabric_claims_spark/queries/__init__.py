@@ -937,6 +937,13 @@ GATE_PRIORITY: list[str] = [
     # _IVF_ASSIGN_ORACLE + one survivor predicate, derived
     # programmatically; pinned by test_round13_mutation_oracle_share)
     "embeddings_ivf_mutation_stream",
+    # round-13: the maintenance SCHEDULER under the hash gate — two
+    # IndexMaintenance passes over a tombstoned store: decision
+    # statuses, the fold's exact dropped count, and the post-state
+    # index counts all in one hashed row set (compaction statuses
+    # deterministic at threshold 1; file counts excluded — they
+    # depend on write parallelism)
+    "lexical_maintenance_pipeline",
 ]
 
 

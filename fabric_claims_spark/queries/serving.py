@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from fabric_claims_spark.operators.serving_index import (
     apply_ivf_batch,
     apply_lexical_batch,
+    apply_lexical_deletes,
     apply_lsh_batch,
     read_ivf_index,
     read_lexical_index,
@@ -1088,3 +1089,97 @@ def embeddings_ivf_mutation_stream(
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# MAINTENANCE SCHEDULER GATE (round 13, candidate driver row): the
+# IndexMaintenance pass itself under the hash gate — two consecutive
+# passes over a tombstoned lexical store must make exactly the
+# decisions the policies promise (pass 1: fold Fired with the exact
+# dropped count, compactions Fired at threshold 1; pass 2: fold Held
+# at tombstones=0, compactions Fired again) and leave the index at
+# the fresh-survivor-build state. Decision statuses and the fold's
+# dropped count are deterministic functions of the corpus; file
+# counts are NOT (they depend on write parallelism), so compaction
+# rows hash their status only (n=0) — the threshold-1 setting makes
+# the status itself deterministic.
+
+@query(
+    "lexical_maintenance_pipeline",
+    oracle=r"""
+    WITH td AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    del AS (SELECT * FROM td WHERE doc_id % 5 = 2),
+    ddocs AS (SELECT DISTINCT doc_id FROM del),
+    surv AS (SELECT * FROM td WHERE doc_id % 5 != 2)
+    SELECT 'p1' AS phase, 'fold:lexical' AS decision, 'Fired' AS status,
+           CAST((SELECT COUNT(*) FROM del)
+                + (SELECT COUNT(*) FROM ddocs) AS BIGINT) AS n
+    UNION ALL SELECT 'p1', 'compact:lex_postings', 'Fired', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'p1', 'compact:lex_doclen', 'Fired', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'p2', 'fold:lexical', 'Held', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'p2', 'compact:lex_postings', 'Fired', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'p2', 'compact:lex_doclen', 'Fired', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'post', 'index:postings', '',
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT)
+    UNION ALL SELECT 'post', 'index:terms', '',
+           CAST((SELECT COUNT(DISTINCT term) FROM surv) AS BIGINT)
+    UNION ALL SELECT 'post', 'index:doclen', '',
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM surv) AS BIGINT)
+    UNION ALL SELECT 'post', 'index:tombstones', '', CAST(0 AS BIGINT)
+    """,
+)
+def lexical_maintenance_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build, erase, then run the audited maintenance pass twice
+    (pipeline/runner.IndexMaintenance — fold cadence + threshold-1
+    compaction) and hash the decision table plus the post-state
+    counts. A fold that under- or over-drops, a cadence that
+    re-fires on an empty tombstone set, a compaction that changes
+    reader-visible rows, or a tombstone that survives the fold each
+    diverge the hash."""
+    from fabric_claims_spark.operators.serving_index import (
+        read_lexical_tombstones,
+    )
+    from fabric_claims_spark.pipeline.runner import IndexMaintenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="lex_maint_")
+    try:
+        store = TableStore(spark, work)
+        apply_lexical_batch(store, docs, 0)
+        apply_lexical_deletes(
+            store, docs.where(F.col("doc_id") % 5 == 2).select("doc_id"), 1
+        )
+        maint = IndexMaintenance(
+            store,
+            fold_min_tombstones=1,
+            compact_file_threshold=1,
+            compact_n_files=1,
+        )
+        rows: list[tuple[str, str, str, int]] = []
+        for phase in ("p1", "p2"):
+            out = maint.run_post_apply()
+            for dec in ("fold:lexical", "compact:lex_postings",
+                        "compact:lex_doclen"):
+                o = out[dec]
+                n = int(o.get("rows_dropped", 0)) if dec.startswith("fold") else 0
+                rows.append(
+                    (phase, dec, "Fired" if o["fired"] else "Held", n)
+                )
+        td, dfc, dn = read_lexical_index(store)
+        rows.append(("post", "index:postings", "", int(td.count())))
+        rows.append(("post", "index:terms", "", int(dfc.count())))
+        rows.append(("post", "index:doclen", "", int(dn.count())))
+        rows.append(
+            ("post", "index:tombstones", "",
+             int(read_lexical_tombstones(store).count()))
+        )
+        return spark.createDataFrame(
+            rows, "phase string, decision string, status string, n long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -309,3 +309,50 @@ def test_mutation_stream_runs_maintenance_at_cadence(spark, tmp_path):
     assert rows(td) == rows(td1)
     assert rows(dfc) == rows(dfc1)
     assert rows(dn) == rows(dn1)
+
+
+def test_vacuum_pass_reclaims_torn_apply_orphans(spark, tmp_path):
+    """vacuum=True: rows appended with a token that never committed
+    (the crash-between-append-and-commit state) are reclaimed by the
+    maintenance pass with an audit row; committed rows untouched; a
+    second pass logs zero orphans."""
+    import uuid as _uuid
+
+    from fabric_claims_spark.operators.serving_index import (
+        _TOKEN,
+        LEX_POSTINGS,
+        lexical_postings,
+    )
+    from fabric_claims_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    store = TableStore(spark, str(tmp_path / "lex"))
+    apply_lexical_batch(store, docs.where(F.col("doc_id") % 2 == 0), 0)
+    committed = store.read(LEX_POSTINGS).count()
+
+    # simulate a torn apply: append with an uncommitted token
+    orphan_rows = lexical_postings(
+        docs.where(F.col("doc_id") % 2 == 1)
+    ).withColumn(_TOKEN, F.lit(_uuid.uuid4().hex))
+    store.append(LEX_POSTINGS, orphan_rows)
+    n_orphans = orphan_rows.count()
+    assert store.read(LEX_POSTINGS).count() == committed + n_orphans
+    # reader never saw the orphans
+    td, _, _ = read_lexical_index(store)
+    assert td.count() == committed
+
+    maint = IndexMaintenance(
+        store, compact_file_threshold=10_000, vacuum=True
+    )
+    out = maint.run_post_apply()
+    key = f"vacuum:{LEX_POSTINGS}"
+    assert out[key] == {"fired": True, "rows_reclaimed": n_orphans}
+    assert store.read(LEX_POSTINGS).count() == committed
+    td2, _, _ = read_lexical_index(store)
+    assert td2.count() == committed
+
+    out2 = maint.run_post_apply()
+    assert out2[key] == {"fired": False, "rows_reclaimed": 0}
+    rows = _audit_rows(store, "vacuum:lex_postings")
+    assert [s for _, s, _ in rows] == ["Fired", "Held"]
+    assert rows[0][2] == n_orphans
