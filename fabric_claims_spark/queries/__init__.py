@@ -944,6 +944,11 @@ GATE_PRIORITY: list[str] = [
     # deterministic at threshold 1; file counts excluded — they
     # depend on write parallelism)
     "lexical_maintenance_pipeline",
+    # round-13: the GDPR fan-out end-to-end — one default-batch-id
+    # forget_documents over all four families (IVF via the doc→vec
+    # mapping); hashed rows = per-family requested counts + every
+    # family's post-erasure reader state
+    "forget_documents_pipeline",
 ]
 
 

@@ -1183,3 +1183,110 @@ def lexical_maintenance_pipeline(
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# GOVERNANCE ERASURE FAN-OUT GATE (round 13, candidate driver row):
+# forget_documents end-to-end under the hash gate — one doc-keyed
+# request (default-allocated batch id, doc→vec resolution through
+# the ivf_docmap) must erase the subject from all four families, and
+# the hashed row set carries the per-family requested counts AND the
+# post-erasure state of every family (postings, positions, pairs
+# with both endpoints live, live vectors, live docmap). A family the
+# cascade missed, a vector left behind by the doc→vec resolution, or
+# a pair surviving through an erased endpoint each diverge the hash.
+
+from fabric_claims_spark.queries.lsh import _neardup_ctes  # noqa: E402
+
+_FORGET_ORACLE = f"""
+    WITH {_neardup_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+    td AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents WHERE length(trim(text)) > 0),
+    killn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE doc_id % 7 = 3)
+    SELECT 'requested' AS stage, 'lexical' AS family,
+           (SELECT n FROM killn) AS n
+    UNION ALL SELECT 'requested', 'positional', (SELECT n FROM killn)
+    UNION ALL SELECT 'requested', 'lsh', (SELECT n FROM killn)
+    UNION ALL SELECT 'requested', 'ivf',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE (vec_id % 37) % 7 = 3)
+    UNION ALL SELECT 'post', 'lex_postings',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM td WHERE doc_id % 7 != 3)
+    UNION ALL SELECT 'post', 'pos_postings',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE doc_id % 7 != 3)
+    UNION ALL SELECT 'post', 'lsh_pairs',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+       WHERE doc_a % 7 != 3 AND doc_b % 7 != 3)
+    UNION ALL SELECT 'post', 'ivf_live',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE (vec_id % 37) % 7 != 3)
+    UNION ALL SELECT 'post', 'ivf_docmap',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       WHERE (vec_id % 37) % 7 != 3)
+    """
+
+
+@query("forget_documents_pipeline", oracle=_FORGET_ORACLE)
+def forget_documents_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Build all four serving families (IVF with the doc→vec
+    mapping), erase doc_id % 7 == 3 through ONE default-batch-id
+    ``forget_documents`` call, and hash the requested counts plus
+    every family's post-erasure reader state."""
+    from fabric_claims_spark.operators.serving_index import (
+        apply_positional_batch,
+        read_ivf_docmap,
+        read_positional_index,
+    )
+    from fabric_claims_spark.plans.governance import forget_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 37).alias("doc_id")
+    )
+    seed = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    work = tempfile.mkdtemp(prefix="forget_e2e_")
+    try:
+        store = TableStore(spark, work)
+        apply_lexical_batch(store, docs, 0)
+        apply_positional_batch(store, docs, 0)
+        apply_lsh_batch(store, docs, 0, threshold=0.5, hasher="md5")
+        apply_ivf_batch(store, emb, 0, seed, doc_col="doc_id")
+
+        kill = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        out = forget_documents(store, kill)  # default-allocated id
+
+        td, _, _ = read_lexical_index(store)
+        rows = [
+            ("requested", "lexical", int(out["lexical"])),
+            ("requested", "positional", int(out["positional"])),
+            ("requested", "lsh", int(out["lsh"])),
+            ("requested", "ivf", int(out["ivf"])),
+            ("post", "lex_postings", int(td.count())),
+            ("post", "pos_postings",
+             int(read_positional_index(store).count())),
+            ("post", "lsh_pairs", int(read_lsh_pairs(store).count())),
+            ("post", "ivf_live", int(read_ivf_index(store).count())),
+            ("post", "ivf_docmap", int(read_ivf_docmap(store).count())),
+        ]
+        return spark.createDataFrame(
+            rows, "stage string, family string, n long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
