@@ -186,22 +186,40 @@ class IndexMaintenance:
         self.vacuum = vacuum
 
     def _audit(self, action: str, fired: bool, reading: str, rows: int) -> None:
-        append_audit_row(
-            self.store.spark,
-            self.store,
-            pipeline=self.audit_pipeline,
-            layer="maintenance",
-            status="Fired" if fired else "Held",
-            rows_written=rows,
-            target_object=f"{action}({reading})",
+        from fabric_claims_spark.sources.audit import build_audit_row
+
+        # decisions accumulate and flush as ONE audit append at pass
+        # end (round 13: on the parquet fallback every append rewrites
+        # the audit table — ten per-decision appends dominated the
+        # healthy-pass wall; batched, the pass pays one write).
+        # Per-row timestamps keep decision order readable.
+        self._pending_audit.append(
+            build_audit_row(
+                pipeline=self.audit_pipeline,
+                layer="maintenance",
+                status="Fired" if fired else "Held",
+                rows_written=rows,
+                target_object=f"{action}({reading})",
+            )
         )
 
     def run_post_apply(self) -> dict[str, Any]:
         """One maintenance pass over every index family present in
         the store. Returns {decision_name: outcome} mirroring the
-        audit rows."""
+        audit rows (written as one batched append at pass end)."""
         from fabric_claims_spark.operators import serving_index as si
+        from fabric_claims_spark.sources.audit import append_audit_rows
 
+        self._pending_audit: list[tuple] = []
+        try:
+            return self._run_post_apply(si)
+        finally:
+            append_audit_rows(
+                self.store.spark, self.store, self._pending_audit
+            )
+            self._pending_audit = []
+
+    def _run_post_apply(self, si) -> dict[str, Any]:
         out: dict[str, Any] = {}
         folds = [
             ("lexical", si.LEX_POSTINGS, si.read_lexical_tombstones,

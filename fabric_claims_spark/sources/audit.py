@@ -59,7 +59,48 @@ def append_audit_row(
     trigger_type: str = "Manual",
     finished_at: datetime | None = None,
 ) -> None:
-    row = (
+    store.append(
+        AUDIT_TABLE,
+        spark.createDataFrame(
+            [
+                build_audit_row(
+                    pipeline,
+                    layer,
+                    status,
+                    rows_written=rows_written,
+                    wm_before=wm_before,
+                    wm_after=wm_after,
+                    target_object=target_object,
+                    error=error,
+                    run_id=run_id,
+                    trigger_type=trigger_type,
+                    finished_at=finished_at,
+                )
+            ],
+            AUDIT_SCHEMA,
+        ),
+    )
+
+
+def build_audit_row(
+    pipeline: str,
+    layer: str,
+    status: str,
+    rows_written: int = 0,
+    wm_before: str | None = None,
+    wm_after: str | None = None,
+    target_object: str = "All",
+    error: str | None = None,
+    run_id: str | None = None,
+    trigger_type: str = "Manual",
+    finished_at: datetime | None = None,
+) -> tuple:
+    """One AUDIT_SCHEMA-shaped tuple — for callers that batch several
+    decisions into ONE append (round 13: on the versioned-parquet
+    fallback every append rewrites the audit table, so a maintenance
+    pass writing ten decision rows one-by-one pays ten rewrites;
+    batched, it pays one)."""
+    return (
         str(uuid.uuid4()),
         pipeline,
         layer,
@@ -74,7 +115,17 @@ def append_audit_row(
         None,
         trigger_type,
     )
-    store.append(AUDIT_TABLE, spark.createDataFrame([row], AUDIT_SCHEMA))
+
+
+def append_audit_rows(
+    spark: SparkSession, store: TableStore, rows: list[tuple]
+) -> None:
+    """Append a batch of ``build_audit_row`` tuples in ONE table
+    write (one version on the parquet fallback, one transactional
+    append on Delta)."""
+    if not rows:
+        return
+    store.append(AUDIT_TABLE, spark.createDataFrame(rows, AUDIT_SCHEMA))
 
 
 def last_gold_success(spark: SparkSession, store: TableStore) -> str:
