@@ -160,14 +160,45 @@ class TableStore:
         self._commit_version(name, df)
 
     def append(self, name: str, df: DataFrame) -> None:
-        """S8 — append sink (NB_BRONZE:221-223). Fallback appends are
-        read+union+commit (atomic, but O(table)); Delta appends are
-        O(batch) — use Delta for high-churn tables at scale."""
+        """S8 — append sink (NB_BRONZE:221-223). Delta appends are
+        O(batch). The parquet fallback is ALSO O(batch) when the batch
+        schema matches the stored schema (the steady-state case): only
+        the batch's rows are written into the new version directory,
+        and the current version's data files are hardlinked in beside
+        them — same atomic pointer-swap commit, no read or rewrite of
+        existing data. Schema-evolving appends (new/missing/retyped
+        columns) take the read+union+commit path, which is O(table) —
+        rare by construction (a schema change is a migration event)."""
         if self.use_delta:
             df.write.format("delta").mode("append").save(self._dir(name))
             return
         if self.exists(name):
-            df = self.read(name).unionByName(df, allowMissingColumns=True)
+            current = self.read(name)
+            # Parquet reads surface every field nullable, so nullability
+            # is not part of the compatibility check; ORDER matters only
+            # for the write (all files in a version carry one layout),
+            # so a column-permuted batch is realigned, not slow-pathed.
+            cur_fields = [(f.name, f.dataType) for f in current.schema.fields]
+            new_fields = {(f.name, f.dataType) for f in df.schema.fields}
+            cur_dir = os.path.join(
+                self._dir(name), self._current_version(name) or ""
+            )
+            flat = all(
+                os.path.isfile(os.path.join(cur_dir, e))
+                for e in os.listdir(cur_dir)
+            )
+            if (
+                flat
+                and len(df.schema.fields) == len(cur_fields)
+                and set(cur_fields) == new_fields
+            ):
+                self._commit_version(
+                    name,
+                    df.select([n for n, _ in cur_fields]),
+                    link_from=cur_dir,
+                )
+                return
+            df = current.unionByName(df, allowMissingColumns=True)
         self._commit_version(name, df)
 
     def delete(self, name: str, condition: Column) -> int:
@@ -466,7 +497,11 @@ class TableStore:
         self._commit_version(name, df)
 
     def _commit_version(
-        self, name: str, df: DataFrame, partition_by: str | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+        link_from: str | None = None,
     ) -> None:
         table_dir = self._dir(name)
         os.makedirs(table_dir, exist_ok=True)
@@ -478,7 +513,19 @@ class TableStore:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
-        writer.parquet(os.path.join(table_dir, version))
+        new_dir = os.path.join(table_dir, version)
+        writer.parquet(new_dir)
+        if link_from is not None:
+            # O(batch) append: carry the previous version's data files
+            # into the new version by hardlink (no data movement; part
+            # filenames embed a per-write-job UUID, so names from
+            # different commits can never collide)
+            for fname in os.listdir(link_from):
+                if not fname.startswith(("_", ".")):
+                    os.link(
+                        os.path.join(link_from, fname),
+                        os.path.join(new_dir, fname),
+                    )
         tmp_ptr = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}"
                                )
         with open(tmp_ptr, "w") as f:
