@@ -115,6 +115,51 @@ def maintain_additive_rollup(
 APPLIED_BATCH_COL = "_applied_batch_id"
 
 
+def applied_watermark(store: TableStore, table: str) -> int | None:
+    """max(APPLIED_BATCH_COL) of the stored rollup, or None when the
+    table does not exist.
+
+    Parquet fallback (round 13, guide §1.2/§6): the column is a
+    constant per version, so the answer sits in every file's footer
+    statistics — read them driver-side instead of paying a Spark
+    aggregate job per protocol check (the same metadata-not-jobs rule
+    the commit tables follow). Any file without usable stats falls
+    back to the one-row Spark aggregate; Delta stores always take the
+    Spark path."""
+    if not store.exists(table):
+        return None
+    if not store.use_delta:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            version = store._current_version(table)
+            vdir = os.path.join(store._dir(table), version or "")
+            mx: int | None = None
+            for fname in os.listdir(vdir):
+                path = os.path.join(vdir, fname)
+                if fname.startswith(("_", ".")) or not os.path.isfile(path):
+                    continue
+                md = pq.ParquetFile(path).metadata
+                names = md.schema.to_arrow_schema().names
+                idx = names.index(APPLIED_BATCH_COL)
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    if grp.num_rows == 0:
+                        continue
+                    st = grp.column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise LookupError("no footer stats")
+                    v = int(st.max)
+                    mx = v if mx is None else max(mx, v)
+            return mx
+        except Exception:
+            pass  # unreadable footer/stats: authoritative Spark path
+    row = store.read(table).select(F.max(APPLIED_BATCH_COL)).head()
+    return None if row is None or row[0] is None else int(row[0])
+
+
 def maintain_additive_rollup_idempotent(
     store: TableStore,
     table: str,
@@ -140,7 +185,7 @@ def maintain_additive_rollup_idempotent(
     the retraction path (erasure increments fold in with weight -1)."""
     if store.exists(table):
         cur = store.read(table)
-        applied = cur.select(F.max(APPLIED_BATCH_COL)).head()[0]
+        applied = applied_watermark(store, table)
         if applied is not None and batch_id <= applied:
             return cur.drop(APPLIED_BATCH_COL)
         partial = partial_rollup(

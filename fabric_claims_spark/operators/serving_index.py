@@ -80,7 +80,7 @@ from fabric_claims_spark.extensions.bpe import (
     _tracked_checkpoint,
 )
 from fabric_claims_spark.operators.rollup import (
-    APPLIED_BATCH_COL,
+    applied_watermark,
     maintain_additive_rollup_idempotent,
 )
 from fabric_claims_spark.sources.merge import TableStore
@@ -114,7 +114,77 @@ _TOKEN = "_token"
 # -- commit protocol ---------------------------------------------------------
 
 
+def _read_commits(
+    store: TableStore, commits_table: str
+) -> dict[int, str] | None:
+    """batch_id → token, read driver-side (round 13, guide §1.2/§5:
+    the commit table is one-row-per-batch METADATA — a Spark job per
+    protocol check paid full job scheduling for a few hundred bytes,
+    and the serving gates run dozens of such checks). Returns None on
+    a Delta-backed store (callers keep the DataFrame path — Delta has
+    its own transaction log for exactly this state)."""
+    if store.use_delta:
+        return None
+    if not store.exists(commits_table):
+        return {}
+    t = store.read_local(commits_table)
+    return {
+        int(b): tok
+        for b, tok in zip(
+            t.column("batch_id").to_pylist(), t.column("token").to_pylist()
+        )
+    }
+
+
+def _write_commits(
+    store: TableStore, commits_table: str, commits: dict[int, str]
+) -> None:
+    """Atomic driver-side rewrite of a commit table (one parquet
+    file, same pointer-swap commit as every write)."""
+    import pyarrow as pa
+
+    ids = sorted(commits)
+    store.overwrite_local(
+        commits_table,
+        pa.table(
+            {
+                "batch_id": pa.array([int(b) for b in ids], pa.int64()),
+                "token": pa.array([commits[b] for b in ids], pa.string()),
+            }
+        ),
+    )
+
+
+# Committed-token visibility filter: up to this many committed batches
+# the token set rides inline as a scan-pushable IN predicate (zero
+# extra jobs); past it — or on Delta — readers keep the broadcast
+# semi-join (a production store with an unbounded commit history should
+# be compacting its commit table anyway; the cap keeps plan size
+# bounded either way).
+_TOKEN_INLIST_CAP = 1024
+
+
+def _committed(
+    store: TableStore, table: str, commits_table: str, keep_token: bool
+) -> DataFrame:
+    rows = store.read(table)
+    commits = _read_commits(store, commits_table)
+    if commits is not None and len(commits) <= _TOKEN_INLIST_CAP:
+        out = rows.where(
+            F.col(_TOKEN).isin(sorted(set(commits.values())))
+        )
+    else:
+        tokens = store.read(commits_table).select(
+            F.col("token").alias(_TOKEN)
+        )
+        out = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    return out if keep_token else out.drop(_TOKEN)
+
+
 def _applied(store: TableStore, commits_table: str, batch_id: int) -> bool:
+    commits = _read_commits(store, commits_table)
+    if commits is not None:
+        return int(batch_id) in commits
     if not store.exists(commits_table):
         return False
     row = (
@@ -138,10 +208,15 @@ def next_batch_id(store: TableStore) -> int:
     Races between two concurrent allocators remain out of contract
     (the stores are single-writer by design, like every TableStore)."""
     hi = -1
-    for commits in (LEX_COMMITS, POS_COMMITS, LSH_COMMITS, IVF_COMMITS):
-        if not store.exists(commits):
+    for commits_table in (LEX_COMMITS, POS_COMMITS, LSH_COMMITS, IVF_COMMITS):
+        commits = _read_commits(store, commits_table)
+        if commits is not None:
+            if commits:
+                hi = max(hi, max(commits))
             continue
-        row = store.read(commits).agg(F.max("batch_id")).head()
+        if not store.exists(commits_table):
+            continue
+        row = store.read(commits_table).agg(F.max("batch_id")).head()
         if row is not None and row[0] is not None:
             hi = max(hi, int(row[0]))
     return hi + 1
@@ -150,6 +225,13 @@ def next_batch_id(store: TableStore) -> int:
 def _commit(
     store: TableStore, commits_table: str, batch_id: int, token: str
 ) -> None:
+    commits = _read_commits(store, commits_table)
+    if commits is not None:
+        commits[int(batch_id)] = token
+        # one row per committed batch — atomic pointer-swap overwrite,
+        # driver-side (metadata write; no Spark job)
+        _write_commits(store, commits_table, commits)
+        return
     new = store.spark.createDataFrame(
         [(int(batch_id), token)], "batch_id long, token string"
     )
@@ -163,11 +245,10 @@ def _commit(
 
 
 def _committed_rows(store: TableStore, table: str, commits_table: str) -> DataFrame:
-    """Reader view: only rows whose token was committed. The commit
-    table holds one row per batch — the semi-join broadcasts."""
-    rows = store.read(table)
-    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
-    return rows.join(F.broadcast(tokens), _TOKEN, "left_semi").drop(_TOKEN)
+    """Reader view: only rows whose token was committed — a
+    scan-pushable IN filter on the driver-read token set (bounded),
+    falling back to a broadcast semi-join past the cap / on Delta."""
+    return _committed(store, table, commits_table, keep_token=False)
 
 
 def compact_index_table(
@@ -189,9 +270,7 @@ def compact_index_table(
     threshold."""
     if not store.exists(table) or not store.exists(commits_table):
         return 0
-    rows = store.read(table)
-    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
-    keep = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    keep = _committed(store, table, commits_table, keep_token=True)
     store.overwrite(table, keep.repartition(n_files))
     return store.read(table).count()
 
@@ -243,8 +322,7 @@ def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int
     if not store.exists(table) or not store.exists(commits_table):
         return 0
     rows = store.read(table)
-    tokens = store.read(commits_table).select(F.col("token").alias(_TOKEN))
-    keep = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+    keep = _committed(store, table, commits_table, keep_token=True)
     removed = rows.count() - keep.count()
     if removed:
         store.overwrite(table, keep)
@@ -407,7 +485,7 @@ def apply_lexical_deletes(
     if _applied(store, LEX_COMMITS, batch_id):
         return False
     if store.exists(LEX_DF):
-        applied = store.read(LEX_DF).select(F.max(APPLIED_BATCH_COL)).head()[0]
+        applied = applied_watermark(store, LEX_DF)
         if applied is not None and int(batch_id) < int(applied):
             raise ValueError(
                 f"apply_lexical_deletes: batch_id {batch_id} is below "
@@ -476,11 +554,7 @@ def fold_lexical_deletes(store: TableStore, n_files: int = 8) -> int:
         for table in (LEX_POSTINGS, LEX_DOCLEN):
             if not store.exists(table):
                 continue
-            rows = store.read(table)
-            tokens = store.read(LEX_COMMITS).select(
-                F.col("token").alias(_TOKEN)
-            )
-            committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+            committed = _committed(store, table, LEX_COMMITS, keep_token=True)
             keep = committed.join(tomb, "doc_id", "left_anti")
             dropped += committed.count() - keep.count()
             store.overwrite(table, keep.repartition(n_files))
@@ -599,9 +673,9 @@ def fold_positional_deletes(store: TableStore, n_files: int = 8) -> int:
     try:
         if tomb.head() is None:
             return 0
-        rows = store.read(POS_POSTINGS)
-        tokens = store.read(POS_COMMITS).select(F.col("token").alias(_TOKEN))
-        committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+        committed = _committed(
+            store, POS_POSTINGS, POS_COMMITS, keep_token=True
+        )
         keep = committed.join(tomb, "doc_id", "left_anti")
         dropped = committed.count() - keep.count()
         store.overwrite(POS_POSTINGS, keep.repartition(n_files))
@@ -887,11 +961,7 @@ def fold_lsh_deletes(store: TableStore, n_files: int = 8) -> int:
         for table, mask in plans:
             if not store.exists(table):
                 continue
-            rows = store.read(table)
-            tokens = store.read(LSH_COMMITS).select(
-                F.col("token").alias(_TOKEN)
-            )
-            committed = rows.join(F.broadcast(tokens), _TOKEN, "left_semi")
+            committed = _committed(store, table, LSH_COMMITS, keep_token=True)
             keep = mask(committed)
             dropped += committed.count() - keep.count()
             store.overwrite(table, keep.repartition(n_files))
@@ -1075,14 +1145,22 @@ def rebuild_ivf_index(
     store.append(IVF_CENTROIDS, cent_df.withColumn(_TOKEN, F.lit(token)))
     if live_docmap is not None:
         store.append(IVF_DOCMAP, live_docmap.withColumn(_TOKEN, F.lit(token)))
-    prior = [
-        int(r["batch_id"])
-        for r in store.read(IVF_COMMITS).select("batch_id").collect()
-    ]
-    swapped = spark.createDataFrame(
-        [(b, token) for b in prior], "batch_id long, token string"
-    )
-    store.overwrite(IVF_COMMITS, swapped.coalesce(1))
+    commits = _read_commits(store, IVF_COMMITS)
+    if commits is not None:
+        # driver-side swap: every committed batch_id re-points at the
+        # rebuild token in one metadata write
+        _write_commits(
+            store, IVF_COMMITS, {b: token for b in commits}
+        )
+    else:
+        prior = [
+            int(r["batch_id"])
+            for r in store.read(IVF_COMMITS).select("batch_id").collect()
+        ]
+        swapped = spark.createDataFrame(
+            [(b, token) for b in prior], "batch_id long, token string"
+        )
+        store.overwrite(IVF_COMMITS, swapped.coalesce(1))
     vacuum_uncommitted(store, IVF_VECS, IVF_COMMITS)
     vacuum_uncommitted(store, IVF_CENTROIDS, IVF_COMMITS)
     # the swap re-pointed every batch_id at the rebuild token, which

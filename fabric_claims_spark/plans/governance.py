@@ -406,7 +406,10 @@ def enforce_k_anonymity(
     suppressed keys), and return {total, kept, suppressed, level}.
     ``l > 1`` enforces l-diversity alongside k-anonymity (the
     combined kl transform); the audit row's target records both."""
-    from fabric_claims_spark.sources.audit import append_audit_row
+    from fabric_claims_spark.sources.audit import (
+        append_audit_rows,
+        build_audit_row,
+    )
 
     rows, classes = kl_anonymize(
         customers, nations, k=k, l=l, ladder=ladder
@@ -421,16 +424,22 @@ def enforce_k_anonymity(
         F.count(F.lit(1)).alias("kept"), F.min("level").alias("level")
     ).first()
     kept = int(kl["kept"])
-    append_audit_row(
+    append_audit_rows(
         store.spark,
         store,
-        pipeline=audit_pipeline,
-        layer="governance",
-        status="Succeeded",
-        rows_written=kept,
-        target_object=(
-            f"k_anonymize(k={k})" if l <= 1 else f"kl_anonymize(k={k},l={l})"
-        ),
+        [
+            build_audit_row(
+                pipeline=audit_pipeline,
+                layer="governance",
+                status="Succeeded",
+                rows_written=kept,
+                target_object=(
+                    f"k_anonymize(k={k})"
+                    if l <= 1
+                    else f"kl_anonymize(k={k},l={l})"
+                ),
+            )
+        ],
     )
     return {
         "total": total,
@@ -458,21 +467,28 @@ def forget_subject(
     tag, never the subject key itself (an erasure log that names the
     erased subject defeats the erasure). Returns {table: rows_erased}.
     """
-    from fabric_claims_spark.sources.audit import append_audit_row
+    from fabric_claims_spark.sources.audit import (
+        append_audit_rows,
+        build_audit_row,
+    )
 
     results: dict[str, int] = {}
+    audit_rows = []
     for table, key_col in subject_tables.items():
         n = store.delete(table, F.col(key_col) == F.lit(subject_id))
         results[table] = n
-        append_audit_row(
-            store.spark,
-            store,
-            pipeline=audit_pipeline,
-            layer="governance",
-            status="Succeeded",
-            rows_written=n,
-            target_object=table,
+        audit_rows.append(
+            build_audit_row(
+                pipeline=audit_pipeline,
+                layer="governance",
+                status="Succeeded",
+                rows_written=n,
+                target_object=table,
+            )
         )
+    # one append for the whole fan-out (round 13): per-table rows in
+    # deletion order (per-row timestamps), one table version
+    append_audit_rows(store.spark, store, audit_rows)
     return results
 
 
@@ -536,7 +552,10 @@ def forget_documents(
         next_batch_id,
         read_ivf_docmap,
     )
-    from fabric_claims_spark.sources.audit import append_audit_row
+    from fabric_claims_spark.sources.audit import (
+        append_audit_rows,
+        build_audit_row,
+    )
 
     if batch_id is None:
         batch_id = next_batch_id(index_store)
@@ -571,15 +590,19 @@ def forget_documents(
         applied = apply_ivf_deletes(index_store, vec_ids, batch_id)
         legs.append(("ivf", applied, n_vecs))
     results: dict[str, int] = {}
+    audit_rows = []
     for family, applied, n in legs:
         results[family] = int(n) if applied else 0
-        append_audit_row(
-            index_store.spark,
-            index_store,
-            pipeline=audit_pipeline,
-            layer="governance",
-            status="Succeeded" if applied else "Skipped",
-            rows_written=int(n) if applied else 0,
-            target_object=f"serving_index:{family}",
+        audit_rows.append(
+            build_audit_row(
+                pipeline=audit_pipeline,
+                layer="governance",
+                status="Succeeded" if applied else "Skipped",
+                rows_written=int(n) if applied else 0,
+                target_object=f"serving_index:{family}",
+            )
         )
+    # one append for the whole fan-out (round 13): per-family rows
+    # land with per-row timestamps in leg order, one table version
+    append_audit_rows(index_store.spark, index_store, audit_rows)
     return results

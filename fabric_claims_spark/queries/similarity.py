@@ -1129,6 +1129,14 @@ def embeddings_centroid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold cut is bit-identical across engines.
 _SEMDEDUP_THRESH = "0.3"
 
+# Pair-join block fan-out (guide §2.5 deterministic salting): the
+# within-cluster pair joins below otherwise hash on the cluster id
+# alone — k distinct keys, so k tasks carry the quadratic pair pass
+# no matter how many cores exist. 16 blocks × k clusters spreads it
+# 16× for a 16× replication of one (row-count-sized, not pair-sized)
+# side; results are identical (each pair meets in exactly one block).
+_PAIR_BLOCKS = 16
+
 
 def _semantic_dedup_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     return f"""
@@ -1162,7 +1170,9 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from fabric_claims_spark.operators.partitioning import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     # Lloyd-trained coarse quantizer (k·dim driver state, 3 rounds),
     # then the zero-shuffle literal-centroid argmin assignment — the
     # exact pair embeddings_kmeans pins green against the SQL unroll.
@@ -1177,23 +1187,37 @@ def embeddings_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair re-derives both 64-element self-dots: 3x the array math
     # over the C(cluster,2) pair space
     withn = assign.withColumn("nrm", F.sqrt(_dot(F.col("ev"), F.col("ev"))))
+    # Deterministic pair-blocking (guide §2.5): the pair join's only
+    # equi-key is the cluster id — k distinct values, so the whole
+    # quadratic within-cluster dot-product pass lands on ≤ k reduce
+    # partitions (measured: ONE 11 s task at sf0.1). Salt the a-side
+    # with pmod(id, B) and replicate the b-side B ways: same pair set
+    # exactly once each, k·B-way parallelism on the pair compute.
     a = withn.select(
         F.col("cluster").alias("c_a"),
         F.col("vec_id").alias("id_a"),
         F.col("ev").alias("ev_a"),
         F.col("nrm").alias("n_a"),
+    ).withColumn("blk_a", F.pmod("id_a", F.lit(_PAIR_BLOCKS)).cast("int"))
+    blocks = spark.range(_PAIR_BLOCKS).select(
+        F.col("id").cast("int").alias("blk_b")
     )
     b = withn.select(
         F.col("cluster").alias("c_b"),
         F.col("vec_id").alias("id_b"),
         F.col("ev").alias("ev_b"),
         F.col("nrm").alias("n_b"),
-    )
+    ).crossJoin(F.broadcast(blocks))
     pair_cos = _dot(F.col("ev_a"), F.col("ev_b")) / (
         F.col("n_a") * F.col("n_b")
     )
     dropped = (
-        a.join(b, (a["c_a"] == b["c_b"]) & (a["id_a"] < b["id_b"]))
+        a.join(
+            b,
+            (a["c_a"] == b["c_b"])
+            & (a["blk_a"] == b["blk_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
         .where(F.round(pair_cos, 6) >= F.lit(float(_SEMDEDUP_THRESH)))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -1407,13 +1431,19 @@ def embeddings_semantic_dedup_mp(
         kmeans_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from fabric_claims_spark.operators.partitioning import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
     ev = emb.select("vec_id", _as_double("embedding").alias("v"))
     pr = _lloyd_assign_probes(ev, cents, probes=_SEMDEDUP_PROBES)
     withn = pr.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     # one row per (vector, probed cluster) — the equi-join key; a pair
-    # sharing both probes joins twice, the DISTINCT collapses it
+    # sharing both probes joins twice, the DISTINCT collapses it.
+    # Same deterministic pair-blocking as embeddings_semantic_dedup
+    # (guide §2.5): the probed-cluster key alone is k values, so the
+    # quadratic pair pass would run ≤ k-way; pmod(id, B) blocks × a
+    # B-way replicated b-side spread it k·B-way, same pair set.
     probe_rows = withn.select(
         "vec_id",
         F.explode("probes").alias("pc"),
@@ -1425,18 +1455,26 @@ def embeddings_semantic_dedup_mp(
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("ev_a"),
         F.col("nrm").alias("n_a"),
+    ).withColumn("blk_a", F.pmod("id_a", F.lit(_PAIR_BLOCKS)).cast("int"))
+    blocks = spark.range(_PAIR_BLOCKS).select(
+        F.col("id").cast("int").alias("blk_b")
     )
     b = probe_rows.select(
         F.col("pc").alias("pc_b"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("ev_b"),
         F.col("nrm").alias("n_b"),
-    )
+    ).crossJoin(F.broadcast(blocks))
     pair_cos = _dot(F.col("ev_a"), F.col("ev_b")) / (
         F.col("n_a") * F.col("n_b")
     )
     dropped = (
-        a.join(b, (a["pc_a"] == b["pc_b"]) & (a["id_a"] < b["id_b"]))
+        a.join(
+            b,
+            (a["pc_a"] == b["pc_b"])
+            & (a["blk_a"] == b["blk_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
         .where(F.round(pair_cos, 6) >= F.lit(float(_SEMDEDUP_THRESH)))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

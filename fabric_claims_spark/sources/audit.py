@@ -78,7 +78,7 @@ def append_audit_row(
                 )
             ],
             AUDIT_SCHEMA,
-        ),
+        ).coalesce(1),
     )
 
 
@@ -125,7 +125,13 @@ def append_audit_rows(
     append on Delta)."""
     if not rows:
         return
-    store.append(AUDIT_TABLE, spark.createDataFrame(rows, AUDIT_SCHEMA))
+    # a handful of local rows: one partition, one output file (the
+    # default parallelizes len(rows) over every core — 32 near-empty
+    # write tasks and as many files per append, measured in the
+    # forget_documents profile)
+    store.append(
+        AUDIT_TABLE, spark.createDataFrame(rows, AUDIT_SCHEMA).coalesce(1)
+    )
 
 
 def last_gold_success(spark: SparkSession, store: TableStore) -> str:

@@ -159,6 +159,64 @@ class TableStore:
             return
         self._commit_version(name, df)
 
+    # -- driver-side metadata I/O (parquet fallback only) -----------------
+    #
+    # Commit/watermark tables are BOUNDED metadata (one row per batch).
+    # Reading or rewriting them through a Spark job pays full job
+    # scheduling for a few hundred bytes; Delta itself keeps this class
+    # of state in driver-written log files for the same reason. These
+    # two methods move such tables through pyarrow on the driver under
+    # the identical version-dir + pointer-swap commit, so readers (and
+    # Spark, which reads the same parquet) observe nothing different.
+    # Callers own the "this table is bounded" claim — data tables keep
+    # going through Spark.
+
+    def read_local(self, name: str):
+        """Current version of a small table as one pyarrow Table —
+        no Spark job. Raises on Delta (callers fall back to Spark)."""
+        if self.use_delta:
+            raise NotImplementedError("read_local: parquet fallback only")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        version = self._current_version(name)
+        if version is None:
+            raise FileNotFoundError(
+                f"table {name} does not exist under {self.root}"
+            )
+        vdir = os.path.join(self._dir(name), version)
+        parts = [
+            pq.read_table(os.path.join(vdir, f))
+            for f in sorted(os.listdir(vdir))
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(vdir, f))
+        ]
+        if not parts:
+            raise FileNotFoundError(
+                f"table {name} version {version} holds no data files"
+            )
+        return pa.concat_tables(parts, promote_options="default")
+
+    def overwrite_local(self, name: str, table) -> None:
+        """Atomic overwrite of a small table from a pyarrow Table —
+        one data file, no Spark job, same pointer-swap commit and
+        vacuum as every Spark write. Parquet fallback only."""
+        if self.use_delta:
+            raise NotImplementedError(
+                "overwrite_local: parquet fallback only"
+            )
+        import pyarrow.parquet as pq
+
+        table_dir = self._dir(name)
+        os.makedirs(table_dir, exist_ok=True)
+        version = f"v_{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+        new_dir = os.path.join(table_dir, version)
+        os.makedirs(new_dir)
+        pq.write_table(
+            table, os.path.join(new_dir, "part-00000-local.parquet")
+        )
+        self._swap_current(name, version)
+
     def append(self, name: str, df: DataFrame) -> None:
         """S8 — append sink (NB_BRONZE:221-223). Delta appends are
         O(batch). The parquet fallback is ALSO O(batch) when the batch
@@ -514,7 +572,15 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         new_dir = os.path.join(table_dir, version)
-        writer.parquet(new_dir)
+        # label the write job with its table (guide §1.5) so store
+        # writes are attributable in the UI/REST without guessing
+        sc = self.spark.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(f"tablestore write: {name}")
+        try:
+            writer.parquet(new_dir)
+        finally:
+            sc.setJobDescription(prev)
         if link_from is not None:
             # O(batch) append: carry the previous version's data files
             # into the new version by hardlink (no data movement; part
@@ -526,6 +592,10 @@ class TableStore:
                         os.path.join(link_from, fname),
                         os.path.join(new_dir, fname),
                     )
+        self._swap_current(name, version)
+
+    def _swap_current(self, name: str, version: str) -> None:
+        table_dir = self._dir(name)
         tmp_ptr = os.path.join(table_dir, f".{_CURRENT}.{uuid.uuid4().hex[:6]}"
                                )
         with open(tmp_ptr, "w") as f:
