@@ -59,6 +59,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+from fabric_claims_spark.localframe import local_frame
 
 #: End-of-word marker symbol. Any string disjoint from the word
 #: alphabet works (corpus words are [a-z]+; verified per scale).
@@ -418,4 +419,4 @@ def merges_as_df(
     spark: SparkSession, merges: list[tuple[int, str, str, str, int]]
 ) -> DataFrame:
     """The learned merge table as a DataFrame (model artifact)."""
-    return spark.createDataFrame(merges, MERGE_SCHEMA)
+    return local_frame(spark, merges, MERGE_SCHEMA)

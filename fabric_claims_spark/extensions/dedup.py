@@ -273,7 +273,6 @@ def minhash_near_dups(
     docs = 1.2M of 1.6M candidates, none surviving the estimate);
     every measured true pair also collides in a small bucket. None
     disables the cap for exhaustive-recall runs."""
-    rows = num_hashes // bands
     # mins feed both candidate generation and estimation — cache so
     # the shingle scan + 64-way agg runs once (scan amortization,
     # same pattern as the bronze fan-out). tracked_cache: callers
@@ -283,10 +282,36 @@ def minhash_near_dups(
             _shingle_frame(df, id_col, text_col, k, shingle_unit), num_hashes, hasher
         )
     )
-    band_keys = _band_key_cols(rows, bands, hasher)
-    banded = mins.select(
-        "doc", F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash")
+    return _near_dups_from_mins(
+        mins, threshold, num_hashes, bands, hasher, bucket_cap
     )
+
+
+def _near_dups_from_mins(
+    mins: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    hasher: str,
+    bucket_cap: int | None,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """``minhash_near_dups`` from a PRECOMPUTED signature frame —
+    callers that already hold (and checkpointed) the wide mins (the
+    serving-index apply path computes them for the stored tables)
+    skip the whole shingle scan + 64-way aggregate instead of paying
+    it twice per increment (guide §1.2: don't compute things twice).
+    ``banded`` optionally reuses a precomputed UNCAPPED
+    (doc, band_idx, band_hash) frame of the same mins. Expressions are
+    the verbatim ``minhash_near_dups`` tail, so results are
+    bit-identical."""
+    rows = num_hashes // bands
+    if banded is None:
+        band_keys = _band_key_cols(rows, bands, hasher)
+        banded = mins.select(
+            "doc",
+            F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+        )
     if bucket_cap is not None:
         w_bucket = Window.partitionBy("band_idx", "band_hash")
         banded = (

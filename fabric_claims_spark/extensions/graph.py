@@ -30,6 +30,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.caching import tracked_cache
 
 
@@ -513,7 +514,7 @@ def bfs_distances(
     schema = T.StructType(
         [T.StructField("node", node_type), T.StructField("dist", T.LongType())]
     )
-    visited = spark.createDataFrame([(source, 0)], schema).localCheckpoint()
+    visited = local_frame(spark, [(source, 0)], schema).localCheckpoint()
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):
         reached = (

@@ -17,6 +17,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from fabric_claims_spark.localframe import local_frame
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -289,7 +290,8 @@ def _lloyd_assign_join(
     or a column, and the (d, cid) struct-min tie-break is the same —
     pinned by tests/test_extensions.py."""
     spark = ev.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_frame(
+        spark,
         [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "cid long, cv array<double>",
     )

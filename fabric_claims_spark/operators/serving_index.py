@@ -79,6 +79,7 @@ from fabric_claims_spark.extensions.bpe import (
     _release_checkpoint,
     _tracked_checkpoint,
 )
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.operators.rollup import (
     applied_watermark,
     maintain_additive_rollup_idempotent,
@@ -232,8 +233,10 @@ def _commit(
         # driver-side (metadata write; no Spark job)
         _write_commits(store, commits_table, commits)
         return
-    new = store.spark.createDataFrame(
-        [(int(batch_id), token)], "batch_id long, token string"
+    new = local_frame(
+        store.spark,
+        [(int(batch_id), token)],
+        "batch_id long, token string",
     )
     if store.exists(commits_table):
         cur = store.read(commits_table).where(
@@ -272,7 +275,8 @@ def compact_index_table(
         return 0
     keep = _committed(store, table, commits_table, keep_token=True)
     store.overwrite(table, keep.repartition(n_files))
-    return store.read(table).count()
+    # footer-metadata count of the version just written — no job
+    return store.count_rows(table)
 
 
 def index_file_count(store: TableStore, table: str) -> int:
@@ -321,9 +325,9 @@ def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int
     action, never on the apply path."""
     if not store.exists(table) or not store.exists(commits_table):
         return 0
-    rows = store.read(table)
     keep = _committed(store, table, commits_table, keep_token=True)
-    removed = rows.count() - keep.count()
+    # total from footer metadata (no job) — only `keep` needs a scan
+    removed = store.count_rows(table) - keep.count()
     if removed:
         store.overwrite(table, keep)
     return removed
@@ -396,7 +400,7 @@ def read_lexical_tombstones(store: TableStore) -> DataFrame:
     delete (and again after ``fold_lexical_deletes`` has physically
     applied it)."""
     if not store.exists(LEX_TOMBSTONES):
-        return store.spark.createDataFrame([], "doc_id long")
+        return local_frame(store.spark, [], "doc_id long")
     return (
         _committed_rows(store, LEX_TOMBSTONES, LEX_COMMITS)
         .select("doc_id")
@@ -556,7 +560,9 @@ def fold_lexical_deletes(store: TableStore, n_files: int = 8) -> int:
                 continue
             committed = _committed(store, table, LEX_COMMITS, keep_token=True)
             keep = committed.join(tomb, "doc_id", "left_anti")
-            dropped += committed.count() - keep.count()
+            # committed − keep ≡ the tombstone-hit rows: one semi-join
+            # count instead of two full-table counts (guide §1.2)
+            dropped += committed.join(tomb, "doc_id", "left_semi").count()
             store.overwrite(table, keep.repartition(n_files))
         # tombstones cleared LAST (see above), and only the snapshot's
         # ids; the commit table keeps the delete batch_ids, so
@@ -624,7 +630,7 @@ def apply_positional_batch(
 def read_positional_tombstones(store: TableStore) -> DataFrame:
     """(doc_id) — committed erasure set for the positional index."""
     if not store.exists(POS_TOMBSTONES):
-        return store.spark.createDataFrame([], "doc_id long")
+        return local_frame(store.spark, [], "doc_id long")
     return (
         _committed_rows(store, POS_TOMBSTONES, POS_COMMITS)
         .select("doc_id")
@@ -677,7 +683,8 @@ def fold_positional_deletes(store: TableStore, n_files: int = 8) -> int:
             store, POS_POSTINGS, POS_COMMITS, keep_token=True
         )
         keep = committed.join(tomb, "doc_id", "left_anti")
-        dropped = committed.count() - keep.count()
+        # semi-join count ≡ committed − keep (one job, not two)
+        dropped = committed.join(tomb, "doc_id", "left_semi").count()
         store.overwrite(POS_POSTINGS, keep.repartition(n_files))
         store.overwrite(
             POS_TOMBSTONES,
@@ -751,8 +758,8 @@ def apply_lsh_batch(
     from fabric_claims_spark.extensions.dedup import (
         _band_key_cols,
         _minhash_mins,
+        _near_dups_from_mins,
         _shingle_frame,
-        minhash_near_dups,
     )
 
     if _applied(store, LSH_COMMITS, batch_id):
@@ -777,7 +784,7 @@ def apply_lsh_batch(
         return _apply_lsh_batch_body(
             store, batch_docs, batch_id, id_col, text_col, threshold,
             num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
-            minhash_near_dups,
+            _near_dups_from_mins,
         )
     finally:
         _release_checkpoint(_cp_bands)
@@ -787,19 +794,21 @@ def apply_lsh_batch(
 def _apply_lsh_batch_body(
     store, batch_docs, batch_id, id_col, text_col, threshold,
     num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
-    minhash_near_dups,
+    _near_dups_from_mins,
 ) -> bool:
-    # batch-internal pairs (first batch: this IS the full build)
-    internal = minhash_near_dups(
-        batch_docs,
-        id_col,
-        text_col,
+    # batch-internal pairs (first batch: this IS the full build) —
+    # derived from the ALREADY-CHECKPOINTED batch signatures and band
+    # keys (round 13, guide §1.2: the old path re-ran the whole
+    # shingle scan + 64-way minhash aggregate over the batch inside
+    # minhash_near_dups although mins_b/bands_b hold exactly that)
+    internal = _near_dups_from_mins(
+        mins_b,
         threshold=threshold,
         num_hashes=num_hashes,
         bands=bands,
-        k=k,
         hasher=hasher,
         bucket_cap=bucket_cap,
+        banded=bands_b,
     )
 
     pairs_new = internal
@@ -875,7 +884,7 @@ def _apply_lsh_batch_body(
 def read_lsh_tombstones(store: TableStore) -> DataFrame:
     """(doc_id) — committed erasure set for the near-dup store."""
     if not store.exists(LSH_TOMBSTONES):
-        return store.spark.createDataFrame([], "doc_id long")
+        return local_frame(store.spark, [], "doc_id long")
     return (
         _committed_rows(store, LSH_TOMBSTONES, LSH_COMMITS)
         .select("doc_id")
@@ -1131,7 +1140,8 @@ def rebuild_ivf_index(
         assign=train_assign,
     )
     spark = store.spark
-    cent_df = spark.createDataFrame(
+    cent_df = local_frame(
+        spark,
         [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "centroid_id long, cv array<double>",
     )
@@ -1157,8 +1167,9 @@ def rebuild_ivf_index(
             int(r["batch_id"])
             for r in store.read(IVF_COMMITS).select("batch_id").collect()
         ]
-        swapped = spark.createDataFrame(
-            [(b, token) for b in prior], "batch_id long, token string"
+        swapped = local_frame(
+            spark, [(b, token) for b in prior],
+            "batch_id long, token string",
         )
         store.overwrite(IVF_COMMITS, swapped.coalesce(1))
     vacuum_uncommitted(store, IVF_VECS, IVF_COMMITS)
@@ -1185,7 +1196,7 @@ def read_ivf_tombstones(store: TableStore) -> DataFrame:
     swap rewrites the index from live rows only, so a rebuild IS the
     physical fold)."""
     if not store.exists(IVF_TOMBSTONES):
-        return store.spark.createDataFrame([], "vec_id long")
+        return local_frame(store.spark, [], "vec_id long")
     return (
         _committed_rows(store, IVF_TOMBSTONES, IVF_COMMITS)
         .select("vec_id")
@@ -1244,7 +1255,7 @@ def read_ivf_docmap(store: TableStore) -> DataFrame:
     requests to vec_ids through this view, so one request covers the
     vector family without the caller holding the mapping."""
     if not store.exists(IVF_DOCMAP):
-        return store.spark.createDataFrame([], "vec_id long, doc_id long")
+        return local_frame(store.spark, [], "vec_id long, doc_id long")
     return _committed_rows(store, IVF_DOCMAP, IVF_COMMITS).join(
         read_ivf_tombstones(store), "vec_id", "left_anti"
     )
@@ -1259,8 +1270,8 @@ def read_ivf_centroids(store: TableStore) -> DataFrame:
     vectors, which is what makes the rebuild swap atomic across both
     tables."""
     if not store.exists(IVF_CENTROIDS):
-        return store.spark.createDataFrame(
-            [], "centroid_id long, cv array<double>"
+        return local_frame(
+            store.spark, [], "centroid_id long, cv array<double>"
         )
     return _committed_rows(store, IVF_CENTROIDS, IVF_COMMITS)
 

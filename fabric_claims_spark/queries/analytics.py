@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from fabric_claims_spark.caching import tracked_cache
 from fabric_claims_spark.extensions.graph import pagerank
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import MONEY, money
 from fabric_claims_spark.sources.parquet import load_table
@@ -1672,8 +1673,8 @@ _MIX_SALTS = 64
 )
 def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = d.sparkSession.createDataFrame(
-        list(_MIX_BPS), "source string, bps long"
+    w = local_frame(
+        d.sparkSession, list(_MIX_BPS), "source string, bps long"
     )
     # exact integer floor quota — `div`, not float `/` + cast, so a
     # future bps*N landing on (or rounding across) an exact multiple of

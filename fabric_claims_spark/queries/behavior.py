@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import MONEY
 from fabric_claims_spark.sources.parquet import load_table
@@ -2509,7 +2510,7 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcasts on a 24-row input measured 13.5 s of pure overhead;
     # the explode is plan-local and costs nothing)
     scens = ["full"] + list(_MARKOV_CHANNELS)
-    absorbing = spark.createDataFrame(
+    absorbing = local_frame(spark,
         [(s, st, st, 1_000_000) for s in scens for st in ("conv", "fail")],
         "scenario string, src string, dst string, p long",
     )
@@ -2928,8 +2929,8 @@ def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = c.groupBy("event_type").agg(
         F.sum(F.col("dt") * F.col("dt")).cast("long").alias("den")
     )
-    lags = spark.createDataFrame(
-        [(k,) for k in _ACF_LAGS], "lag int"
+    lags = local_frame(
+        spark, [(k,) for k in _ACF_LAGS], "lag int"
     )
     a = c.alias("a")
     b = c.alias("b")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.operators.joins import asof_join_backward
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import dsum, money
 from fabric_claims_spark.sources.parquet import load_table
@@ -525,8 +526,8 @@ def events_walkforward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "2024-01-15 00:00:00", "2024-01-22 00:00:00"),
         (3, "2024-01-22 00:00:00", "2024-01-29 00:00:00"),
     ]
-    fdf = spark.createDataFrame(
-        folds, "fold int, train_end string, valid_end string"
+    fdf = local_frame(
+        spark, folds, "fold int, train_end string, valid_end string"
     ).select(
         "fold",
         F.col("train_end").cast("timestamp").alias("train_end"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from fabric_claims_spark.pipeline.bronze import run_bronze
 from fabric_claims_spark.pipeline.gold import run_gold
 from fabric_claims_spark.pipeline.silver import run_silver
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.merge import TableStore
 
@@ -71,7 +72,8 @@ def claims_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             g["Claims"]["inserted"],
             g["Claims"]["updated"],
         )
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [row],
             "rows_processed long, malformed long, duplicates long, "
             "bad_quality long, valid long, fact_claims long, dim_dates long, "

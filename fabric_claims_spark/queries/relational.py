@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import davg, dsum, money, rate
 from fabric_claims_spark.sources.parquet import load_table
@@ -730,7 +731,7 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
         )
         # materialize before the workspace disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -839,7 +840,7 @@ def incremental_variance_equivalence(
             ((s2 - s * s / n) / n).alias("var_qty"),
         ).orderBy("l_returnflag")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_frame(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -52,6 +52,7 @@ from fabric_claims_spark.operators.serving_index import (
     read_lexical_index,
     read_lsh_pairs,
 )
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries.lsh import (
     _BANDS,
@@ -1178,8 +1179,9 @@ def lexical_maintenance_pipeline(
             ("post", "index:tombstones", "",
              int(read_lexical_tombstones(store).count()))
         )
-        return spark.createDataFrame(
-            rows, "phase string, decision string, status string, n long"
+        return local_frame(
+            spark, rows,
+            "phase string, decision string, status string, n long",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1285,8 +1287,8 @@ def forget_documents_pipeline(
             ("post", "ivf_live", int(read_ivf_index(store).count())),
             ("post", "ivf_docmap", int(read_ivf_docmap(store).count())),
         ]
-        return spark.createDataFrame(
-            rows, "stage string, family string, n long"
+        return local_frame(
+            spark, rows, "stage string, family string, n long"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.parquet import load_table
 
@@ -627,7 +628,7 @@ def train_pq_codebook(
         ):
             # kmeans cluster ids ARE the seed vec_ids (1..K)
             rows.append((cid, m, [float(x) for x in vec]))
-    return spark.createDataFrame(rows, "j long, m int, cw array<double>")
+    return local_frame(spark, rows, "j long, m int, cw array<double>")
 
 
 def pq_adc_frame(
@@ -1329,7 +1330,8 @@ def embeddings_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n_b"),
         F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("pb"),
     )
-    block_pairs = spark.createDataFrame(
+    block_pairs = local_frame(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "pa int, pb int",
     )
@@ -1552,7 +1554,8 @@ def embeddings_semdedup_recall_mp(
         F.col("nrm").alias("n_b"),
         F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("pb"),
     )
-    block_pairs = spark.createDataFrame(
+    block_pairs = local_frame(
+        spark,
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "pa int, pb int",
     )

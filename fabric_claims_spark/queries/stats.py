@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import dsum, money
 from fabric_claims_spark.sources.parquet import load_table
@@ -99,7 +100,7 @@ def orders_price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fabric_claims_spark.operators.joins import range_join_bucketed
 
     o = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_frame(spark,
         [("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0), ("high", 300000.0, 600000.0)],
         "band string, lo double, hi double",
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.caching import tracked_cache
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.parquet import load_table
 
@@ -2666,7 +2667,7 @@ def dsir_select_from_weights(
         .limit(_PIPE_POOL_K)
         .join(doc_sources, "doc_id")
     )
-    mw = spark.createDataFrame(list(_PIPE_BPS), "source string, bps long")
+    mw = local_frame(spark, list(_PIPE_BPS), "source string, bps long")
     # Hamilton largest-remainder — exact integer math on both sides
     base = F.expr(f"(bps * {_PIPE_N}) div 10000")
     rem = (F.col("bps") * _PIPE_N) % 10000

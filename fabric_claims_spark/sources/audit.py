@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from fabric_claims_spark.localframe import local_frame
 from fabric_claims_spark.sources.merge import TableStore
 
 AUDIT_TABLE = "ingestion_logs"
@@ -61,7 +62,8 @@ def append_audit_row(
 ) -> None:
     store.append(
         AUDIT_TABLE,
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [
                 build_audit_row(
                     pipeline,
@@ -130,7 +132,7 @@ def append_audit_rows(
     # write tasks and as many files per append, measured in the
     # forget_documents profile)
     store.append(
-        AUDIT_TABLE, spark.createDataFrame(rows, AUDIT_SCHEMA).coalesce(1)
+        AUDIT_TABLE, local_frame(spark, rows, AUDIT_SCHEMA).coalesce(1)
     )
 
 

@@ -217,6 +217,34 @@ class TableStore:
         )
         self._swap_current(name, version)
 
+    def count_rows(self, name: str) -> int:
+        """Exact row count of the CURRENT version from parquet footer
+        metadata — driver-side, no Spark job (round 13, guide §1.2/§5:
+        a count() action on a just-written table pays full job
+        scheduling for a number the files' footers already hold).
+        Delta stores take the Spark path (their files aren't ours to
+        enumerate)."""
+        if self.use_delta:
+            return self.read(name).count()
+        import pyarrow.parquet as pq
+
+        version = self._current_version(name)
+        if version is None:
+            raise FileNotFoundError(
+                f"table {name} does not exist under {self.root}"
+            )
+        total = 0
+        for dirpath, _dirs, files in os.walk(
+            os.path.join(self._dir(name), version)
+        ):
+            for fname in files:
+                if fname.startswith(("_", ".")):
+                    continue
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, fname)
+                ).metadata.num_rows
+        return total
+
     def append(self, name: str, df: DataFrame) -> None:
         """S8 — append sink (NB_BRONZE:221-223). Delta appends are
         O(batch). The parquet fallback is ALSO O(batch) when the batch

@@ -29,6 +29,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from fabric_claims_spark.localframe import local_frame  # noqa: E402
+
 EVENTS_LONG_TS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -241,7 +243,7 @@ def running_user_totals_stream(
         .awaitTermination()
     )
     if not store.exists(table_name):  # zero-batch stream
-        return spark.createDataFrame([], _OUTPUT_SCHEMA)
+        return local_frame(spark, [], _OUTPUT_SCHEMA)
     return store.read(table_name)
 
 
@@ -483,7 +485,8 @@ def heavy_hitters_stream(
         # keys tied at the cut); the batch-id/total state must
         # survive that, so it rides a dedicated NULL-key sentinel
         # row rather than piggybacking on counter rows
-        sentinel = spark.createDataFrame(
+        sentinel = local_frame(
+            spark,
             [(None, 0)],
             StructType(
                 [
@@ -896,7 +899,7 @@ def user_value_machine_stream(
             .awaitTermination()
         )
         if not store.exists(query_name):  # zero-batch stream
-            return spark.createDataFrame([], out_schema)
+            return local_frame(spark, [], out_schema)
         return store.read(query_name)
     finally:
         if prev_provider is None:
@@ -968,7 +971,7 @@ def join_view_stream(
                 return
             cur = cur.drop("_applied_batch_id")
         else:
-            cur = spark.createDataFrame([], empty_state)
+            cur = local_frame(spark, [], empty_state)
 
         d_l = batch_df.where(F2.col("event_type") == "purchase").select(
             "user_id",
