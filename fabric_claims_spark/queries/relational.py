@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.localframe import local_frame
+from fabric_claims_spark.operators.partitioning import spread
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.queries._util import davg, dsum, money, rate
 from fabric_claims_spark.sources.parquet import load_table
@@ -45,7 +46,10 @@ SALT = "healthcare_secure_salt_2024"  # fixture salt, NBclaims_silver:51
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # single-file scan => the whole 8-aggregate decimal pass runs in
+    # ONE task (guide §2.5 input skew); spread() is a no-op once the
+    # table has >= core-count splits (the cluster case)
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(2,0)") - rate("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(2,0)") + rate("l_tax"))
     return (
@@ -191,7 +195,10 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # all four joins broadcast (see plan pin) — without spread() the
+    # whole probe+aggregate pipeline over lineitem is one task on a
+    # single-file scan (guide §2.5); no-op on a many-split scan
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fabric_claims_spark.localframe import local_frame
+from fabric_claims_spark.operators.partitioning import spread
 from fabric_claims_spark.queries import query
 from fabric_claims_spark.sources.parquet import load_table
 
@@ -1292,7 +1293,10 @@ def embeddings_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the single-file scan: training assignment AND the whole
+    # cohort pair pass (2M cosine folds) otherwise run in ONE task
+    # (guide §2.5; measured 4.3 s single-task at sf0.1)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
     ev = emb.select("vec_id", _as_double("embedding").alias("v"))
     withn = _lloyd_assign(ev, cents).withColumn(
@@ -1532,7 +1536,9 @@ def embeddings_semdedup_recall_mp(
         kmeans_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread the single-file scan: the probe assignment and the whole
+    # cohort pair pass otherwise run in ONE task (guide §2.5)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     cents = kmeans_centroids(emb, k=_KM_K, iters=_KM_ITERS)
     ev = emb.select("vec_id", _as_double("embedding").alias("v"))
     withn = _lloyd_assign_probes(
