@@ -1864,7 +1864,6 @@ def order_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # use exact decimal numerators (w·x) with one final division; the
 # 2.5%/97.5% bounds are rank picks over the 64-replicate domain.
 _BOOT_B = 64
-_BOOT_SALT = 64  # salt buckets per replicate in the bootstrap exchange
 _BOOT_THRESH = [
     0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
     0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
@@ -1911,41 +1910,38 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fabric_claims_spark.extensions.dedup import md5_long
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", money("o_totalprice").alias("x")
+    from fabric_claims_spark.operators.partitioning import spread
+
+    # Round 13 (guide §2.3/§2.4): spread the 150k BASE rows BEFORE the
+    # 64× replicate explode instead of exchanging the 9.6M exploded
+    # rows afterwards. The old shape shuffled every (o_orderkey, x, b)
+    # row by (b, salt) — one full 9.6M-row exchange written from the
+    # single-file scan's lone task; now the only exchange is the
+    # spread() of the base rows (a no-op on a many-split cluster scan),
+    # the explode + md5 + threshold fold run 32-way where the rows
+    # already sit, and groupBy("b") reduces map-side to ≤64 partials
+    # per partition. The md5 is NOT re-inlined into the nine threshold
+    # CASEs (the round-6 concern that motivated the barrier): the
+    # executed plan carries exactly one md5 call (plans/r13/
+    # orders_bootstrap_ci_after.txt), and each replicate mean is the
+    # same decimal sum regardless of partitioning, so the gate hash is
+    # unchanged. Measured: replicate-means leg 5.3 s → 1.5 s warm.
+    o = spread(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", money("o_totalprice").alias("x")
+        )
     )
     b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
-    # parallelism first, hashing second: orders is a single file, and
-    # explode preserves the scan's partitioning — without the
-    # repartition the 9.6M md5 evaluations land on ONE task (measured
-    # 10s single-threaded vs sub-second spread). Hashing after the
-    # exchange puts the per-replicate hash work on every core; the
-    # barrier also stops projection collapse re-inlining the hash
-    # into each threshold CASE. The exchange key is (b, salt), not b
-    # alone: keyed only by replicate id, at most _BOOT_B=64 shuffle
-    # partitions ever carry data — a hard parallelism cap on a
-    # 1000-executor cluster. Salting by a row-hash spreads each
-    # replicate over _BOOT_SALT buckets (64×64 = 4096 distinct keys);
-    # groupBy("b") downstream still reduces via map-side partial
-    # aggregation, and the decimal sum is associative, so the result
-    # (and the gate hash) is unchanged.
-    hashed = (
-        o.select("o_orderkey", "x", b)
-        .repartition(
-            F.col("b"),
-            F.pmod(F.hash(F.col("o_orderkey")), F.lit(_BOOT_SALT)),
-        )
-        .withColumn(
-            "u",
-            md5_long(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
+    hashed = o.select("o_orderkey", "x", b).withColumn(
+        "u",
+        md5_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
             )
-            / F.lit(float(1 << 60)),
         )
+        / F.lit(float(1 << 60)),
     )
     wb = sum(
         F.when(F.col("u") >= F.lit(t), 1).otherwise(0)
