@@ -385,26 +385,37 @@ def test_dup_span_fraction_hashed_gram_stats_stay_linear(spark, registry):
     assert plan.count("Join") == plan.count("Join [g#")
 
 
-def test_bootstrap_replicate_exchange_is_salted(spark, registry):
-    """The Poisson-bootstrap explode must NOT repartition on the
-    replicate id alone — 64 distinct keys caps a 1000-executor
-    cluster at 64 tasks each holding a full copy of orders. The
-    exchange key is (b, pmod(hash(o_orderkey), salt)) → 4096
-    distinct keys, and the per-replicate reduction happens via
-    map-side partial aggregation before the groupBy("b") exchange
-    (decimal sums are associative, so results are unchanged)."""
+def test_bootstrap_spreads_base_rows_not_replicas(spark, registry):
+    """Round 13 (guide §2.3): the Poisson bootstrap parallelizes by
+    spreading the BASE rows BEFORE the 64× replicate explode — the
+    old shape exchanged every exploded (o_orderkey, x, b) row by
+    (b, salt), a 64× larger shuffle written from the single-file
+    scan's lone task. Pinned invariants of the new plan:
+
+    * no exchange keyed on the replicate id except the
+      post-partial-agg ENSURE_REQUIREMENTS one (map-side partial
+      aggregation reduces each partition to ≤64 replicate partials
+      before it — decimal sums are associative, results unchanged);
+    * the pre-explode spread is the only row-multiplying-side
+      exchange (round-robin of base rows, a no-op on a many-split
+      cluster scan);
+    * the md5 draw is evaluated ONCE — the nine threshold CASEs
+      must not re-inline it (the round-6 regression this query's
+      old exchange barrier existed to prevent)."""
     plan = _plan(spark, registry["orders_bootstrap_ci"].fn(spark, SF))
     import re
 
-    salted = re.search(
-        r"hashpartitioning\(b#\d+, pmod\(hash\(o_orderkey#\d+L, \d+\), 64\)",
-        plan,
-    )
-    assert salted, "bootstrap exchange lost its salt key"
-    # no exchange keyed on the bare replicate id other than the
-    # post-partial-agg ENSURE_REQUIREMENTS one
-    bare = re.findall(r"hashpartitioning\(b#\d+, 32\), (\w+)", plan)
-    assert all(k == "ENSURE_REQUIREMENTS" for k in bare)
+    # no salted replicate exchange anywhere in the new shape
+    assert "pmod(hash(o_orderkey" not in plan
+    bare = re.findall(r"hashpartitioning\(b#\d+, \d+\), (\w+)", plan)
+    assert bare and all(k == "ENSURE_REQUIREMENTS" for k in bare)
+    assert "REPARTITION_BY_NUM" in plan  # the spread of the base rows
+    # each projection evaluates the md5 draw ONCE (the ci_lo / ci_hi
+    # rank picks print the shared replicate-means subtree twice —
+    # exchange reuse dedups that at runtime; re-inlining into the
+    # nine threshold CASEs would put 9 md5 calls on ONE line)
+    md5_lines = [ln for ln in plan.splitlines() if "md5" in ln]
+    assert md5_lines and all(ln.count("md5") == 1 for ln in md5_lines)
 
 
 def test_masked_view_rls_predicate_pushes_down(spark, registry):
