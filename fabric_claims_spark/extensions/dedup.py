@@ -163,18 +163,48 @@ def _minhash_mins(sh: DataFrame, num_hashes: int, hasher: str) -> DataFrame:
     compare/band expression in whole-stage codegen; the array form
     exists only at the API edge (HOF lambdas over arrays evaluate
     interpreted, ~100× slower per element)."""
+    # All num_hashes slot aggregates ride in ONE parsed expression (a
+    # struct of mins, unpacked right after): the Column-API chain paid
+    # ~6 py4j round trips per slot — measured 1.6 s of pure PYTHON per
+    # 64-slot build, the same driver-side construction tax the Lloyd
+    # literals paid (guide §1.2 applied to the driver). The analyzed
+    # per-slot expressions are identical (INT literals promote over
+    # the LONG base exactly as F.lit(int) does; P = 2^31-1 keeps every
+    # product under 2^62) — value-equality re-verified against the
+    # Column-API form and pinned by every LSH oracle gate.
     if hasher == "md5":
         sh = sh.select("doc", md5_long(F.col("shingle")).alias("_hb"))
-        slot_cols = [
-            F.min(_mh_slot(F.col("_hb") % F.lit(MH_PRIME), i)).alias(f"h{i}")
+        inner = ", ".join(
+            f"min(({MH_A[i]} * (_hb % {MH_PRIME}) + {MH_B[i]}) "
+            f"% {MH_PRIME}) AS h{i}"
             for i in range(num_hashes)
-        ]
+        )
     else:
-        slot_cols = [
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        inner = ", ".join(
+            f"min(xxhash64(shingle, {i})) AS h{i}"
             for i in range(num_hashes)
-        ]
-    return sh.groupBy("doc").agg(*slot_cols)
+        )
+    return (
+        sh.groupBy("doc")
+        .agg(F.expr(f"struct({inner})").alias("_s"))
+        .select("doc", "_s.*")
+    )
+
+
+def _eq_sum_expr(
+    num_hashes: int, a_prefix: str = "ha", b_prefix: str = "hb"
+) -> Column:
+    """Σ CAST(a_i = b_i AS INT) over the wide signature layout as ONE
+    parsed expression — the Column-API chain costs ~3 py4j round
+    trips per slot (~0.8 s of driver-side Python per 64-slot build;
+    the _minhash_mins lesson). Left-associative addition of INT
+    casts, exactly what sum(generator) built — value-identical."""
+    return F.expr(
+        " + ".join(
+            f"CAST({a_prefix}{i} = {b_prefix}{i} AS INT)"
+            for i in range(num_hashes)
+        )
+    )
 
 
 def lsh_candidate_pairs(
@@ -336,9 +366,7 @@ def _near_dups_from_mins(
     mb = mins.select(
         F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)]
     )
-    eq_sum = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
-    )
+    eq_sum = _eq_sum_expr(num_hashes)
     return (
         pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
@@ -452,9 +480,7 @@ def incremental_dedup(
         F.col("doc").alias("_cdoc"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
     )
-    eq_sum = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_hashes)
-    )
+    eq_sum = _eq_sum_expr(num_hashes)
     near = (
         cand.join(ma, "doc")
         .join(mb, "_cdoc")

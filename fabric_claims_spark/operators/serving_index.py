@@ -851,10 +851,9 @@ def _apply_lsh_batch_body(
             F.col("doc").alias("_cdoc"),
             *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
         )
-        eq_sum = sum(
-            (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int")
-            for i in range(num_hashes)
-        )
+        from fabric_claims_spark.extensions.dedup import _eq_sum_expr
+
+        eq_sum = _eq_sum_expr(num_hashes)
         cross = (
             cand.join(ma, cand["doc"] == ma["_bdoc"])
             .join(mb, "_cdoc")

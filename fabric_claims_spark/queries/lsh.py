@@ -1149,10 +1149,9 @@ def docs_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc").alias("doc_b"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_NUM_HASHES)],
     )
-    eq_sum = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int")
-        for i in range(_NUM_HASHES)
-    )
+    from fabric_claims_spark.extensions.dedup import _eq_sum_expr
+
+    eq_sum = _eq_sum_expr(_NUM_HASHES)
     e2e = (
         cand.join(ma, "doc_a")
         .join(mb, "doc_b")
