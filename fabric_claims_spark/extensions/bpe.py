@@ -224,7 +224,10 @@ def pair_counts(words: DataFrame) -> DataFrame:
 
 
 def bpe_train_words(
-    words: DataFrame, n_merges: int, marker: str = WORD_MARKER
+    words: DataFrame,
+    n_merges: int,
+    marker: str = WORD_MARKER,
+    checkpoint_every: int = 4,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
@@ -235,13 +238,25 @@ def bpe_train_words(
     merged); with the end-of-word marker this needs n_merges ≳ total
     distinct symbols, far beyond any configured gate.
 
-    Each superseded round's checkpoint is unpersisted once the next
-    round materializes — only the latest vocab state stays persisted
-    (the returned DataFrame's checkpoint belongs to the caller).
-    """
+    Rewrites chain LAZILY between lineage-truncating checkpoints
+    (round 14, guide §1.2 — the per-round eager checkpoint doubled
+    the trainer's action count; the argmax collect is the only
+    per-round decision point, so up to ``checkpoint_every`` folds ride
+    on it exactly as ``bpe_segment`` batches its apply folds). Plan
+    depth stays bounded by ``checkpoint_every`` — the measured
+    superlinear-analysis wall only appears when ALL rounds chain
+    (>11 min at 12 nested folds; ≤8 is the segment path's proven
+    budget). Each superseded checkpoint is unpersisted once the next
+    materializes; the returned DataFrame's checkpoint belongs to the
+    caller."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     _assert_marker_safe(words, marker)
     words, handles = _tracked_checkpoint(init_symbols(words, marker))
     merges: list[tuple[int, str, str, str, int]] = []
+    pending = 0  # lazy folds chained on `words` since the last checkpoint
     for rank in range(1, n_merges + 1):
         top = (
             pair_counts(words)
@@ -254,9 +269,17 @@ def bpe_train_words(
         b = top[0]
         merged = b.p1 + b.p2
         merges.append((rank, b.p1, b.p2, merged, int(b.cnt)))
-        words, new_handles = _tracked_checkpoint(
-            _rewrite_merge(words, b.p1, b.p2, merged)
-        )
+        words = _rewrite_merge(words, b.p1, b.p2, merged)
+        pending += 1
+        if pending >= checkpoint_every:
+            words, new_handles = _tracked_checkpoint(words)
+            _release_checkpoint(handles)
+            handles = new_handles
+            pending = 0
+    if pending:
+        # final state checkpointed as before — the returned vocab is
+        # lineage-truncated and reusable by segment/stats callers
+        words, new_handles = _tracked_checkpoint(words)
         _release_checkpoint(handles)
         handles = new_handles
     return merges, words

@@ -52,21 +52,34 @@ def local_frame(
     LocalRelation instead of a pickled Python RDD. ``rows`` is a
     driver-local bounded list (audit rows, centroids, commit ids,
     probe constants) — never distributed data."""
-    import pandas as pd
-
+    # Materialize ONCE, before anything can fail (ADVICE r13): the
+    # fallback used to re-iterate ``rows`` after the try block had
+    # consumed it, so a generator argument whose Arrow conversion
+    # threw would silently land as an EMPTY frame.
+    data = [tuple(r) for r in rows]
     try:
+        # pandas import inside the try: a missing/broken pandas takes
+        # the documented always-correct classic path instead of
+        # raising (ADVICE r13).
+        import pandas as pd
+
         names = _field_names(schema)
-        data = [tuple(r) for r in rows]
         if data:
             if any(len(t) != len(names) for t in data):
                 raise ValueError("row arity != schema arity")
             pdf = pd.DataFrame(data, columns=names, dtype=object)
-        else:
-            pdf = pd.DataFrame(
-                {n: pd.Series([], dtype=object) for n in names}
-            )
-        return spark.createDataFrame(pdf, schema)
+            return spark.createDataFrame(pdf, schema)
+        # EMPTY frame (round 14): an empty pandas frame lands as a
+        # LogicalRDD, not a LocalRelation — measured in the r14 skew
+        # profile as a full SortMergeJoin LeftAnti + two exchanges per
+        # action wherever a fresh store's empty tombstone set is
+        # anti-joined. A one-NULL-row LocalRelation under limit(0)
+        # folds to an EMPTY LocalRelation (OptimizeLimitZero), so
+        # PropagateEmptyRelation eliminates those joins outright.
+        pdf = pd.DataFrame([tuple(None for _ in names)], columns=names,
+                           dtype=object)
+        return spark.createDataFrame(pdf, schema).limit(0)
     except Exception:
         # conversion could not represent the rows — the classic path
         # is always correct, merely slower
-        return spark.createDataFrame(list(rows), schema)
+        return spark.createDataFrame(data, schema)

@@ -321,10 +321,25 @@ def maybe_compact_index_table(
 
 def vacuum_uncommitted(store: TableStore, table: str, commits_table: str) -> int:
     """Reclaim orphan rows left by a crash between append and commit.
-    Returns the number of rows removed. O(table) — a maintenance
-    action, never on the apply path."""
+    Returns the number of rows removed. A maintenance action, never on
+    the apply path.
+
+    Fast path (round 14, guide §1.2/§6): every append stamps ONE token
+    per file, so parquet footer min==max statistics decide whole files
+    — orphan files are dropped by hardlinking only the committed ones
+    into a new version, driver-side, zero Spark jobs (the post-rebuild
+    vacuum of the entire pre-rebuild IVF index becomes a metadata
+    operation). Mixed-token files (written by compaction/folds, which
+    retain tokens) fall back to the row-level Spark rewrite."""
     if not store.exists(table) or not store.exists(commits_table):
         return 0
+    commits = _read_commits(store, commits_table)
+    if commits is not None:
+        removed = store.prune_files_by_value(
+            table, _TOKEN, set(commits.values())
+        )
+        if removed is not None:
+            return removed
     keep = _committed(store, table, commits_table, keep_token=True)
     # total from footer metadata (no job) — only `keep` needs a scan
     removed = store.count_rows(table) - keep.count()
@@ -368,30 +383,34 @@ def apply_lexical_batch(
     the real outcome instead of assuming success (ADVICE r12)."""
     if _applied(store, LEX_COMMITS, batch_id):
         return False
-    # tracked checkpoint (ADVICE r12: the long-running CDC sink calls
-    # this every micro-batch — an untracked localCheckpoint leaks one
-    # persisted RDD per call for the session's life)
-    td, _cp = _tracked_checkpoint(lexical_postings(batch_docs, id_col, text_col))
-    try:
-        # 1) df rollup first — itself idempotent on batch_id, so a torn
-        #    apply that reached only this step re-runs safely
-        maintain_additive_rollup_idempotent(
-            store, LEX_DF, td, batch_id, keys=["term"], count_col="df"
-        )
-        # 2) token-stamped appends (invisible until committed)
-        token = uuid.uuid4().hex
-        store.append(LEX_POSTINGS, td.withColumn(_TOKEN, F.lit(token)))
-        store.append(
-            LEX_DOCLEN,
-            td.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn(_TOKEN, F.lit(token)),
-        )
-        # 3) visibility commit
-        _commit(store, LEX_COMMITS, batch_id, token)
-    finally:
-        # every consumer of td has materialized (all writes returned)
-        _release_checkpoint(_cp)
+    # Write-then-derive (round 14, guide §1.2; replaces the r13
+    # tracked checkpoint): the explode+distinct postings pipeline
+    # materializes ONCE, directly into its token-stamped (invisible)
+    # append; the df rollup and the doclen aggregate re-read the
+    # just-written parquet. Torn-apply safety is unchanged — every
+    # crash window leaves either vacuumable orphan rows or an
+    # idempotently-skipped rollup, and redelivery heals both.
+    token = uuid.uuid4().hex
+    store.append(
+        LEX_POSTINGS,
+        lexical_postings(batch_docs, id_col, text_col).withColumn(
+            _TOKEN, F.lit(token)
+        ),
+    )
+    td = store.read(LEX_POSTINGS).where(F.col(_TOKEN) == token).drop(_TOKEN)
+    # df rollup — itself idempotent on batch_id, so a torn apply
+    # re-runs safely
+    maintain_additive_rollup_idempotent(
+        store, LEX_DF, td, batch_id, keys=["term"], count_col="df"
+    )
+    store.append(
+        LEX_DOCLEN,
+        td.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(_TOKEN, F.lit(token)),
+    )
+    # visibility commit
+    _commit(store, LEX_COMMITS, batch_id, token)
     return True
 
 
@@ -765,42 +784,52 @@ def apply_lsh_batch(
     if _applied(store, LSH_COMMITS, batch_id):
         return False
     rows = num_hashes // bands
-    mins_b, _cp_mins = _tracked_checkpoint(
+    token = uuid.uuid4().hex
+    # Write-then-derive (round 14, guide §1.2): the shingle scan +
+    # 64-slot signature aggregate materializes ONCE, directly into its
+    # stored table; every derived frame (band keys, batch-internal and
+    # cross pairs) re-reads the just-written parquet — a tiny scan plan
+    # with the token filter pushed to the file stats — instead of a
+    # localCheckpoint materialization FOLLOWED by an append of the same
+    # rows (one extra full pass + one extra wide-plan analysis per
+    # table per increment). Appends stay invisible until the commit;
+    # a torn apply leaves vacuumable orphans exactly as before.
+    store.append(
+        LSH_MINS,
         _minhash_mins(
             _shingle_frame(batch_docs, id_col, text_col, k, "char"),
             num_hashes,
             hasher,
-        )
+        ).withColumn(_TOKEN, F.lit(token)),
+    )
+    mins_b = (
+        store.read(LSH_MINS).where(F.col(_TOKEN) == token).drop(_TOKEN)
     )
     band_keys = _band_key_cols(rows, bands, hasher)
-    bands_b, _cp_bands = _tracked_checkpoint(
+    store.append(
+        LSH_BANDS,
         mins_b.select(
             "doc",
             F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
-        )
+        ).withColumn(_TOKEN, F.lit(token)),
     )
-
-    try:
-        return _apply_lsh_batch_body(
-            store, batch_docs, batch_id, id_col, text_col, threshold,
-            num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
-            _near_dups_from_mins,
-        )
-    finally:
-        _release_checkpoint(_cp_bands)
-        _release_checkpoint(_cp_mins)
+    bands_b = (
+        store.read(LSH_BANDS).where(F.col(_TOKEN) == token).drop(_TOKEN)
+    )
+    return _apply_lsh_batch_body(
+        store, batch_id, threshold, num_hashes, bands, hasher,
+        bucket_cap, mins_b, bands_b, token, _near_dups_from_mins,
+    )
 
 
 def _apply_lsh_batch_body(
-    store, batch_docs, batch_id, id_col, text_col, threshold,
-    num_hashes, bands, k, hasher, bucket_cap, mins_b, bands_b,
-    _near_dups_from_mins,
+    store, batch_id, threshold, num_hashes, bands, hasher,
+    bucket_cap, mins_b, bands_b, token, _near_dups_from_mins,
 ) -> bool:
     # batch-internal pairs (first batch: this IS the full build) —
-    # derived from the ALREADY-CHECKPOINTED batch signatures and band
-    # keys (round 13, guide §1.2: the old path re-ran the whole
-    # shingle scan + 64-way minhash aggregate over the batch inside
-    # minhash_near_dups although mins_b/bands_b hold exactly that)
+    # derived from the JUST-WRITTEN batch signatures and band keys
+    # (round 13/14, guide §1.2: never re-run the shingle scan + 64-way
+    # minhash aggregate that the stored tables already hold)
     internal = _near_dups_from_mins(
         mins_b,
         threshold=threshold,
@@ -812,7 +841,14 @@ def _apply_lsh_batch_body(
     )
 
     pairs_new = internal
-    if store.exists(LSH_BANDS):
+    # cross pairs only against PRIOR committed increments — our own
+    # just-appended rows are invisible to _committed_rows (token not
+    # yet committed), so the first apply's cross leg folds to empty
+    commits = _read_commits(store, LSH_COMMITS)
+    has_corpus = (
+        bool(commits) if commits is not None else store.exists(LSH_BANDS)
+    )
+    if has_corpus:
         # live corpus side only: an erased doc's band/signature rows
         # must not pair against future batches (round 12)
         _tomb_doc = read_lsh_tombstones(store).select(
@@ -870,9 +906,6 @@ def _apply_lsh_batch_body(
         )
         pairs_new = pairs_new.unionByName(cross)
 
-    token = uuid.uuid4().hex
-    store.append(LSH_MINS, mins_b.withColumn(_TOKEN, F.lit(token)))
-    store.append(LSH_BANDS, bands_b.withColumn(_TOKEN, F.lit(token)))
     store.append(
         LSH_PAIRS, pairs_new.distinct().withColumn(_TOKEN, F.lit(token))
     )
@@ -1275,6 +1308,24 @@ def read_ivf_centroids(store: TableStore) -> DataFrame:
     return _committed_rows(store, IVF_CENTROIDS, IVF_COMMITS)
 
 
+def stored_quantizer_size(store: TableStore) -> int:
+    """Committed centroid count — k rows of BOUNDED metadata-class
+    state, so the parquet fallback reads it driver-side (read_local +
+    token filter, zero Spark jobs; round 14, guide §1.2/§5: the
+    rebuild policy and the maintenance runner each paid a full count
+    job here per decision). Delta stores keep the Spark path."""
+    if not store.exists(IVF_CENTROIDS):
+        return 0
+    commits = _read_commits(store, IVF_COMMITS)
+    if commits is not None:
+        if not commits:
+            return 0
+        toks = set(commits.values())
+        col = store.read_local(IVF_CENTROIDS).column(_TOKEN).to_pylist()
+        return sum(1 for v in col if v in toks)
+    return read_ivf_centroids(store).count()
+
+
 def ivf_bucket_skew(store: TableStore, k: int | None = None) -> float:
     """Max/mean committed bucket population — the rebuild-trigger
     measurement (SCALING.md round 10: drift rots bucket BALANCE long
@@ -1290,7 +1341,7 @@ def ivf_bucket_skew(store: TableStore, k: int | None = None) -> float:
     the quantizer is caller state, so the caller must pass its size.
     """
     if k is None:
-        k = read_ivf_centroids(store).count()
+        k = stored_quantizer_size(store)
         if k == 0:
             raise ValueError(
                 "ivf_bucket_skew: no stored quantizer — pass k explicitly"
@@ -1343,7 +1394,7 @@ def maybe_rebuild_ivf_index(
     passes a conflicting explicit k gets a ValueError, not a silent
     re-key — intentional re-keying is ``rebuild_ivf_index(k=...)``.
     """
-    stored_k = read_ivf_centroids(store).count()
+    stored_k = stored_quantizer_size(store)
     if stored_k:
         if k is not None and k != stored_k:
             raise ValueError(

@@ -292,7 +292,7 @@ class IndexMaintenance:
                 }
 
         if self.store.exists(si.IVF_VECS):
-            has_quantizer = si.read_ivf_centroids(self.store).count() > 0
+            has_quantizer = si.stored_quantizer_size(self.store) > 0
             if not has_quantizer and self.ivf_k is None:
                 # build-time quantizer is caller state; without it the
                 # skew denominator is unknowable — held, visibly, not

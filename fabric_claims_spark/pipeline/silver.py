@@ -161,11 +161,16 @@ def run_silver(
         ],
     )
 
+    # current-version row counts from parquet footer metadata (round
+    # 14, guide §1.2/§5): four read().count() jobs on tables this run
+    # just wrote re-paid full job scheduling for numbers the footers
+    # already hold (Delta stores keep the Spark count inside
+    # count_rows)
     metrics = {
-        "dim_patients": silver_store.read(DIM_PATIENTS).count(),
-        "dim_providers": silver_store.read(DIM_PROVIDERS).count(),
-        "dim_dates": silver_store.read(DIM_DATES).count(),
-        "fact_claims": silver_store.read(FACT_CLAIMS).count(),
+        "dim_patients": silver_store.count_rows(DIM_PATIENTS),
+        "dim_providers": silver_store.count_rows(DIM_PROVIDERS),
+        "dim_dates": silver_store.count_rows(DIM_DATES),
+        "fact_claims": silver_store.count_rows(FACT_CLAIMS),
     }
     claims.unpersist()
     return {

@@ -540,6 +540,44 @@ def forget_documents(
 
     Returns {family: ids_requested} for applied legs (skipped legs
     report 0)."""
+    from fabric_claims_spark.operators.serving_index import next_batch_id
+    from fabric_claims_spark.sources.audit import (
+        append_audit_rows,
+        build_audit_row,
+    )
+    from fabric_claims_spark.extensions.bpe import (
+        _release_checkpoint,
+        _tracked_checkpoint,
+    )
+
+    if batch_id is None:
+        batch_id = next_batch_id(index_store)
+    # materialize the request ONCE (round 14, guide §1.2): each family
+    # leg re-derived doc_ids from its source plan (4+ rescans of the
+    # kill-set derivation); the count below doubles as the checkpoint's
+    # materializing action. Non-distinct, preserving the requested-count
+    # semantics exactly.
+    doc_ids, _cp_ids = _tracked_checkpoint(
+        doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id"))
+    )
+    try:
+        return _forget_documents_body(
+            index_store, doc_ids, batch_id, vec_ids, audit_pipeline,
+            append_audit_rows, build_audit_row,
+        )
+    finally:
+        _release_checkpoint(_cp_ids)
+
+
+def _forget_documents_body(
+    index_store,
+    doc_ids: DataFrame,
+    batch_id: int,
+    vec_ids: DataFrame | None,
+    audit_pipeline: str,
+    append_audit_rows,
+    build_audit_row,
+) -> dict[str, int]:
     from fabric_claims_spark.operators.serving_index import (
         IVF_VECS,
         LEX_POSTINGS,
@@ -549,16 +587,9 @@ def forget_documents(
         apply_lexical_deletes,
         apply_lsh_deletes,
         apply_positional_deletes,
-        next_batch_id,
         read_ivf_docmap,
     )
-    from fabric_claims_spark.sources.audit import (
-        append_audit_rows,
-        build_audit_row,
-    )
 
-    if batch_id is None:
-        batch_id = next_batch_id(index_store)
     n_docs = doc_ids.count()
     legs: list[tuple[str, bool, int]] = []
     if index_store.exists(LEX_POSTINGS):

@@ -2059,8 +2059,13 @@ def embeddings_hyperplane_recall(
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") < _HP_RECALL_COHORT
     )
+    # spread the single-file cohort scan (round 14, guide §2.5 input
+    # skew — the semdedup-recall fix pattern): the cached frame feeds
+    # the 32k-pair truth self-join AND the 128-hyperplane banding,
+    # both of which otherwise run single-task at the scan's
+    # parallelism. Aggregate-only output — partitioning-invariant.
     e = tracked_cache(
-        emb.select("vec_id", _as_double("embedding").alias("ev"))
+        spread(emb.select("vec_id", _as_double("embedding").alias("ev")))
     )
     banded = e.select(
         "vec_id",

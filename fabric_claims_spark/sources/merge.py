@@ -188,7 +188,8 @@ class TableStore:
         parts = [
             pq.read_table(os.path.join(vdir, f))
             for f in sorted(os.listdir(vdir))
-            if not f.startswith(("_", "."))
+            if f.endswith(".parquet")
+            and not f.startswith(("_", "."))
             and os.path.isfile(os.path.join(vdir, f))
         ]
         if not parts:
@@ -238,12 +239,88 @@ class TableStore:
             os.path.join(self._dir(name), version)
         ):
             for fname in files:
-                if fname.startswith(("_", ".")):
+                # only what the writer emits (ADVICE r13): a stray
+                # temp/partial file from an interrupted write must not
+                # fail the maintenance action — read() ignores it too
+                if fname.startswith(("_", ".")) or not fname.endswith(
+                    ".parquet"
+                ):
                     continue
                 total += pq.ParquetFile(
                     os.path.join(dirpath, fname)
                 ).metadata.num_rows
         return total
+
+    def prune_files_by_value(
+        self, name: str, column: str, keep_values: set[str]
+    ) -> int | None:
+        """File-level prune (round 14, guide §1.2/§6): drop every data
+        file whose ``column`` is a single constant NOT in
+        ``keep_values``, by hardlinking only the kept files into a new
+        version — driver-side, zero Spark jobs. Exact because append
+        files carry one commit token each (the writer stamps a
+        constant per append), so the parquet footer's min==max
+        statistics decide a whole file.
+
+        Returns the number of rows removed (0 = nothing to drop, no
+        version churn). Returns ``None`` when the decision is not
+        safely file-level — Delta store, partitioned layout, a file
+        with multiple values / missing stats / nulls in ``column``, or
+        every file dropping (an empty version needs a schema-carrying
+        write) — and the caller falls back to the row-level path."""
+        if self.use_delta or not self.exists(name):
+            return None
+        import pyarrow.parquet as pq
+
+        version = self._current_version(name)
+        vdir = os.path.join(self._dir(name), version)
+        entries = sorted(os.listdir(vdir))
+        if any(os.path.isdir(os.path.join(vdir, e)) for e in entries):
+            return None  # partitioned layout: not flat-file decidable
+        files = [
+            e
+            for e in entries
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        ]
+        kept: list[str] = []
+        removed = 0
+        for fname in files:
+            meta = pq.ParquetFile(os.path.join(vdir, fname)).metadata
+            try:
+                idx = meta.schema.to_arrow_schema().names.index(column)
+            except ValueError:
+                return None
+            values: set[str] = set()
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.null_count is None
+                    or st.null_count > 0
+                    or st.min != st.max
+                ):
+                    return None
+                values.add(st.min)
+            if len(values) != 1:
+                return None
+            if next(iter(values)) in keep_values:
+                kept.append(fname)
+            else:
+                removed += meta.num_rows
+        if removed == 0:
+            return 0
+        if not kept:
+            return None  # empty result needs a schema-carrying write
+        new_version = f"v_{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+        new_dir = os.path.join(self._dir(name), new_version)
+        os.makedirs(new_dir)
+        for fname in kept:
+            os.link(
+                os.path.join(vdir, fname), os.path.join(new_dir, fname)
+            )
+        self._swap_current(name, new_version)
+        return removed
 
     def append(self, name: str, df: DataFrame) -> None:
         """S8 — append sink (NB_BRONZE:221-223). Delta appends are
@@ -396,7 +473,12 @@ class TableStore:
                 self._commit_version(name, source, partition_by=partition_col)
             else:
                 self._write_new(name, source)
-            n = source.count()
+            # inserted == rows just written: read it from the new
+            # version's parquet footers instead of re-running the
+            # source plan for a count (round 14, guide §1.2 — for a
+            # DISTINCT-shaped staging source that count re-paid the
+            # whole aggregate). Delta keeps the source count.
+            n = source.count() if self.use_delta else self.count_rows(name)
             return MergeStats(inserted=n, updated=0)
 
         if partition_col and not self.use_delta:

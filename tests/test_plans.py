@@ -409,7 +409,13 @@ def test_bootstrap_spreads_base_rows_not_replicas(spark, registry):
     assert "pmod(hash(o_orderkey" not in plan
     bare = re.findall(r"hashpartitioning\(b#\d+, \d+\), (\w+)", plan)
     assert bare and all(k == "ENSURE_REQUIREMENTS" for k in bare)
-    assert "REPARTITION_BY_NUM" in plan  # the spread of the base rows
+    # the spread of the base rows — runner-independent pin (ADVICE
+    # r13): spread() is deliberately a no-op when the scan's file
+    # count already covers defaultParallelism (a local[1] runner
+    # satisfies 1 file >= 1), so only assert the repartition where
+    # spread can actually fire
+    if spark.sparkContext.defaultParallelism > 1:
+        assert "REPARTITION_BY_NUM" in plan
     # each projection evaluates the md5 draw ONCE (the ci_lo / ci_hi
     # rank picks print the shared replicate-means subtree twice —
     # exchange reuse dedups that at runtime; re-inlining into the

@@ -2,14 +2,14 @@
 
 Times registered queries in isolation with the noop sink (so the
 computation is measured, not the collect/count action), labels each
-job, and optionally dumps `.explain("formatted")` to plans/r13/.
+job, and optionally dumps `.explain("formatted")` to plans/r14/.
 
 Usage:
   python tools/opt_measure.py <sf_dir> <query> [query...] [--plans SUFFIX]
                               [--runs N]
 
 Prints one line per query: name, per-run wall seconds (noop sink).
-`--plans before` writes plans/r13/<query>_before.txt.
+`--plans before` writes plans/r14/<query>_before.txt.
 """
 
 from __future__ import annotations
@@ -44,7 +44,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the session + page cache the way bench.py does
     registry["pricing_summary"].fn(spark, sf_dir).count()
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
     if plans_suffix:
         plans_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
